@@ -1,0 +1,133 @@
+"""Text-analysis kernels: tokenization, word counts, language ID,
+quality scoring, fingerprinting. Vectorized variants operate on numpy /
+pyarrow arrays inside ``map_batches``.
+
+- word_count parity: ``len(text.split())``
+  (reference ``tests/example_pipelines/word_count/model.py:31-47``).
+- token_count: whitespace words plus a BPE-ish sub-word estimate.
+- lang_id: character-n-gram / stopword heuristic (no external models).
+- quality: length / punctuation / stopword-ratio features.
+- fingerprint: 64-bit rolling (polynomial) hash of normalized words.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+
+WORD_RE = re.compile(r"\w+", re.UNICODE)
+# sklearn-compatible token pattern used by the TF-IDF operator
+# (reference tfidf/model.py uses sklearn's default (?u)\b\w\w+\b).
+SK_TOKEN_RE = re.compile(r"(?u)\b\w\w+\b")
+# GPT-2-style pre-tokenizer regex (public, from the GPT-2 repo) — used as
+# the "BPE-ish" token estimator since tiktoken is unavailable.
+BPEISH_RE = re.compile(
+    r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?\d+| ?[^\sA-Za-z\d]+|\s+(?!\S)|\s+"
+)
+
+_STOPWORDS = {
+    "en": {"the", "of", "and", "to", "in", "a", "is", "that", "for", "it",
+           "was", "on", "with", "as", "are", "be", "this", "by", "an", "at"},
+    "de": {"der", "die", "das", "und", "in", "den", "von", "zu", "mit", "ist",
+           "des", "im", "nicht", "ein", "eine", "auf", "als", "auch", "es", "an"},
+    "fr": {"le", "la", "les", "de", "des", "et", "un", "une", "du", "en",
+           "est", "que", "dans", "qui", "pour", "pas", "sur", "au", "plus", "par"},
+    "es": {"el", "la", "los", "las", "de", "y", "en", "un", "una", "que",
+           "es", "del", "se", "con", "por", "para", "su", "al", "lo", "como"},
+    "it": {"il", "la", "le", "di", "e", "un", "una", "che", "in", "per",
+           "del", "della", "si", "con", "non", "al", "da", "sono", "come", "anche"},
+}
+
+
+def word_count(text: str | None) -> int:
+    """Reference semantics: len(text.split())."""
+    return len(text.split()) if text else 0
+
+
+def token_count(text: str | None) -> int:
+    """BPE-ish token estimate via the GPT-2 pre-tokenizer regex."""
+    return len(BPEISH_RE.findall(text)) if text else 0
+
+
+def lang_id(text: str | None) -> tuple[str, float]:
+    """(lang, confidence) via stopword voting over the supported set;
+    ('und', 0.0) when no evidence."""
+    if not text:
+        return ("und", 0.0)
+    words = [w.lower() for w in WORD_RE.findall(text[:4000])]
+    if not words:
+        return ("und", 0.0)
+    ws = set(words)
+    best, best_hits = "und", 0
+    for lang, stops in _STOPWORDS.items():
+        hits = sum(1 for w in words if w in stops)
+        if hits > best_hits:
+            best, best_hits = lang, hits
+    if best_hits == 0:
+        return ("und", 0.0)
+    return (best, min(1.0, best_hits / max(1, len(words))))
+
+
+def quality_features(text: str | None) -> dict:
+    """Heuristic quality features for web-scale filtering."""
+    if not text:
+        return {
+            "n_chars": 0, "n_words": 0, "mean_word_len": 0.0,
+            "stop_ratio": 0.0, "alpha_ratio": 0.0, "punct_ratio": 0.0,
+            "quality_score": 0.0,
+        }
+    words = text.split()
+    n_chars = len(text)
+    n_words = len(words)
+    alpha = sum(c.isalpha() for c in text)
+    punct = sum(not c.isalnum() and not c.isspace() for c in text)
+    lw = [w.lower().strip(".,;:!?()\"'") for w in words]
+    stops = _STOPWORDS["en"]
+    stop_ratio = sum(1 for w in lw if w in stops) / max(1, n_words)
+    mean_word_len = sum(len(w) for w in words) / max(1, n_words)
+    alpha_ratio = alpha / max(1, n_chars)
+    punct_ratio = punct / max(1, n_chars)
+    score = (
+        min(1.0, n_words / 50.0) * 0.3
+        + min(1.0, stop_ratio / 0.3) * 0.3
+        + alpha_ratio * 0.3
+        + (1.0 - min(1.0, punct_ratio / 0.3)) * 0.1
+    )
+    return {
+        "n_chars": n_chars, "n_words": n_words,
+        "mean_word_len": mean_word_len, "stop_ratio": stop_ratio,
+        "alpha_ratio": alpha_ratio, "punct_ratio": punct_ratio,
+        "quality_score": score,
+    }
+
+
+_FP_BASE = np.uint64(1099511628211)
+_FP_OFF = np.uint64(14695981039346656037)
+
+
+def fingerprint64(text: str | None) -> int:
+    """FNV-1a-style 64-bit rolling hash over whitespace-normalized
+    lowercase words — deterministic document fingerprint."""
+    h = _FP_OFF
+    if text:
+        for w in text.lower().split():
+            for b in w.encode("utf-8"):
+                h = np.uint64((int(h) ^ b) * int(_FP_BASE) & 0xFFFFFFFFFFFFFFFF)
+            h = np.uint64((int(h) ^ 0x20) * int(_FP_BASE) & 0xFFFFFFFFFFFFFFFF)
+    return int(h)
+
+
+def shingles(text: str, k: int = 5) -> list[str]:
+    """k-word shingles over the lowercase \\w+ tokenization."""
+    words = [w.lower() for w in WORD_RE.findall(text or "")]
+    if len(words) < k:
+        return [" ".join(words)] if words else []
+    return [" ".join(words[i : i + k]) for i in range(len(words) - k + 1)]
+
+
+def char_ngrams(text: str, n: int = 3) -> list[str]:
+    t = re.sub(r"\s+", " ", (text or "").lower()).strip()
+    if len(t) < n:
+        return [t] if t else []
+    return [t[i : i + n] for i in range(len(t) - n + 1)]

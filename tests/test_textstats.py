@@ -1,0 +1,104 @@
+"""Text-analysis + hashing kernels."""
+
+import numpy as np
+
+from neurostore_text_extraction_ray.functions.hashing import (
+    config_hash,
+    hamming64,
+    jaccard,
+    lsh_band_keys,
+    md5_text,
+    minhash_params,
+    minhash_signature,
+    simhash64,
+)
+from neurostore_text_extraction_ray.functions.textstats import (
+    fingerprint64,
+    lang_id,
+    quality_features,
+    shingles,
+    token_count,
+    word_count,
+)
+
+
+def test_word_count_reference_semantics():
+    assert word_count("one two  three\nfour") == 4
+    assert word_count("") == 0
+    assert word_count(None) == 0
+    assert word_count("   ") == 0
+
+
+def test_token_count():
+    assert token_count("Hello, world!") >= 3
+    assert token_count(None) == 0
+
+
+def test_lang_id():
+    en = "The results of the study are presented in the following table."
+    de = "Die Ergebnisse der Studie sind in der folgenden Tabelle mit den Werten."
+    assert lang_id(en)[0] == "en"
+    assert lang_id(de)[0] == "de"
+    assert lang_id("")[0] == "und"
+    assert lang_id("xyzzy plugh")[0] == "und"
+
+
+def test_quality_features():
+    q = quality_features("The quick brown fox jumps over the lazy dog near the river bank.")
+    assert q["n_words"] == 13
+    assert 0 < q["quality_score"] <= 1
+    assert quality_features(None)["quality_score"] == 0.0
+
+
+def test_fingerprint_deterministic_and_whitespace_normalized():
+    a = fingerprint64("Hello   world")
+    b = fingerprint64("hello world")
+    assert a == b
+    assert fingerprint64("hello world!") != a
+
+
+def test_shingles():
+    s = shingles("a b c d e f", k=5)
+    assert s == ["a b c d e", "b c d e f"]
+    assert shingles("a b", k=5) == ["a b"]
+    assert shingles("", k=5) == []
+
+
+def test_md5_and_config_hash():
+    assert md5_text("abc") == "900150983cd24fb0d6963f7d28e17f72"
+    h = config_hash({"b": 1, "a": 2})
+    assert len(h) == 12
+    assert h == config_hash({"a": 2, "b": 1})  # order-insensitive
+    assert h != config_hash({"a": 2, "b": 2})
+
+
+def test_minhash_similarity_tracks_jaccard():
+    a, b = minhash_params(128)
+    s1 = set(shingles("the cat sat on the mat and looked at the dog outside", k=3))
+    s2 = set(shingles("the cat sat on the mat and looked at the cat outside", k=3))
+    s3 = set(shingles("completely different words appear in this unrelated text here", k=3))
+    m1 = minhash_signature(list(s1), a, b)
+    m2 = minhash_signature(list(s2), a, b)
+    m3 = minhash_signature(list(s3), a, b)
+    est12 = (m1 == m2).mean()
+    est13 = (m1 == m3).mean()
+    true12 = jaccard(s1, s2)
+    assert abs(est12 - true12) < 0.2
+    assert est13 < 0.1
+    # identical docs -> identical signatures and identical band keys
+    assert (m1 == minhash_signature(list(s1), a, b)).all()
+    assert lsh_band_keys(m1, 16) == lsh_band_keys(m1.copy(), 16)
+
+
+def test_simhash_near_duplicates_close():
+    t1 = "the quick brown fox jumps over the lazy dog " * 5
+    t2 = t1.replace("lazy", "sleepy")
+    t3 = "entirely different content about ray data pipelines and arrow batches " * 5
+    h1, h2, h3 = (simhash64(t.split()) for t in (t1, t2, t3))
+    assert hamming64(h1, h2) < hamming64(h1, h3)
+    assert hamming64(h1, h1) == 0
+
+
+def test_jaccard():
+    assert jaccard(set(), set()) == 1.0
+    assert jaccard({1, 2}, {2, 3}) == 1 / 3
