@@ -1,0 +1,157 @@
+"""Benchmark harness. Prints ONE JSON line:
+{"metric": ..., "value": <total sec>, "unit": "sec",
+ "queries": {name: sec}, "sf": ..., "num_cpus": N, ...}
+
+Env: GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     RAY_GRAFT_CPUS (default 32),
+     GRAFT_REPLICATE (default 20 — pages-corpus replication factor so
+     the extract stage processes ~100k documents at sf0.1).
+
+``--scaling``: run the headline pipeline in TWO fresh processes
+(num_cpus=8 then 32) on the same input and report both throughputs +
+scaling efficiency (the sandbox stand-in for the N vs 4N cluster-size
+criterion).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+REPLICATE = int(os.environ.get("GRAFT_REPLICATE", "20"))
+
+
+def _quiet():
+    import logging
+
+    logging.getLogger("ray").setLevel(logging.ERROR)
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+
+def replicated_pages(sf_dir: str, factor: int):
+    """pages corpus replicated ``factor`` times with distinct urls —
+    same read path, deterministically derived, so the bench measures
+    extract/dedup throughput rather than tiny-input overhead."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from neurostore_text_extraction_ray.sources import pages as pages_src
+
+    base = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"])
+    n = 10_000_000  # offset stride; doc_ids stay unique per replica
+
+    def expand(batch: pa.Table) -> pa.Table:
+        tables = []
+        for k in range(factor):
+            t = batch.set_column(
+                batch.schema.get_field_index("doc_id"),
+                "doc_id",
+                pa.array(
+                    [d + k * n for d in batch["doc_id"].to_pylist()], pa.int64()
+                ),
+            )
+            tables.append(pages_src.pages_batch(t))
+        return pa.concat_tables(tables)
+
+    return base.map_batches(expand, batch_format="pyarrow", batch_size=128)
+
+
+def run_benchmarks() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    _quiet()
+
+    from neurostore_text_extraction_ray.pipelines import flagship, steps
+
+    # warm the page cache (untimed)
+    import pyarrow.parquet as pq
+
+    for t in ("documents", "lineitem", "events", "embeddings", "part"):
+        pq.read_table(f"{SF_DIR}/{t}.parquet")
+
+    timings: dict[str, float] = {}
+    meta: dict = {}
+
+    # headline: flagship dedup+extract over the replicated corpus
+    t0 = time.time()
+    ds = flagship.flagship_dataset(
+        replicated_pages(SF_DIR, REPLICATE), concurrency=(2, NUM_CPUS), batch_size=64
+    )
+    n_docs = ds.count()
+    dt = time.time() - t0
+    timings["flagship_extract"] = round(dt, 3)
+    meta["flagship_docs"] = n_docs
+    meta["flagship_docs_per_sec"] = round(n_docs / dt, 1)
+
+    for name, fn in [
+        ("word_deviance", steps.word_deviance),
+        ("tfidf", steps.tfidf),
+        ("dedup_exact", steps.dedup_exact),
+        ("lineitem_agg", steps.lineitem_agg),
+        ("events_hourly", steps.events_hourly),
+    ]:
+        t0 = time.time()
+        fn(SF_DIR).count()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    result = {
+        "metric": "extraction+ops wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        **meta,
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = run(lo), run(hi)
+    tp_lo = r_lo["flagship_docs_per_sec"]
+    tp_hi = r_hi["flagship_docs_per_sec"]
+    eff = (tp_hi / tp_lo) / (hi / lo)
+    return {
+        "metric": "scaling efficiency (flagship docs/s)",
+        "cpus_lo": lo, "cpus_hi": hi,
+        "docs_per_sec_lo": tp_lo, "docs_per_sec_hi": tp_hi,
+        "sec_lo": r_lo["queries"]["flagship_extract"],
+        "sec_hi": r_hi["queries"]["flagship_extract"],
+        "scaling_efficiency": round(eff, 3),
+        "sf": SF_DIR,
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_benchmarks()))

@@ -1,0 +1,332 @@
+"""Derived operator library (SURVEY §2) over the driver's synthetic
+tables. Every function takes ``sf_dir`` and returns a lazy
+``ray.data.Dataset`` whose column names match the DuckDB oracle SQL in
+``__ray_entry__.oracle_sql`` exactly.
+
+Ray-Data-first shapes:
+- per-record ops are vectorized ``map_batches`` (pandas/numpy string
+  kernels), never per-row ``ds.map``;
+- corpus-global ops (word_deviance A1, tfidf A2) are two-pass:
+  a small aggregate (tree-reduced / grouped) whose result is broadcast
+  back into a second vectorized pass — the corpus is never
+  materialized;
+- joins with a small side are broadcast lookups inside ``map_batches``
+  (no shuffle); large-side ops use ``groupby``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.textstats import SK_TOKEN_RE
+
+
+def _docs(sf_dir: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+# -- M5: word count ---------------------------------------------------------
+
+
+def word_count(sf_dir: str):
+    """Per-document whitespace word count (reference semantics:
+    len(text.split()), word_count/model.py:31-47)."""
+
+    def wc(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame()
+        out["doc_id"] = df["doc_id"]
+        out["word_count"] = df["text"].fillna("").str.count(r"\S+").astype("int64")
+        return out
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(wc, batch_format="pandas")
+
+
+# -- A1: word deviance (corpus mean broadcast back) -------------------------
+
+
+def word_deviance(sf_dir: str):
+    """abs(word_count - total_words // n_docs) per doc
+    (word_count/model.py:77-103; note the floor division)."""
+    from ray.data.aggregate import Count, Sum
+
+    wc = word_count(sf_dir)
+    agg = wc.aggregate(Sum("word_count", alias_name="total"), Count(alias_name="n"))
+    average = int(agg["total"]) // int(agg["n"])  # scalar to broadcast
+
+    def dev(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame()
+        out["doc_id"] = df["doc_id"]
+        out["word_deviance"] = (df["word_count"] - average).abs().astype("int64")
+        return out
+
+    return wc.map_batches(dev, batch_format="pandas")
+
+
+# -- A2: TF-IDF (document-frequency aggregate + broadcast scoring) ----------
+
+
+def tfidf(sf_dir: str, min_df: int = 2):
+    """sklearn-equivalent TF-IDF (TfidfVectorizer(min_df=2) defaults:
+    lowercase, token r'\\b\\w\\w+\\b', smooth idf ln((1+n)/(1+df))+1, l2
+    doc norm), as a two-stage Ray pipeline (tfidf/model.py:29-129):
+    (1) tokenize -> per-(doc,term) tf rows -> groupby(term) df counts
+    (the only shuffle, over term-count rows, not text);
+    (2) re-tokenize per doc with the broadcast idf map and emit
+    normalized scores. Output: (doc_id, term, score) for score > 0."""
+    import ray
+    import ray.data as rd
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    n_docs = docs.count()
+
+    def term_rows(batch: pa.Table) -> pa.Table:
+        doc_ids, terms = [], []
+        for did, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            for t in set(SK_TOKEN_RE.findall((text or "").lower())):
+                doc_ids.append(did)
+                terms.append(t)
+        return pa.table({"doc_id": pa.array(doc_ids, pa.int64()),
+                         "term": pa.array(terms, pa.string())})
+
+    df_counts = (
+        docs.map_batches(term_rows, batch_format="pyarrow")
+        .groupby("term")
+        .count()
+    )
+    df_map = {r["term"]: r["count()"] for r in df_counts.iter_rows()}
+    vocab = sorted(t for t, c in df_map.items() if c >= min_df)
+    idf = {
+        t: np.log((1 + n_docs) / (1 + df_map[t])) + 1.0 for t in vocab
+    }
+    idf_ref = ray.put(idf)
+
+    def score(batch: pa.Table) -> pa.Table:
+        idf_local = ray.get(idf_ref)
+        doc_ids, terms, scores = [], [], []
+        for did, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            counts: dict[str, int] = {}
+            for t in SK_TOKEN_RE.findall((text or "").lower()):
+                if t in idf_local:
+                    counts[t] = counts.get(t, 0) + 1
+            if not counts:
+                continue
+            vec = {t: c * idf_local[t] for t, c in counts.items()}
+            norm = np.sqrt(sum(v * v for v in vec.values()))
+            for t in sorted(vec):
+                doc_ids.append(did)
+                terms.append(t)
+                scores.append(vec[t] / norm if norm else 0.0)
+        return pa.table({"doc_id": pa.array(doc_ids, pa.int64()),
+                         "term": pa.array(terms, pa.string()),
+                         "score": pa.array(scores, pa.float64())})
+
+    return docs.map_batches(score, batch_format="pyarrow")
+
+
+# -- M11/M16-style filters & projections ------------------------------------
+
+
+def docs_en_quality(sf_dir: str):
+    """Filter+project: English docs with simple quality stats."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.equal(batch["lang"], "en"))
+        words = pc.count_substring_regex(
+            pc.coalesce(batch["text"], pa.scalar("")), r"\S+"
+        )
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "source": batch["source"],
+            "n_chars": batch["n_chars"],
+            "n_words": pc.cast(words, pa.int64()),
+        })
+
+    return _docs(sf_dir, ["doc_id", "lang", "source", "n_chars", "text"]).map_batches(
+        f, batch_format="pyarrow"
+    )
+
+
+# -- J1: upstream-results join (broadcast small side) -----------------------
+
+
+def docs_join_embeddings(sf_dir: str):
+    """documents ⋈ embeddings on doc_id = vec_id. The embeddings label
+    side is small -> broadcast dict lookup inside map_batches, no
+    shuffle (Dataset.add_pipeline analog, dataset.py:243-382)."""
+    import duckdb
+    import ray
+
+    con = duckdb.connect()
+    lab = con.execute(
+        f"SELECT vec_id, label FROM read_parquet('{sf_dir}/embeddings.parquet')"
+    ).fetchall()
+    con.close()
+    label_map = dict(lab)
+    ref = ray.put(label_map)
+
+    def join(df: pd.DataFrame) -> pd.DataFrame:
+        import ray as _ray
+
+        m = _ray.get(ref)
+        out = df[["doc_id", "lang", "n_chars"]].copy()
+        out["label"] = out["doc_id"].map(m)
+        out = out[out["label"].notna()]
+        out["label"] = out["label"].astype("int32")
+        return out
+
+    return _docs(sf_dir, ["doc_id", "lang", "n_chars"]).map_batches(
+        join, batch_format="pandas"
+    )
+
+
+# -- M14/J3: change-detection anti-join -------------------------------------
+
+
+def filter_unprocessed(sf_dir: str):
+    """documents whose doc_id is NOT among embeddings vec_ids with
+    label = 0 — the resume anti-join shape (base.py:509-532): broadcast
+    the done-key set, filter inside map_batches."""
+    import duckdb
+    import ray
+
+    con = duckdb.connect()
+    done = {
+        r[0]
+        for r in con.execute(
+            f"SELECT vec_id FROM read_parquet('{sf_dir}/embeddings.parquet') WHERE label = 0"
+        ).fetchall()
+    }
+    con.close()
+    ref = ray.put(np.array(sorted(done), dtype=np.int64))
+
+    def f(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        done_arr = _ray.get(ref)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(~np.isin(ids, done_arr)))
+
+    return _docs(sf_dir, ["doc_id", "lang", "n_chars"]).map_batches(
+        f, batch_format="pyarrow"
+    )
+
+
+# -- D1: exact dedup by content ---------------------------------------------
+
+
+def dedup_exact(sf_dir: str):
+    """Exact dedup on text content: keep the lowest doc_id per distinct
+    text. Hash-partition by a content hash (groupby shuffle), min per
+    group — dedup-before-extract shape (SURVEY D1)."""
+
+    def add_hash(df: pd.DataFrame) -> pd.DataFrame:
+        import hashlib
+
+        df = df.copy()
+        df["_h"] = [
+            int.from_bytes(
+                hashlib.blake2b((t or "").encode(), digest_size=8).digest(), "little"
+            ) >> 1
+            for t in df["text"]
+        ]
+        return df
+
+    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
+        r = g.sort_values("doc_id").head(1)
+        return r[["doc_id", "n_chars"]]
+
+    return (
+        _docs(sf_dir, ["doc_id", "text", "n_chars"])
+        .map_batches(add_hash, batch_format="pandas")
+        .groupby("_h")
+        .map_groups(keep_first, batch_format="pandas")
+    )
+
+
+# -- M6: string normalization over a table column ---------------------------
+
+
+def normalize_part_names(sf_dir: str):
+    """capwords normalization of part names (normalize.py:8-28
+    semantics) — vectorized pandas str kernel."""
+    import ray.data as rd
+
+    def norm(df: pd.DataFrame) -> pd.DataFrame:
+        import string as _string
+
+        out = pd.DataFrame()
+        out["p_partkey"] = df["p_partkey"]
+        cleaned = df["p_name"].map(
+            lambda s: _string.capwords(s.strip()).replace("’", "'") if s is not None else None
+        )
+        out["p_name_normalized"] = cleaned.map(
+            lambda s: None if s in ("", "None", "Nan", "N/a", "Null") else s
+        )
+        return out
+
+    return rd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name"]).map_batches(
+        norm, batch_format="pandas"
+    )
+
+
+# -- Engine sanity: grouped aggregate + windowed stream ---------------------
+
+
+def lineitem_agg(sf_dir: str):
+    """TPC-H Q1-style pricing summary: vectorized derived column +
+    grouped aggregate (partial per-block combine is automatic)."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Mean, Sum
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount"],
+    )
+
+    def rev(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "revenue",
+            pc.multiply(batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"])),
+        )
+
+    return (
+        ds.map_batches(rev, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("revenue", alias_name="sum_revenue"),
+            Mean("l_discount", alias_name="avg_disc"),
+            Count(alias_name="n_rows"),
+        )
+    )
+
+
+def events_hourly(sf_dir: str):
+    """Tumbling 1-hour window per event_type: count + value sum.
+    Event-time windows via truncation + grouped aggregate (no ordering
+    assumption needed for tumbling windows)."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
+    )
+
+    def trunc(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": batch["event_type"],
+            "hour": pc.floor_temporal(batch["ts"], unit="hour"),
+            "value": batch["value"],
+        })
+
+    return (
+        ds.map_batches(trunc, batch_format="pyarrow")
+        .groupby(["event_type", "hour"])
+        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
+    )

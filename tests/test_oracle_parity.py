@@ -1,0 +1,89 @@
+"""Local replica of the driver's correctness gate: run every
+``queries()`` entry and its ``oracle_sql()`` side by side at sf0.001,
+compare row counts and order-insensitive values (columns sorted by
+name, rows sorted by all columns)."""
+
+import os
+
+import duckdb
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+pytestmark = pytest.mark.skipif(not os.path.isdir(SF), reason="testdata unavailable")
+
+
+def _oracle(sql: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    df = con.execute(sql).fetchdf()
+    con.close()
+    return df
+
+
+def _to_pandas(result) -> pd.DataFrame:
+    if isinstance(result, pd.DataFrame):
+        return result
+    if hasattr(result, "to_pandas"):
+        return result.to_pandas()
+    raise TypeError(type(result))
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(list(df.columns), kind="stable").reset_index(drop=True)
+
+
+def _pairs():
+    import __ray_entry__ as e
+
+    qs = e.queries()
+    sqls = e.oracle_sql()
+    return [(name, qs[name], sqls.get(name)) for name in qs]
+
+
+@pytest.mark.parametrize("name", [
+    "flagship_extract", "word_count", "word_deviance", "tfidf",
+    "docs_en_quality", "docs_join_embeddings", "filter_unprocessed",
+    "dedup_exact", "normalize_part_names", "lineitem_agg", "events_hourly",
+])
+def test_query_matches_oracle(name, ray_session):
+    import __ray_entry__ as e
+
+    fn = e.queries()[name]
+    sql = e.oracle_sql().get(name)
+    mine = _canon(_to_pandas(fn(SF)))
+    assert sql is not None, f"{name} lacks an oracle"
+    gold = _canon(_oracle(sql))
+    assert list(mine.columns) == list(gold.columns), (
+        name, list(mine.columns), list(gold.columns))
+    assert len(mine) == len(gold), (name, len(mine), len(gold))
+    # numeric columns: exact after the declared rounding; compare values
+    for c in mine.columns:
+        if pd.api.types.is_float_dtype(mine[c]) or pd.api.types.is_float_dtype(gold[c]):
+            pd.testing.assert_series_equal(
+                mine[c].astype(float), gold[c].astype(float),
+                check_names=False, rtol=0, atol=1e-9, obj=f"{name}.{c}",
+            )
+        else:
+            assert (mine[c].to_numpy() == gold[c].to_numpy()).all(), f"{name}.{c}"
+
+
+def test_entry_smoke(ray_session):
+    import __ray_entry__ as e
+
+    ds = e.entry()
+    df = _to_pandas(ds)
+    assert len(df) > 0
+    assert set(df.columns) == {"url", "extracted_text"}
