@@ -23,7 +23,9 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-REPLICATE = int(os.environ.get("GRAFT_REPLICATE", "20"))
+REPLICATE = int(os.environ.get("GRAFT_REPLICATE", "30"))
+TEXT_REPEAT = int(os.environ.get("GRAFT_TEXT_REPEAT", "8"))
+PAGES_CACHE = os.environ.get("GRAFT_PAGES_CACHE", "/tmp/nse_bench_pages")
 
 
 def _quiet():
@@ -38,19 +40,31 @@ def _quiet():
     ctx.execution_options.verbose_progress = False
 
 
-def replicated_pages(sf_dir: str, factor: int):
-    """pages corpus replicated ``factor`` times with distinct urls —
-    same read path, deterministically derived, so the bench measures
-    extract/dedup throughput rather than tiny-input overhead."""
+def replicated_pages(sf_dir: str, factor: int, text_repeat: int = 1):
+    """pages corpus replicated ``factor`` times with distinct urls and
+    document text repeated ``text_repeat`` times — deterministically
+    derived from the documents table, sized so extraction (not setup
+    overhead) dominates the measurement."""
     import pyarrow as pa
     import ray.data as rd
 
     from neurostore_text_extraction_ray.sources import pages as pages_src
 
-    base = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"])
+    base = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    ).repartition(64)
     n = 10_000_000  # offset stride; doc_ids stay unique per replica
 
     def expand(batch: pa.Table) -> pa.Table:
+        if text_repeat > 1:
+            batch = batch.set_column(
+                batch.schema.get_field_index("text"),
+                "text",
+                pa.array(
+                    [(t or "") * text_repeat for t in batch["text"].to_pylist()],
+                    pa.string(),
+                ),
+            )
         tables = []
         for k in range(factor):
             t = batch.set_column(
@@ -64,6 +78,22 @@ def replicated_pages(sf_dir: str, factor: int):
         return pa.concat_tables(tables)
 
     return base.map_batches(expand, batch_format="pyarrow", batch_size=128)
+
+
+def prepare_pages_corpus(sf_dir: str, factor: int, text_repeat: int) -> str:
+    """Materialize the bench pages corpus to parquet ONCE (many files
+    -> parallel reads). The timed headline then measures the real
+    pipeline: read_parquet(pages) -> dedup -> extract."""
+    key = f"{os.path.basename(sf_dir.rstrip('/'))}-x{factor}-t{text_repeat}"
+    out = os.path.join(PAGES_CACHE, key)
+    done_marker = os.path.join(out, "_DONE")
+    if os.path.exists(done_marker):
+        return out
+    ds = replicated_pages(sf_dir, factor, text_repeat)
+    ds.write_parquet(out)
+    with open(done_marker, "w") as f:
+        f.write("ok")
+    return out
 
 
 def run_benchmarks() -> dict:
@@ -89,10 +119,17 @@ def run_benchmarks() -> dict:
     timings: dict[str, float] = {}
     meta: dict = {}
 
-    # headline: flagship dedup+extract over the replicated corpus
+    # headline: read pages parquet -> dedup -> extract (the north-star
+    # pipeline; corpus materialized once, untimed)
+    import ray.data as rd
+
+    pages_dir = prepare_pages_corpus(SF_DIR, REPLICATE, TEXT_REPEAT)
     t0 = time.time()
     ds = flagship.flagship_dataset(
-        replicated_pages(SF_DIR, REPLICATE), concurrency=(2, NUM_CPUS), batch_size=64
+        rd.read_parquet(pages_dir),
+        concurrency=max(4, NUM_CPUS // 2),
+        batch_size=512,
+        winners_ds=rd.read_parquet(pages_dir, columns=["url", "warc_ts"]),
     )
     n_docs = ds.count()
     dt = time.time() - t0

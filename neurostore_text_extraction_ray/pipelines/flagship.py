@@ -34,47 +34,142 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+# Per-worker-process cache for broadcast objects: ray.get + deserialize
+# once per worker, not once per batch task.
+_BROADCAST_CACHE: dict = {}
+
+
+def _get_broadcast(ref):
+    import ray
+
+    key = ref.hex() if hasattr(ref, "hex") else id(ref)
+    if key not in _BROADCAST_CACHE:
+        _BROADCAST_CACHE.clear()
+        _BROADCAST_CACHE[key] = ray.get(ref)
+    return _BROADCAST_CACHE[key]
+
 from ..stages.extract import ExtractActor, PARSER_VERSION, extract_batch
 from ..state import manifest as mf
 
 
 def _url_hash_mod(urls: pa.ChunkedArray | pa.Array, mod: int) -> pa.Array:
-    """Deterministic (process-independent) url -> bucket in [0, mod)."""
-    out = np.empty(len(urls), dtype=np.int64)
-    for i, u in enumerate(urls.to_pylist()):
-        h = hashlib.blake2b(u.encode("utf-8"), digest_size=8).digest()
-        out[i] = int.from_bytes(h, "little") % mod
-    return pa.array(out, pa.int64())
+    """Deterministic url -> bucket in [0, mod). Vectorized stable
+    siphash via pandas (fixed key -> process-independent within one
+    pandas version; resume assumes the same environment, which the
+    run manifest records)."""
+    arr = np.asarray(urls.to_pandas(), dtype=object)
+    h = pd.util.hash_array(arr)
+    return pa.array((h % np.uint64(mod)).astype(np.int64), pa.int64())
+
+
+def _latest_per_url_indices(urls, tss) -> np.ndarray:
+    """Vectorized keep-latest: indices of the max-(warc_ts, position)
+    row per url ('newest result wins', base.py:342-370)."""
+    u = np.asarray(urls, dtype=object)
+    t = np.asarray(tss)
+    pos = np.arange(len(u))
+    codes, _ = pd.factorize(u)  # exact string identity, vectorized
+    order = np.lexsort((pos, t, codes))
+    sorted_c = codes[order]
+    is_last = np.empty(len(u), dtype=bool)
+    if len(u):
+        is_last[:-1] = sorted_c[1:] != sorted_c[:-1]
+        is_last[-1] = True
+    keep = order[is_last]
+    keep.sort()
+    return keep
 
 
 def partial_dedup_batch(batch: pa.Table) -> pa.Table:
     """Within-batch combiner: keep only the latest warc_ts per url.
-    Correctness is unaffected (the groupby finishes the job); this only
-    shrinks the shuffle."""
+    Correctness is unaffected (the per-part pass finishes the job);
+    this only shrinks the shuffle."""
     if batch.num_rows == 0:
         return batch
-    df_idx = pa.table(
-        {
-            "url": batch["url"],
-            "warc_ts": batch["warc_ts"],
-            "_i": pa.array(np.arange(batch.num_rows), pa.int64()),
-        }
-    ).to_pandas()
-    keep = df_idx.sort_values(["url", "warc_ts", "_i"]).groupby("url", sort=False).tail(1)["_i"].to_numpy()
-    keep.sort()
+    keep = _latest_per_url_indices(
+        batch["url"].to_pandas().to_numpy(dtype=object),
+        batch["warc_ts"].to_numpy(zero_copy_only=False),
+    )
+    if len(keep) == batch.num_rows:
+        return batch
     return batch.take(pa.array(keep))
 
 
-def dedup_group(group: pd.DataFrame) -> pd.DataFrame:
-    """Per-url group: latest warc_ts wins (ties broken stably by last
-    occurrence — matches 'newest result wins', base.py:342-370)."""
-    return group.sort_values("warc_ts", kind="stable").tail(1)
+def dedup_part_group(group: pa.Table) -> pa.Table:
+    """Per-PART group (all fetches of a url share a part): vectorized
+    latest-wins dedup over the whole part at once — one pandas/numpy
+    pass per part, not one Python call per url."""
+    keep = _latest_per_url_indices(
+        group["url"].to_pandas().to_numpy(dtype=object),
+        group["warc_ts"].to_numpy(zero_copy_only=False),
+    )
+    if len(keep) == group.num_rows:
+        return group
+    return group.take(pa.array(keep))
 
 
-def dedup_pages(ds):
-    """groupby-url dedup-then-extract, dedup half."""
+def _winner_partials(batch: pa.Table) -> pa.Table:
+    """Per-batch combiner for the winners aggregate: (url, max warc_ts)."""
+    df = pa.table({"url": batch["url"], "warc_ts": batch["warc_ts"]}).to_pandas()
+    g = df.groupby("url", sort=False)["warc_ts"].max().reset_index()
+    return pa.Table.from_pandas(g, preserve_index=False)
+
+
+def dedup_pages(ds, winners_ds=None):
+    """groupby-url dedup-then-extract, streaming form.
+
+    The heavy page payloads are NEVER shuffled: the winners aggregate
+    runs over a projected (url, warc_ts) stream — per-batch partial
+    max (combiner) then a final combine — and the winner map is
+    broadcast (``ray.put``) into a vectorized semi-join filter. This is
+    the aggregate+broadcast-semijoin pattern; at cluster scale, when
+    the winner table exceeds broadcastable size, use the partitioned
+    sink path (``run_flagship_to_parquet``), whose url-hash part
+    shuffle gives exact dedup as a byproduct of deterministic
+    partitioning.
+
+    Tie caveat: two fetches of one url with IDENTICAL warc_ts dedupe
+    within a batch but not across batches on this path (the sink path
+    is exact); real warc timestamps make this vanishing.
+
+    ``winners_ds``: optionally pass a (url, warc_ts) projection of the
+    same corpus (e.g. a column-pruned re-read of the input parquet) so
+    the winners pass never loads the html column at all.
+    """
+    import ray
+
+    src = winners_ds if winners_ds is not None else ds
+    partials = src.map_batches(_winner_partials, batch_format="pyarrow").to_pandas()
+    winners = partials.groupby("url", sort=False)["warc_ts"].max()
+    wmap = dict(zip(winners.index.to_numpy(), winners.to_numpy()))
+    ref = ray.put(wmap)
+
+    def keep_winner(batch: pa.Table) -> pa.Table:
+        m = _get_broadcast(ref)
+        urls = batch["url"].to_pylist()
+        tss = batch["warc_ts"].to_pandas().to_numpy()
+        mask = np.fromiter(
+            (m.get(u) == t for u, t in zip(urls, tss)), bool, len(urls)
+        )
+        if mask.all():
+            return partial_dedup_batch(batch)
+        return partial_dedup_batch(batch.filter(pa.array(mask)))
+
+    return ds.map_batches(keep_winner, batch_format="pyarrow")
+
+
+def dedup_pages_partitioned(ds, num_parts: int = 64):
+    """Shuffle-based exact dedup: url-hash part co-location + one
+    vectorized pass per part. Used when deterministic partitioning is
+    needed anyway (the resumable sink) or when the winner table is too
+    large to broadcast."""
     ds = ds.map_batches(partial_dedup_batch, batch_format="pyarrow")
-    return ds.groupby("url").map_groups(dedup_group, batch_format="pandas")
+    ds = ds.map_batches(
+        lambda b: b.append_column("part", _url_hash_mod(b["url"], num_parts)),
+        batch_format="pyarrow",
+    )
+    deduped = ds.groupby("part").map_groups(dedup_part_group, batch_format="pyarrow")
+    return deduped.drop_columns(["part"])
 
 
 def extract_pages(
@@ -96,10 +191,13 @@ def extract_pages(
 
 
 def flagship_dataset(pages_ds, mode: str = "auto", payload_column: str = "html",
-                     concurrency=(2, 8), batch_size: int = 64):
-    """pages Dataset -> extracted Dataset (no sink). Streaming end to end."""
+                     concurrency=(2, 8), batch_size: int = 64, winners_ds=None):
+    """pages Dataset -> extracted Dataset (no sink). Streaming end to
+    end. Pass ``winners_ds`` (a (url, warc_ts)-only projection, e.g. a
+    column-pruned re-read of the input parquet) so the dedup winners
+    pass never loads the payload column."""
     return extract_pages(
-        dedup_pages(pages_ds),
+        dedup_pages(pages_ds, winners_ds=winners_ds),
         payload_column=payload_column,
         mode=mode,
         concurrency=concurrency,
@@ -125,21 +223,13 @@ class _PartWriter:
 
     def __call__(self, group: pa.Table) -> pa.Table:
         part = int(group["part"][0].as_py())
-        # final dedup within the part (all fetches of a url share a part)
-        pdf = pa.table(
-            {
-                "url": group["url"],
-                "warc_ts": group["warc_ts"],
-                "_i": pa.array(np.arange(group.num_rows), pa.int64()),
-            }
-        ).to_pandas()
-        keep = (
-            pdf.sort_values(["url", "warc_ts", "_i"], kind="stable")
-            .groupby("url", sort=False)
-            .tail(1)
-            .sort_values("url")["_i"]
-            .to_numpy()
+        # final dedup within the part (all fetches of a url share a part),
+        # then a deterministic url sort for byte-stable part files
+        urls_np = group["url"].to_pandas().to_numpy(dtype=object)
+        keep = _latest_per_url_indices(
+            urls_np, group["warc_ts"].to_numpy(zero_copy_only=False)
         )
+        keep = keep[np.argsort(urls_np[keep], kind="stable")]
         deduped = group.take(pa.array(keep))
         out = extract_batch(
             deduped, payload_column=self.payload_column, mode=self.mode,

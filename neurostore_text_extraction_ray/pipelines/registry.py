@@ -1,0 +1,100 @@
+"""Operator registry + YAML pipeline config (SURVEY §2.10).
+
+Reference surface: any class exported in ``ns_extract.pipelines.__all__``
+is auto-exposed to the CLI under its snake-case name
+(``pipelines/__init__.py:11-21``, ``cli/run.py:13-33``); YAML configs
+are a list of ``{name, args}`` entries (``cli/run.py:36-92``).
+
+Here an operator is registered with ``@register_op("name")`` and is a
+function ``(sf_dir_or_ds, **kwargs) -> Dataset``. ``run_config`` runs a
+YAML config of the shape:
+
+    pipelines:
+      - name: word_count
+        args: {}
+      - name: tfidf
+        args: {min_df: 2}
+
+writing each result under ``<out>/<name>/<version>/<config-hash>/`` —
+the reference's versioned, hash-addressed output layout
+(``dataset.py:254-265``)."""
+
+from __future__ import annotations
+
+import os
+import re
+from collections.abc import Callable
+
+from ..functions.hashing import config_hash
+
+_REGISTRY: dict[str, dict] = {}
+
+
+def camel_to_snake(name: str) -> str:
+    """CamelCase -> snake_case (cli/run.py:21-26 parity)."""
+    s1 = re.sub(r"(.)([A-Z][a-z]+)", r"\1_\2", name)
+    return re.sub(r"([a-z0-9])([A-Z])", r"\1_\2", s1).lower()
+
+
+def register_op(name: str, version: str = "1.0.0"):
+    def deco(fn: Callable):
+        _REGISTRY[name] = {"fn": fn, "version": version}
+        return fn
+
+    return deco
+
+
+def get_op(name: str) -> Callable:
+    return _REGISTRY[name]["fn"]
+
+
+def list_ops() -> dict[str, str]:
+    return {k: v["version"] for k, v in sorted(_REGISTRY.items())}
+
+
+def load_config(path: str) -> list[tuple[str, dict]]:
+    import yaml
+
+    with open(path) as f:
+        cfg = yaml.safe_load(f)
+    entries = cfg["pipelines"] if isinstance(cfg, dict) else cfg
+    out = []
+    for e in entries:
+        if isinstance(e, str):
+            out.append((e, {}))
+        else:
+            out.append((e["name"], e.get("args") or {}))
+    return out
+
+
+def run_config(config_path: str, sf_dir: str, out_dir: str) -> dict[str, str]:
+    """Run every configured pipeline; returns {name: output_dir}.
+    Output layout: <out>/<name>/<version>/<12-hex config hash>/part-*."""
+    results = {}
+    for name, kwargs in load_config(config_path):
+        entry = _REGISTRY[name]
+        h = config_hash({"name": name, **kwargs})
+        dest = os.path.join(out_dir, name, entry["version"], h)
+        os.makedirs(dest, exist_ok=True)
+        ds = entry["fn"](sf_dir, **kwargs)
+        ds.write_parquet(dest)
+        results[name] = dest
+    return results
+
+
+def _register_builtins():
+    from . import steps
+
+    register_op("word_count")(steps.word_count)
+    register_op("word_deviance")(steps.word_deviance)
+    register_op("tfidf")(steps.tfidf)
+    register_op("docs_en_quality")(steps.docs_en_quality)
+    register_op("docs_join_embeddings")(steps.docs_join_embeddings)
+    register_op("filter_unprocessed")(steps.filter_unprocessed)
+    register_op("dedup_exact")(steps.dedup_exact)
+    register_op("normalize_part_names")(steps.normalize_part_names)
+    register_op("lineitem_agg")(steps.lineitem_agg)
+    register_op("events_hourly")(steps.events_hourly)
+
+
+_register_builtins()

@@ -1,0 +1,360 @@
+"""Deduplication operators (training-data-pipeline additions beyond the
+reference's exact-by-key dedup, which lives in pipelines/flagship.py):
+
+- exact content dedup   : hash-partition on content hash, keep min key
+- MinHash + LSH near-dup: shingle -> minhash -> band buckets (groupby)
+                          -> candidate pairs -> similarity verify
+- SimHash near-dup      : 64-bit simhash, band buckets, hamming verify
+- n-gram Jaccard verify : exact set Jaccard on candidate pairs
+- embedding cosine dup  : sign-LSH buckets over normalized vectors
+
+Scale notes: every family follows the same shape — a vectorized
+``map_batches`` sketch stage, ONE groupby on the bucket key (band
+buckets are tiny rows: ids + 8-byte keys, never the text), pairwise
+verification inside each bucket, and a final component-labeling step.
+Candidate pairs are a small fraction of n by LSH design; the final
+union-find runs on the collected pair list (documented assumption:
+|pairs| << |docs| — guarded by ``max_pairs``)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..functions import hashing as H
+from ..functions.textstats import shingles
+
+
+def _components(pairs: list[tuple[int, int]]) -> dict[int, int]:
+    """Union-find -> {doc_id: representative(min doc_id)}."""
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return {x: find(x) for x in parent}
+
+
+def _emit_pairs_from_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    """All unordered id pairs within one bucket (buckets are small by
+    LSH design; a guard caps pathological buckets)."""
+    ids = np.sort(g["doc_id"].to_numpy())
+    if len(ids) < 2:
+        return pd.DataFrame({"a": [], "b": []}).astype("int64")
+    if len(ids) > 200:  # salt-able hot bucket guard; truncate pathological case
+        ids = ids[:200]
+    a, b = np.triu_indices(len(ids), k=1)
+    return pd.DataFrame({"a": ids[a], "b": ids[b]})
+
+
+def minhash_near_dup(
+    ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 128,
+    bands: int = 16,
+    threshold: float = 0.8,
+    k_shingle: int = 5,
+    max_pairs: int = 2_000_000,
+):
+    """Returns a Dataset (doc_id, dup_group) where dup_group is the min
+    doc_id of the near-duplicate component (singleton -> itself)."""
+    import ray.data as rd
+
+    a_coef, b_coef = H.minhash_params(num_perm)
+
+    def sketch(batch: pa.Table) -> pa.Table:
+        ids, bidx, bkey, sigs = [], [], [], {}
+        out_ids, out_sigs = [], []
+        for did, text in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
+            sig = H.minhash_signature(shingles(text or "", k_shingle), a_coef, b_coef)
+            out_ids.append(did)
+            out_sigs.append(sig.tobytes())
+            for j, key in enumerate(H.lsh_band_keys(sig, bands)):
+                ids.append(did)
+                bidx.append(j)
+                bkey.append(key)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "band": pa.array(bidx, pa.int32()),
+            "key": pa.array(bkey, pa.int64()),
+        })
+
+    band_rows = ds.map_batches(sketch, batch_format="pyarrow")
+    pairs_ds = band_rows.groupby(["band", "key"]).map_groups(
+        _emit_pairs_from_bucket, batch_format="pandas"
+    )
+    pairs_df = pairs_ds.to_pandas()  # small by LSH design (guarded)
+    if len(pairs_df) > max_pairs:
+        raise RuntimeError(
+            f"candidate pair explosion ({len(pairs_df)}); raise bands or threshold"
+        )
+    pairs_df = pairs_df.drop_duplicates()
+
+    # verification pass: recompute signatures for candidate ids only
+    cand_ids = set(pairs_df["a"]).union(pairs_df["b"]) if len(pairs_df) else set()
+    import ray
+
+    cand_ref = ray.put(np.array(sorted(cand_ids), dtype=np.int64))
+
+    def sig_rows(batch: pa.Table) -> pa.Table:
+        cand = ray.get(cand_ref)
+        ids_np = batch[id_col].to_numpy(zero_copy_only=False)
+        mask = np.isin(ids_np, cand)
+        sub = batch.filter(pa.array(mask))
+        out_i, out_s = [], []
+        for did, text in zip(sub[id_col].to_pylist(), sub[text_col].to_pylist()):
+            sig = H.minhash_signature(shingles(text or "", k_shingle), a_coef, b_coef)
+            out_i.append(did)
+            out_s.append(sig.tobytes())
+        return pa.table({"doc_id": pa.array(out_i, pa.int64()),
+                        "sig": pa.array(out_s, pa.binary())})
+
+    sig_map = {}
+    if cand_ids:
+        for row in ds.map_batches(sig_rows, batch_format="pyarrow").iter_rows():
+            sig_map[row["doc_id"]] = np.frombuffer(row["sig"], dtype=np.uint64)
+    verified = []
+    for a, b in zip(pairs_df.get("a", []), pairs_df.get("b", [])):
+        sa, sb = sig_map.get(a), sig_map.get(b)
+        if sa is not None and sb is not None and (sa == sb).mean() >= threshold:
+            verified.append((int(a), int(b)))
+    comp = _components(verified)
+    comp_ref = ray.put(comp)
+
+    def label(batch: pa.Table) -> pa.Table:
+        m = ray.get(comp_ref)
+        ids_py = batch[id_col].to_pylist()
+        return pa.table({
+            "doc_id": pa.array(ids_py, pa.int64()),
+            "dup_group": pa.array([m.get(i, i) for i in ids_py], pa.int64()),
+        })
+
+    return ds.map_batches(label, batch_format="pyarrow")
+
+
+def simhash_near_dup(
+    ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hamming_threshold: int = 3,
+    bands: int = 4,
+):
+    """SimHash near-dup: 64-bit fingerprints, bucketed on each 16-bit
+    band (a pair within hamming distance 3 shares at least one of 4
+    bands by pigeonhole), hamming-verified."""
+    import ray
+
+    def sketch(batch: pa.Table) -> pa.Table:
+        ids, bidx, bkey, hashes = [], [], [], []
+        for did, text in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
+            hv = H.simhash64((text or "").lower().split())
+            hashes.append(hv)
+            for j in range(bands):
+                ids.append(did)
+                bidx.append(j)
+                bkey.append((hv >> (j * 64 // bands)) & ((1 << (64 // bands)) - 1))
+        t = pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "band": pa.array(bidx, pa.int32()),
+            "key": pa.array(bkey, pa.int64()),
+        })
+        return t
+
+    def hash_rows(batch: pa.Table) -> pa.Table:
+        ids, hs = [], []
+        for did, text in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
+            ids.append(did)
+            hs.append(H.simhash64((text or "").lower().split()))
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "sim": pa.array(np.array(hs, dtype=np.uint64).view(np.int64))})
+
+    band_rows = ds.map_batches(sketch, batch_format="pyarrow")
+    pairs_df = (
+        band_rows.groupby(["band", "key"])
+        .map_groups(_emit_pairs_from_bucket, batch_format="pandas")
+        .to_pandas()
+        .drop_duplicates()
+    )
+    sim_map = {
+        r["doc_id"]: np.uint64(r["sim"]).item() & 0xFFFFFFFFFFFFFFFF
+        for r in ds.map_batches(hash_rows, batch_format="pyarrow").iter_rows()
+    }
+    verified = [
+        (int(a), int(b))
+        for a, b in zip(pairs_df.get("a", []), pairs_df.get("b", []))
+        if H.hamming64(sim_map[a], sim_map[b]) <= hamming_threshold
+    ]
+    comp = _components(verified)
+    comp_ref = ray.put(comp)
+
+    def label(batch: pa.Table) -> pa.Table:
+        m = ray.get(comp_ref)
+        ids_py = batch[id_col].to_pylist()
+        return pa.table({
+            "doc_id": pa.array(ids_py, pa.int64()),
+            "dup_group": pa.array([m.get(i, i) for i in ids_py], pa.int64()),
+        })
+
+    return ds.map_batches(label, batch_format="pyarrow")
+
+
+def ngram_jaccard_pairs(
+    ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k_shingle: int = 3,
+    threshold: float = 0.5,
+    bands: int = 32,
+    num_perm: int = 128,
+):
+    """Candidate generation via MinHash-LSH (high recall: many bands),
+    then EXACT n-gram Jaccard verification. Returns (a, b, jaccard)."""
+    import ray
+
+    a_coef, b_coef = H.minhash_params(num_perm)
+
+    def sketch(batch: pa.Table) -> pa.Table:
+        ids, bidx, bkey = [], [], []
+        for did, text in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
+            sig = H.minhash_signature(shingles(text or "", k_shingle), a_coef, b_coef)
+            for j, key in enumerate(H.lsh_band_keys(sig, bands)):
+                ids.append(did)
+                bidx.append(j)
+                bkey.append(key)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "band": pa.array(bidx, pa.int32()),
+            "key": pa.array(bkey, pa.int64()),
+        })
+
+    pairs_df = (
+        ds.map_batches(sketch, batch_format="pyarrow")
+        .groupby(["band", "key"])
+        .map_groups(_emit_pairs_from_bucket, batch_format="pandas")
+        .to_pandas()
+        .drop_duplicates()
+    )
+    cand_ids = set(pairs_df.get("a", [])).union(pairs_df.get("b", []))
+    cand_ref = ray.put(np.array(sorted(cand_ids), dtype=np.int64))
+
+    def shingle_rows(batch: pa.Table) -> pa.Table:
+        cand = ray.get(cand_ref)
+        ids_np = batch[id_col].to_numpy(zero_copy_only=False)
+        sub = batch.filter(pa.array(np.isin(ids_np, cand)))
+        ids, sh = [], []
+        for did, text in zip(sub[id_col].to_pylist(), sub[text_col].to_pylist()):
+            ids.append(did)
+            sh.append(list(set(shingles(text or "", k_shingle))))
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "sh": pa.array(sh, pa.list_(pa.string()))})
+
+    sh_map = {}
+    if cand_ids:
+        for row in ds.map_batches(shingle_rows, batch_format="pyarrow").iter_rows():
+            sh_map[row["doc_id"]] = set(row["sh"])
+    rows = []
+    for a, b in zip(pairs_df.get("a", []), pairs_df.get("b", [])):
+        j = H.jaccard(sh_map[a], sh_map[b])
+        if j >= threshold:
+            rows.append((int(a), int(b), j))
+    import ray.data as rd
+
+    if not rows:
+        return rd.from_items([]).map_batches(
+            lambda b: pa.table({"a": pa.array([], pa.int64()),
+                                "b": pa.array([], pa.int64()),
+                                "jaccard": pa.array([], pa.float64())}),
+            batch_format="pyarrow")
+    a_l, b_l, j_l = zip(*rows)
+    return rd.from_arrow(pa.table({
+        "a": pa.array(a_l, pa.int64()),
+        "b": pa.array(b_l, pa.int64()),
+        "jaccard": pa.array(j_l, pa.float64()),
+    }))
+
+
+def embedding_cosine_dup(
+    ds,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 16,
+    n_tables: int = 4,
+    seed: int = 42,
+):
+    """Near-dup via embedding cosine: sign-LSH (random hyperplanes)
+    bucket candidates, exact cosine verify. Returns (vec_id, dup_group)."""
+    import ray
+
+    rng = np.random.RandomState(seed)
+
+    def sketch(batch: pa.Table) -> pa.Table:
+        vecs = np.array(batch[vec_col].to_pylist(), dtype=np.float64)
+        norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        unit = vecs / norms
+        d = unit.shape[1]
+        planes = rng.__class__(seed).standard_normal((n_tables, d, n_planes))
+        ids_py = batch[id_col].to_pylist()
+        ids, bidx, bkey = [], [], []
+        for t in range(n_tables):
+            bits = (unit @ planes[t]) > 0
+            keys = bits @ (1 << np.arange(n_planes))
+            for i, did in enumerate(ids_py):
+                ids.append(did)
+                bidx.append(t)
+                bkey.append(int(keys[i]))
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "band": pa.array(bidx, pa.int32()),
+            "key": pa.array(bkey, pa.int64()),
+        })
+
+    pairs_df = (
+        ds.map_batches(sketch, batch_format="pyarrow")
+        .groupby(["band", "key"])
+        .map_groups(_emit_pairs_from_bucket, batch_format="pandas")
+        .to_pandas()
+        .drop_duplicates()
+    )
+    cand_ids = set(pairs_df.get("a", [])).union(pairs_df.get("b", []))
+    cand_ref = ray.put(np.array(sorted(cand_ids), dtype=np.int64))
+
+    def cand_vecs(batch: pa.Table) -> pa.Table:
+        cand = ray.get(cand_ref)
+        ids_np = batch[id_col].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(np.isin(ids_np, cand)))
+
+    vec_map = {}
+    if cand_ids:
+        for row in ds.map_batches(cand_vecs, batch_format="pyarrow").iter_rows():
+            v = np.asarray(row[vec_col], dtype=np.float64)
+            n = np.linalg.norm(v)
+            vec_map[row[id_col]] = v / n if n else v
+    verified = [
+        (int(a), int(b))
+        for a, b in zip(pairs_df.get("a", []), pairs_df.get("b", []))
+        if float(vec_map[a] @ vec_map[b]) >= threshold
+    ]
+    comp = _components(verified)
+    comp_ref = ray.put(comp)
+
+    def label(batch: pa.Table) -> pa.Table:
+        m = ray.get(comp_ref)
+        ids_py = batch[id_col].to_pylist()
+        return pa.table({
+            "vec_id": pa.array(ids_py, pa.int64()),
+            "dup_group": pa.array([m.get(i, i) for i in ids_py], pa.int64()),
+        })
+
+    return ds.map_batches(label, batch_format="pyarrow")

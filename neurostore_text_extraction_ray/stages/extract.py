@@ -132,11 +132,32 @@ class ExtractActor:
         # warm the compiled-regex caches shared by the kernels
         re.compile(r"\w+")
 
+    # Skew guard: a batch whose total payload exceeds this is processed
+    # in row-slices so oversized blobs (multi-MB pages) never force the
+    # whole batch's results to sit in memory at once.
+    BYTE_BUDGET = 64 * 1024 * 1024
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        return extract_batch(
-            batch,
-            payload_column=self.payload_column,
-            mode=self.mode,
-            fold_unicode=self.fold_unicode,
-            keep_columns=self.keep_columns,
-        )
+        payload_bytes = batch[self.payload_column].nbytes
+        if payload_bytes <= self.BYTE_BUDGET or batch.num_rows <= 1:
+            return extract_batch(
+                batch,
+                payload_column=self.payload_column,
+                mode=self.mode,
+                fold_unicode=self.fold_unicode,
+                keep_columns=self.keep_columns,
+            )
+        n_slices = max(2, int(payload_bytes // self.BYTE_BUDGET) + 1)
+        step = max(1, batch.num_rows // n_slices)
+        outs = []
+        for start in range(0, batch.num_rows, step):
+            outs.append(
+                extract_batch(
+                    batch.slice(start, step),
+                    payload_column=self.payload_column,
+                    mode=self.mode,
+                    fold_unicode=self.fold_unicode,
+                    keep_columns=self.keep_columns,
+                )
+            )
+        return pa.concat_tables(outs)

@@ -1,0 +1,128 @@
+"""Near-dup + similarity-search operators on controlled corpora."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _docs_ds(ray_session, texts):
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }))
+
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while rain falls "
+    "softly on the quiet village roofs and the river keeps moving east "
+    "past the old stone bridge toward the distant sea"
+)
+NEAR = BASE.replace("lazy", "sleepy")
+OTHER = (
+    "completely different content describing ray data pipelines arrow "
+    "batches actor pools and shuffle strategies for large scale "
+    "distributed processing of web text corpora with checkpoints"
+)
+
+
+def test_minhash_near_dup(ray_session):
+    from neurostore_text_extraction_ray.stages.dedup import minhash_near_dup
+
+    ds = _docs_ds(ray_session, [BASE, NEAR, OTHER, BASE])
+    out = {r["doc_id"]: r["dup_group"] for r in
+           minhash_near_dup(ds, threshold=0.5, bands=32).iter_rows()}
+    assert out[0] == out[1] == out[3] == 0  # near/exact dups share group 0
+    assert out[2] == 2  # unrelated doc is its own group
+
+
+def test_simhash_near_dup(ray_session):
+    from neurostore_text_extraction_ray.stages.dedup import simhash_near_dup
+
+    ds = _docs_ds(ray_session, [BASE, NEAR, OTHER])
+    out = {r["doc_id"]: r["dup_group"] for r in
+           simhash_near_dup(ds, hamming_threshold=6).iter_rows()}
+    assert out[0] == out[1] == 0
+    assert out[2] == 2
+
+
+def test_ngram_jaccard_pairs(ray_session):
+    from neurostore_text_extraction_ray.stages.dedup import ngram_jaccard_pairs
+
+    ds = _docs_ds(ray_session, [BASE, NEAR, OTHER])
+    rows = list(ngram_jaccard_pairs(ds, threshold=0.5).iter_rows())
+    pairs = {(r["a"], r["b"]) for r in rows}
+    assert (0, 1) in pairs
+    assert all(p in ((0, 1),) for p in pairs)
+    j = next(r["jaccard"] for r in rows if (r["a"], r["b"]) == (0, 1))
+    assert 0.5 < j < 1.0  # exact Jaccard, one word differs
+
+
+def test_embedding_cosine_dup(ray_session):
+    import ray.data as rd
+
+    from neurostore_text_extraction_ray.stages.dedup import embedding_cosine_dup
+
+    rng = np.random.RandomState(0)
+    base = rng.standard_normal(32)
+    near = base + 0.01 * rng.standard_normal(32)
+    far = rng.standard_normal(32)
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array([10, 11, 12], pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in (base, near, far)],
+                              pa.list_(pa.float32())),
+    }))
+    out = {r["vec_id"]: r["dup_group"] for r in
+           embedding_cosine_dup(ds, threshold=0.99).iter_rows()}
+    assert out[10] == out[11] == 10
+    assert out[12] == 12
+
+
+def _emb_ds(sf="/root/testdata/sf0.001"):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf}/embeddings.parquet")
+
+
+def test_knn_brute_force_matches_numpy(ray_session):
+    import pyarrow.parquet as pq
+
+    from neurostore_text_extraction_ray.stages.similarity import knn_brute_force
+
+    tbl = pq.read_table("/root/testdata/sf0.001/embeddings.parquet")
+    vecs = np.array(tbl["embedding"].to_pylist(), dtype=np.float64)
+    ids = tbl["vec_id"].to_numpy()
+    q = vecs[:2]
+    out = knn_brute_force(_emb_ds(), q, query_ids=[0, 1], k=5).to_pandas()
+    # numpy reference
+    unit = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    qu = q / np.linalg.norm(q, axis=1, keepdims=True)
+    sims = unit @ qu.T
+    for j, qid in enumerate([0, 1]):
+        order = np.lexsort((ids, -sims[:, j]))[:5]
+        expect = list(ids[order])
+        got = list(out[out.query_id == qid].sort_values(
+            ["score", "vec_id"], ascending=[False, True]).vec_id)
+        assert got == expect, qid
+    # self-similarity tops its own list
+    assert out[out.query_id == 0].score.max() == pytest.approx(1.0)
+
+
+def test_knn_ivf_recall(ray_session):
+    from neurostore_text_extraction_ray.stages.similarity import (
+        knn_brute_force, knn_ivf)
+
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table("/root/testdata/sf0.001/embeddings.parquet")
+    vecs = np.array(tbl["embedding"].to_pylist(), dtype=np.float64)
+    q = vecs[:3]
+    exact = knn_brute_force(_emb_ds(), q, [0, 1, 2], k=10).to_pandas()
+    approx = knn_ivf(_emb_ds(), q, [0, 1, 2], k=10, n_cells=8, n_probe=4).to_pandas()
+    recalls = []
+    for qid in (0, 1, 2):
+        e = set(exact[exact.query_id == qid].vec_id)
+        a = set(approx[approx.query_id == qid].vec_id)
+        recalls.append(len(e & a) / len(e))
+    assert np.mean(recalls) >= 0.5  # probing half the cells
