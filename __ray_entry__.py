@@ -45,6 +45,146 @@ def _round_cols(ds, spec: dict[str, int]):
     return ds.map_batches(r, batch_format="pandas")
 
 
+def _docs_langid_quality(sf_dir: str):
+    """Language-ID + quality scoring actor stage over documents
+    (rows-only: heuristic kernels are not SQL-expressible)."""
+    import pandas as pd_
+    import ray.data as rd
+
+    from neurostore_text_extraction_ray.functions.textstats import (
+        lang_id, quality_features)
+
+    def f(df: pd_.DataFrame) -> pd_.DataFrame:
+        out = pd_.DataFrame()
+        out["doc_id"] = df["doc_id"]
+        li = df["text"].map(lambda t: lang_id(t))
+        out["lang_pred"] = li.map(lambda x: x[0])
+        out["lang_conf"] = li.map(lambda x: x[1])
+        out["quality_score"] = df["text"].map(
+            lambda t: quality_features(t)["quality_score"])
+        return out
+
+    return rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"]).map_batches(
+        f, batch_format="pandas")
+
+
+def _docs_fingerprint(sf_dir: str):
+    import pandas as pd_
+    import ray.data as rd
+
+    from neurostore_text_extraction_ray.functions.textstats import fingerprint64
+
+    def f(df: pd_.DataFrame) -> pd_.DataFrame:
+        out = pd_.DataFrame()
+        out["doc_id"] = df["doc_id"]
+        out["fingerprint"] = df["text"].map(lambda t: fingerprint64(t) >> 1).astype("int64")
+        return out
+
+    return rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"]).map_batches(
+        f, batch_format="pandas")
+
+
+def _minhash_groups(sf_dir: str):
+    import ray.data as rd
+
+    from neurostore_text_extraction_ray.stages.dedup import minhash_near_dup
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return minhash_near_dup(docs, threshold=0.7, bands=16)
+
+
+def _simhash_groups(sf_dir: str):
+    import ray.data as rd
+
+    from neurostore_text_extraction_ray.stages.dedup import simhash_near_dup
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return simhash_near_dup(docs, hamming_threshold=3)
+
+
+def _embed_documents(sf_dir: str):
+    import ray.data as rd
+
+    from neurostore_text_extraction_ray.stages.embed import embed_documents
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return embed_documents(docs, dim=32, concurrency=2)
+
+
+def _llm_demographics(sf_dir: str):
+    import ray.data as rd
+
+    from neurostore_text_extraction_ray.stages.llm import (
+        LLMExtractActor, clean_groups_batch, is_patient_study_batch)
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return (
+        docs.map_batches(LLMExtractActor, batch_format="pyarrow", concurrency=2)
+        .map_batches(clean_groups_batch, batch_format="pyarrow")
+        .map_batches(is_patient_study_batch, batch_format="pyarrow")
+    )
+
+
+def _knn_ivf(sf_dir: str):
+    import duckdb
+    import numpy as np_
+    import ray.data as rd
+
+    from neurostore_text_extraction_ray.stages.similarity import knn_ivf
+
+    con = duckdb.connect()
+    q = con.execute(
+        f"SELECT vec_id, embedding FROM read_parquet('{sf_dir}/embeddings.parquet') "
+        f"WHERE vec_id < 3 ORDER BY vec_id").fetchall()
+    con.close()
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return knn_ivf(ds, np_.array([r[1] for r in q]), [r[0] for r in q],
+                   k=10, n_cells=8, n_probe=4)
+
+
+def _extract_jats(sf_dir: str):
+    """JATS variant of the flagship (pubget path): xml pages -> extract
+    with section spans."""
+    import pyarrow as pa_
+
+    from neurostore_text_extraction_ray.pipelines import flagship
+    from neurostore_text_extraction_ray.sources import pages as pages_src
+
+    ds = flagship.extract_pages(
+        pages_src.read_pages_xml(sf_dir), payload_column="xml", mode="jats",
+        concurrency=2, batch_size=128,
+    )
+
+    def project(batch: pa_.Table) -> pa_.Table:
+        spans = batch["spans"].to_pylist()
+        return pa_.table({
+            "url": batch["url"],
+            "n_chars": pa_.array(
+                [len(t or "") for t in batch["extracted_text"].to_pylist()],
+                pa_.int64()),
+            "n_spans": pa_.array([len(s) for s in spans], pa_.int64()),
+        })
+
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
+def _multimodal_features(sf_dir: str):
+    """Multimodal actor-pool stage over a deterministic synthetic media
+    table (decode -> feature extract; stubbed codec, real plumbing)."""
+    import ray.data as rd
+
+    from neurostore_text_extraction_ray.stages.multimodal import (
+        FeatureActor, media_table)
+
+    ds = rd.from_arrow(media_table(240, size_bytes=2048))
+    return ds.map_batches(
+        FeatureActor, fn_constructor_kwargs={"dim": 16},
+        batch_format="pyarrow", batch_size=32, concurrency=2,
+    )
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001."""
     return _flagship("/root/testdata/sf0.001")
@@ -69,6 +209,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": lambda sf: _round_cols(
             steps.events_hourly(sf), {"sum_value": 6}
         ),
+        "events_sessionize": steps.events_sessionize,
+        "events_asof_orders": steps.events_asof_orders,
+        "knn_embeddings": lambda sf: _round_cols(steps.knn_embeddings(sf), {"score": 4}),
+        "docs_text_features": steps.docs_text_features,
+        # --- non-SQL-expressible operators (driver rows-only checks) ---
+        "docs_langid_quality": _docs_langid_quality,
+        "docs_fingerprint": _docs_fingerprint,
+        "minhash_dedup_groups": _minhash_groups,
+        "simhash_dedup_groups": _simhash_groups,
+        "embed_documents": _embed_documents,
+        "llm_demographics": _llm_demographics,
+        "knn_ivf": _knn_ivf,
+        "extract_jats_pages": _extract_jats,
+        "multimodal_features": _multimodal_features,
     }
 
 
@@ -144,5 +298,41 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_type, date_trunc('hour', ts) AS hour, "
             "count(*) AS n_events, round(sum(value), 6) AS sum_value "
             "FROM events GROUP BY event_type, date_trunc('hour', ts)"
+        ),
+        "events_sessionize": (
+            "WITH e AS ("
+            "  SELECT event_id, user_id, ts, CASE WHEN ts - lag(ts) OVER "
+            "    (PARTITION BY user_id ORDER BY ts, event_id) > INTERVAL 30 MINUTE "
+            "    THEN 1 ELSE 0 END AS brk FROM events), "
+            "s AS (SELECT event_id, user_id, ts, CAST(sum(brk) OVER "
+            "  (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) "
+            "  AS BIGINT) AS session_id FROM e) "
+            "SELECT event_id, user_id, session_id, "
+            "min(ts) OVER (PARTITION BY user_id, session_id) AS session_start FROM s"
+        ),
+        "events_asof_orders": (
+            "WITH o AS (SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey "
+            "           FROM orders GROUP BY o_custkey, o_orderdate) "
+            "SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_orderdate "
+            "FROM events e ASOF JOIN o "
+            "ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate"
+        ),
+        "knn_embeddings": (
+            "WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe "
+            "           FROM embeddings WHERE vec_id < 3), "
+            "s AS (SELECT q.query_id, e.vec_id, "
+            "      list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe) AS score "
+            "      FROM embeddings e CROSS JOIN q), "
+            "r AS (SELECT *, row_number() OVER (PARTITION BY query_id "
+            "      ORDER BY score DESC, vec_id) AS rn FROM s) "
+            "SELECT query_id, vec_id, round(score, 4) AS score FROM r WHERE rn <= 10"
+        ),
+        "docs_text_features": (
+            "SELECT doc_id, "
+            "CAST(CASE WHEN trim(text) = '' THEN 0 ELSE "
+            "len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS n_words, "
+            "CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT) AS alpha_chars, "
+            "CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS space_chars "
+            "FROM documents"
         ),
     }

