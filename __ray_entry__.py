@@ -45,6 +45,28 @@ def _round_cols(ds, spec: dict[str, int]):
     return ds.map_batches(r, batch_format="pandas")
 
 
+def _flagship_titles(sf_dir: str):
+    """M11 text-source projection: struct-field projection of the
+    extracted metadata (title) — pc.struct_field over the flagship
+    output."""
+    from neurostore_text_extraction_ray.pipelines import flagship
+    from neurostore_text_extraction_ray.sources import pages as pages_src
+
+    ds = flagship.flagship_dataset(pages_src.read_pages(sf_dir))
+
+    def project(batch: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            pc.equal(batch["parse_failed"], False), pc.equal(batch["empty"], False)
+        )
+        sub = batch.filter(mask)
+        return pa.table({
+            "url": sub["url"],
+            "title": pc.struct_field(sub["metadata"], "title"),
+        })
+
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
 def _docs_langid_quality(sf_dir: str):
     """Language-ID + quality scoring actor stage over documents
     (rows-only: heuristic kernels are not SQL-expressible)."""
@@ -195,6 +217,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     return {
         "flagship_extract": _flagship,
+        "flagship_titles": _flagship_titles,
         "word_count": steps.word_count,
         "word_deviance": steps.word_deviance,
         "tfidf": lambda sf: _round_cols(steps.tfidf(sf), {"score": 6}),
@@ -238,6 +261,11 @@ def oracle_sql() -> dict[str, str]:
             "'Doc ' || doc_id || 'Doc ' || doc_id || ' rev' || "
             "(CASE WHEN doc_id % 10 = 0 THEN 1 ELSE 0 END) || chr(10) || text || chr(10) "
             "AS extracted_text FROM documents "
+            "WHERE doc_id % 101 <> 3 AND doc_id % 97 <> 5"
+        ),
+        "flagship_titles": (
+            "SELECT 'https://corpus.example.org/doc/' || doc_id AS url, "
+            "'Doc ' || doc_id AS title FROM documents "
             "WHERE doc_id % 101 <> 3 AND doc_id % 97 <> 5"
         ),
         "word_count": wc,

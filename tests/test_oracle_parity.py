@@ -54,7 +54,7 @@ def _pairs():
 
 
 @pytest.mark.parametrize("name", [
-    "flagship_extract", "word_count", "word_deviance", "tfidf",
+    "flagship_extract", "flagship_titles", "word_count", "word_deviance", "tfidf",
     "docs_en_quality", "docs_join_embeddings", "filter_unprocessed",
     "dedup_exact", "normalize_part_names", "lineitem_agg", "events_hourly",
     "events_sessionize", "events_asof_orders", "knn_embeddings",
