@@ -415,16 +415,24 @@ def coordinate_space(xml_str: str, text: str) -> str:
 # region,size,statistic,groups)
 # ---------------------------------------------------------------------------
 
+# Parity note: the reference goldens' coordinates.csv comes from the
+# external pubget/neuroquery extractor, whose heuristics also harvest
+# loosely-structured and non-coordinate tables (e.g. regression
+# outputs). This parser targets well-formed stereotactic tables:
+# explicit x/y/z headers, 'MNI/Talairach coordinates' colspan groups,
+# and combined '[x, y, z]' cells — exact on those (e.g. 3qT3nzK9bLZ7,
+# 4H46zmwJ7MNZ fixtures), ~22% xyz recall against the full golden set.
+
 COORD_COLUMNS = [
     "table_id", "table_label", "table_caption", "table_number",
     "x", "y", "z", "p_value", "region", "size", "statistic", "groups",
 ]
 
-_NUM_RE = re.compile(r"^[−–-]?\d+(?:\.\d+)?$")
+_NUM_RE = re.compile(r"^[+−–-]?\d+(?:\.\d+)?$")
 
 
 def _cellnum(s):
-    s = (s or "").strip().replace("−", "-").replace("–", "-")
+    s = (s or "").strip().replace("−", "-").replace("–", "-").lstrip("+")
     if _NUM_RE.match(s):
         try:
             return float(s)
@@ -453,24 +461,61 @@ def _grid(table_el):
 
 
 def _header_roles(header_rows):
-    """Map column index -> role from header text."""
+    """Map column index -> role from header text. Handles:
+    - plain x / y / z column headers;
+    - a group header like 'MNI coordinates' spanning 3 columns (the
+      colspan expansion leaves '' in the following cells) -> assigns
+      x, y, z to those columns (multiple groups supported);
+    - a combined header mentioning 'x, y, z' over a single column ->
+      role 'xyz' (the cell holds a coordinate triple)."""
     roles = {}
+    ncols = max((len(r) for r in header_rows), default=0)
     for row in header_rows:
         for i, h in enumerate(row):
             hl = h.strip().lower().rstrip(".:")
-            if hl in ("x", "y", "z") and i not in roles:
-                roles[i] = hl
-            elif hl in ("p", "p value", "p-value", "p-val", "pvalue") and i not in roles:
-                roles[i] = "p_value"
-            elif hl in ("region", "area", "brain region", "brain area", "anatomical region", "structure", "label", "regions") and i not in roles:
-                roles[i] = "region"
-            elif hl in ("k", "size", "voxels", "cluster size", "no. of voxels", "extent", "n voxels") and i not in roles:
-                roles[i] = "size"
-            elif hl in ("t", "z score", "z-score", "t value", "t-value", "statistic", "z max", "t max", "f") and i not in roles:
-                roles[i] = "statistic"
-            elif hl in ("group", "groups", "contrast", "condition") and i not in roles:
-                roles[i] = "groups"
+            if not hl:
+                continue
+            has_xyz_words = re.search(r"x\s*,?\s*y\s*,?\s*z", hl)
+            is_coord_group = re.search(r"(coordinates?|\bmni\b|talairach)", hl)
+            span3 = (
+                i + 2 < len(row)
+                and row[i + 1] == ""
+                and row[i + 2] == ""
+            )
+            if (is_coord_group or has_xyz_words) and span3:
+                for off, ax in enumerate(("x", "y", "z")):
+                    roles.setdefault(i + off, ax)
+            elif has_xyz_words or (is_coord_group and not span3 and has_xyz_words):
+                roles.setdefault(i, "xyz")
+            elif hl in ("x", "y", "z"):
+                roles.setdefault(i, hl)
+            elif hl in ("p", "p value", "p-value", "p-val", "pvalue"):
+                roles.setdefault(i, "p_value")
+            elif hl in ("region", "area", "brain region", "brain area", "brain areas",
+                        "anatomical region", "anatomical location", "structure",
+                        "label", "regions"):
+                roles.setdefault(i, "region")
+            elif hl in ("k", "size", "voxels", "cluster size", "no. of voxels",
+                        "extent", "n voxels"):
+                roles.setdefault(i, "size")
+            elif hl in ("t", "z score", "z-score", "t value", "t-value", "t-values",
+                        "statistic", "z max", "t max", "f", "peak t"):
+                roles.setdefault(i, "statistic")
+            elif hl in ("group", "groups", "contrast", "condition"):
+                roles.setdefault(i, "groups")
     return roles
+
+
+_TRIPLE_RE = re.compile(
+    r"([+−–-]?\d+(?:\.\d+)?)[,;\s]+([+−–-]?\d+(?:\.\d+)?)[,;\s]+([+−–-]?\d+(?:\.\d+)?)"
+)
+
+
+def _parse_triple(cell: str):
+    m = _TRIPLE_RE.search((cell or "").strip().strip("[]()"))
+    if not m:
+        return None
+    return tuple(_cellnum(g) for g in m.groups())
 
 
 def jats_coordinates(xml_str: str) -> list[dict]:
@@ -506,38 +551,47 @@ def jats_coordinates(xml_str: str) -> list[dict]:
                 header_rows.append(row)
                 body_start = idx + 1
             roles = _header_roles(header_rows)
-            xi = [i for i, r in roles.items() if r == "x"]
-            yi = [i for i, r in roles.items() if r == "y"]
-            zi = [i for i, r in roles.items() if r == "z"]
-            if not (xi and yi and zi):
+            xs = sorted(i for i, r in roles.items() if r == "x")
+            ys = sorted(i for i, r in roles.items() if r == "y")
+            zs = sorted(i for i, r in roles.items() if r == "z")
+            xyz_groups = [
+                (x, y, z) for x, y, z in zip(xs, ys, zs)
+            ] if xs and ys and zs else []
+            combined_cols = sorted(i for i, r in roles.items() if r == "xyz")
+            if not xyz_groups and not combined_cols:
                 continue
-            xi, yi, zi = xi[0], yi[0], zi[0]
+            ri = next((i for i, r in roles.items() if r == "region"), None)
             region_carry = None
             for row in rows[body_start:]:
                 get = lambda i: row[i] if i < len(row) else ""
-                x, y, z = _cellnum(get(xi)), _cellnum(get(yi)), _cellnum(get(zi))
-                ri = next((i for i, r in roles.items() if r == "region"), None)
                 if ri is not None and get(ri):
                     region_carry = get(ri)
-                if x is None or y is None or z is None:
-                    continue
-                rec = {
-                    "table_id": table_id,
-                    "table_label": label,
-                    "table_caption": caption,
-                    "table_number": number,
-                    "x": x,
-                    "y": y,
-                    "z": z,
-                    "p_value": None,
-                    "region": region_carry,
-                    "size": None,
-                    "statistic": None,
-                    "groups": None,
-                }
-                for i, role in roles.items():
-                    if role in ("p_value", "size", "statistic", "groups"):
-                        v = get(i).strip()
-                        rec[role] = v or None
-                out.append(rec)
+                triples = []
+                for xi, yi, zi in xyz_groups:
+                    triples.append((_cellnum(get(xi)), _cellnum(get(yi)), _cellnum(get(zi))))
+                for ci in combined_cols:
+                    t = _parse_triple(get(ci))
+                    triples.append(t if t else (None, None, None))
+                for x, y, z in triples:
+                    if x is None or y is None or z is None:
+                        continue
+                    rec = {
+                        "table_id": table_id,
+                        "table_label": label,
+                        "table_caption": caption,
+                        "table_number": number,
+                        "x": x,
+                        "y": y,
+                        "z": z,
+                        "p_value": None,
+                        "region": region_carry,
+                        "size": None,
+                        "statistic": None,
+                        "groups": None,
+                    }
+                    for i, role in roles.items():
+                        if role in ("p_value", "size", "statistic", "groups"):
+                            v = get(i).strip()
+                            rec[role] = v or None
+                    out.append(rec)
     return out
