@@ -1,0 +1,76 @@
+"""Pond-directory source (S1-S4, J2): read the reference's own on-disk
+layout into a Dataset with source-priority resolution."""
+
+import json
+import os
+
+import pytest
+
+from neurostore_text_extraction_ray.sources.pond import (
+    read_pond,
+    resolve_pipeline_dir,
+    scan_pond,
+)
+
+POND = "/root/reference/tests/data/sample_inputs"
+
+pytestmark = pytest.mark.skipif(not os.path.isdir(POND), reason="reference unavailable")
+
+
+def test_scan_pond_index():
+    idx = {r["dbid"]: r for r in scan_pond(POND)}
+    assert len(idx) == 7
+    # mixed coverage mirrors the reference corpus (SURVEY §5)
+    assert idx["8EVW7TUtC9cx"]["pubget_xml_path"] and not idx["8EVW7TUtC9cx"]["ace_html_path"]
+    assert idx["6dYthnbocsU4"]["ace_html_path"] and not idx["6dYthnbocsU4"]["pubget_xml_path"]
+    assert idx["3qT3nzK9bLZ7"]["ace_html_path"] and idx["3qT3nzK9bLZ7"]["pubget_xml_path"]
+    assert idx["3qT3nzK9bLZ7"]["n_tables"] == 3
+    assert idx["3qT3nzK9bLZ7"]["pmid"] == "26507433"
+
+
+def test_read_pond_priority_resolution(ray_session):
+    rows = {r["dbid"]: r for r in read_pond(POND).iter_rows()}
+    # both-sources study: pubget wins (base.py:437-445 priority order)
+    assert rows["3qT3nzK9bLZ7"]["text_source"] == "pubget"
+    # ace-only study falls through to ace
+    assert rows["6dYthnbocsU4"]["text_source"] == "ace"
+    # db-metadata-only study: no text, metadata from db
+    assert rows["4tm6XzAD8xSa"]["text"] is None
+    md = json.loads(rows["4tm6XzAD8xSa"]["metadata_json"])
+    assert md["publication_year"] == 2013
+    # loaded pubget text equals the golden file byte-for-byte
+    gold = open(f"{POND}/3qT3nzK9bLZ7/processed/pubget/text.txt", encoding="utf-8").read()
+    assert rows["3qT3nzK9bLZ7"]["text"] == gold
+
+
+def test_word_count_over_real_pond(ray_session):
+    """Derived operator over the REAL reference corpus end-to-end."""
+    import pandas as pd
+
+    ds = read_pond(POND)
+
+    def wc(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame()
+        out["dbid"] = df["dbid"]
+        out["word_count"] = df["text"].fillna("").str.count(r"\S+").astype("int64")
+        return out
+
+    got = {r["dbid"]: r["word_count"] for r in
+           ds.map_batches(wc, batch_format="pandas").iter_rows()}
+    gold = open(f"{POND}/8EVW7TUtC9cx/processed/pubget/text.txt", encoding="utf-8").read()
+    assert got["8EVW7TUtC9cx"] == len(gold.split())
+    assert got["4tm6XzAD8xSa"] == 0
+
+
+def test_resolve_pipeline_dir(tmp_path):
+    base = tmp_path
+    for ver, cfg, date in [("1.0.0", "aaa", "2024-01-01"), ("1.1.0", "bbb", "2024-02-01"),
+                           ("1.1.0", "ccc", "2024-03-01")]:
+        d = base / "word_count" / ver / cfg
+        d.mkdir(parents=True)
+        (d / "pipeline_info.json").write_text(json.dumps({"date": date}))
+    # latest version -> 1.1.0; latest config within it -> newest date (ccc)
+    got = resolve_pipeline_dir(str(base), "word_count")
+    assert got.endswith(os.path.join("word_count", "1.1.0", "ccc"))
+    assert resolve_pipeline_dir(str(base), "word_count", version="1.0.0").endswith("aaa")
+    assert resolve_pipeline_dir(str(base), "missing") is None
