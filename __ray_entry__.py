@@ -149,6 +149,23 @@ def _llm_demographics(sf_dir: str):
     )
 
 
+def _entity_linking(sf_dir: str):
+    """Demographics extraction -> candidate entity linking (T4/K1
+    chain; rows-only)."""
+    import ray.data as rd
+
+    from neurostore_text_extraction_ray.stages.linker import LinkActor
+    from neurostore_text_extraction_ray.stages.llm import (
+        LLMExtractActor, clean_groups_batch)
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return (
+        docs.map_batches(LLMExtractActor, batch_format="pyarrow", concurrency=2)
+        .map_batches(clean_groups_batch, batch_format="pyarrow")
+        .map_batches(LinkActor, batch_format="pyarrow", concurrency=2)
+    )
+
+
 def _knn_ivf(sf_dir: str):
     import duckdb
     import numpy as np_
@@ -243,6 +260,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_dedup_groups": _simhash_groups,
         "embed_documents": _embed_documents,
         "llm_demographics": _llm_demographics,
+        "entity_linking": _entity_linking,
         "knn_ivf": _knn_ivf,
         "extract_jats_pages": _extract_jats,
         "multimodal_features": _multimodal_features,

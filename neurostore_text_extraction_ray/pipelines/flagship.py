@@ -306,6 +306,7 @@ def run_flagship_to_parquet(
     config.setdefault("parser_version", PARSER_VERSION)
     config.setdefault("mode", mode)
     config.setdefault("input", input_path)
+    config.setdefault("input_fingerprint", mf.input_fingerprint(input_path))
     run_id = config_hash(config)
     run_dir = os.path.join(out_dir, run_id)
     mf.write_pipeline_info(run_dir, {"config": config, "run_id": run_id})

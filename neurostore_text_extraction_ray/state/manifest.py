@@ -92,3 +92,28 @@ def read_manifests(run_dir: str) -> list[dict]:
         with open(f) as fh:
             out.append(json.load(fh))
     return out
+
+
+def input_fingerprint(paths) -> str:
+    """Cheap input-identity fingerprint (path, size, mtime_ns per file;
+    directories walk their parquet files). The run id incorporates it,
+    so a changed input yields a fresh run directory instead of a bogus
+    resume — the run-level analog of the reference's per-study input-MD5
+    change detection (base.py:300-478)."""
+    import hashlib
+
+    if isinstance(paths, str):
+        paths = [paths]
+    parts = []
+    for p in paths:
+        if os.path.isdir(p):
+            files = sorted(glob.glob(os.path.join(p, "**", "*.parquet"), recursive=True))
+        elif os.path.exists(p):
+            files = [p]
+        else:
+            parts.append(f"{p}:absent")
+            continue
+        for f in files:
+            st = os.stat(f)
+            parts.append(f"{f}:{st.st_size}:{st.st_mtime_ns}")
+    return hashlib.blake2b("|".join(parts).encode(), digest_size=8).hexdigest()
