@@ -37,29 +37,53 @@ _SKIP_TAGS = ("script", "style")
 # handle_startendtag for <script/> anyway, which we ignore).
 
 
+_HEADING_TAGS = {"h1", "h2", "h3", "h4", "h5", "h6"}
+
+
 class _DomTextDump(HTMLParser):
-    """Streaming text-node collector. One instance per document."""
+    """Streaming text-node collector. One instance per document.
+    Records (offset, heading_text) for h1-h6 elements so callers can
+    derive labeled section spans."""
 
     def __init__(self) -> None:
         super().__init__(convert_charrefs=True)
         self.parts: list[str] = []
         self._skip = 0
+        self._length = 0
+        self._heading_start = None
+        self._heading_buf: list[str] = []
+        self.headings: list[tuple[int, str]] = []
+
+    def _emit(self, s: str) -> None:
+        self.parts.append(s)
+        self._length += len(s)
+        if self._heading_start is not None:
+            self._heading_buf.append(s)
 
     def handle_starttag(self, tag, attrs):
         if tag in _SKIP_TAGS:
             self._skip += 1
+        elif tag in _HEADING_TAGS and not self._skip:
+            self._heading_start = self._length
+            self._heading_buf = []
 
     def handle_endtag(self, tag):
         if tag in _SKIP_TAGS and self._skip:
             self._skip -= 1
+        elif tag in _HEADING_TAGS and self._heading_start is not None:
+            text = "".join(self._heading_buf).strip()
+            if text:
+                self.headings.append((self._heading_start, text))
+            self._heading_start = None
+            self._heading_buf = []
 
     def handle_data(self, data):
         if self._skip:
             return
         if not data.strip():
-            self.parts.append("\n" if "\n" in data else " ")
+            self._emit("\n" if "\n" in data else " ")
         else:
-            self.parts.append(data)
+            self._emit(data)
 
 
 def html_to_text(html: str, fold_unicode: bool = False) -> str:
@@ -69,17 +93,32 @@ def html_to_text(html: str, fold_unicode: bool = False) -> str:
     itself raises (rare); callers in Ray stages wrap per-row try/except
     and count ``parse_failed`` instead of poisoning the batch.
     """
+    return html_to_text_and_spans(html, fold_unicode=fold_unicode)[0]
+
+
+def html_to_text_and_spans(html: str, fold_unicode: bool = False):
+    """(text, spans): spans are labeled sections derived from h1-h6
+    headings — each span runs from its heading to the next heading (or
+    end of text), labeled via the shared section lexicon
+    (abstract/intro/methods/results/discussion/body). A heading-less
+    document yields one 'body' span. NOTE: fold_unicode does not change
+    offsets (all folds are 1:1 character replacements)."""
+    from .jats import section_label
+
     p = _DomTextDump()
     p.feed(html)
     p.close()
     text = "".join(p.parts)
     if fold_unicode:
-        text = (
-            text.replace("–", "-")
-            .replace("−", "-")
-            .replace("\xa0", " ")
-        )
-    return text
+        text = text.replace("–", "-").replace("−", "-").replace("\xa0", " ")
+    spans = []
+    if p.headings:
+        for i, (start, title) in enumerate(p.headings):
+            end = p.headings[i + 1][0] if i + 1 < len(p.headings) else len(text)
+            spans.append({"label": section_label(title), "start": start, "end": end})
+    else:
+        spans.append({"label": "body", "start": 0, "end": len(text)})
+    return text, spans
 
 
 def html_title(html: str) -> str | None:

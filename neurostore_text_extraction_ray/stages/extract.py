@@ -70,9 +70,8 @@ def extract_one(payload: bytes, mode: str = "auto", fold_unicode: bool = False) 
             text, spans = jats.jats_text_and_spans(raw)
             metadata = jats.jats_metadata(raw, text=text)
         else:
-            text = html_text.html_to_text(raw, fold_unicode=fold_unicode)
+            text, spans = html_text.html_to_text_and_spans(raw, fold_unicode=fold_unicode)
             title = html_text.html_title(raw)
-            spans = [{"label": "body", "start": 0, "end": len(text)}]
             if title:
                 i = text.find(title)
                 if i >= 0:

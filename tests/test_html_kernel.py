@@ -74,3 +74,25 @@ def test_word_overlap_other_reference_fixtures():
         sm = difflib.SequenceMatcher(None, mine, gold, autojunk=False)
         common = sum(b.size for b in sm.get_matching_blocks())
         assert common / max(1, len(gold)) > 0.70, d
+
+
+def test_heading_section_spans():
+    from neurostore_text_extraction_ray.functions.html_text import (
+        html_to_text_and_spans,
+    )
+
+    html = ("<body><h1>Introduction</h1><p>intro text</p>"
+            "<h2>Methods</h2><p>methods text</p>"
+            "<h2>Results</h2><p>results text</p></body>")
+    text, spans = html_to_text_and_spans(html)
+    assert [s["label"] for s in spans] == ["intro", "methods", "results"]
+    for s in spans:
+        assert text[s["start"]:s["end"]].startswith(
+            {"intro": "Introduction", "methods": "Methods", "results": "Results"}[s["label"]]
+        )
+    # heading-less document -> one body span covering everything
+    text2, spans2 = html_to_text_and_spans("<p>just text</p>")
+    assert spans2 == [{"label": "body", "start": 0, "end": len(text2)}]
+    # heading inside script is ignored
+    _, spans3 = html_to_text_and_spans("<script><h1>x</h1></script><p>t</p>")
+    assert spans3[0]["label"] == "body"

@@ -1,0 +1,100 @@
+"""Property-based kernels tests (hypothesis): robustness invariants the
+table-driven tests can't sweep."""
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from neurostore_text_extraction_ray.functions.hashing import (
+    jaccard,
+    minhash_params,
+    minhash_signature,
+    simhash64,
+)
+from neurostore_text_extraction_ray.functions.html_text import (
+    html_to_text,
+    html_to_text_and_spans,
+)
+from neurostore_text_extraction_ray.functions.normalize import (
+    detect_abbreviations,
+    find_and_remove_definitions,
+    normalize_string,
+    resolve_abbreviations,
+)
+from neurostore_text_extraction_ray.functions.textstats import (
+    fingerprint64,
+    word_count,
+)
+
+text_st = st.text(max_size=400)
+
+
+@given(text_st)
+@settings(max_examples=100, deadline=None)
+def test_html_kernel_total(s):
+    """Never raises on arbitrary input; plain text (no markup chars)
+    passes through un-mangled."""
+    out = html_to_text(s)
+    assert isinstance(out, str)
+    t, spans = html_to_text_and_spans(s)
+    assert spans and spans[-1]["end"] <= len(t)
+    for sp in spans:
+        assert 0 <= sp["start"] <= sp["end"]
+
+
+@given(text_st)
+@settings(max_examples=100, deadline=None)
+def test_normalize_string_total_and_idempotent(s):
+    out = normalize_string(s)
+    assert out is None or isinstance(out, str)
+    if out is not None:
+        # capwords output is a fixpoint
+        assert normalize_string(out) == out
+
+
+@given(text_st)
+@settings(max_examples=50, deadline=None)
+def test_abbrev_detection_offsets(s):
+    for a in detect_abbreviations(s):
+        assert s[a["short_start"]:a["short_end"]] == a["short_text"]
+        assert s[a["long_start"]:a["long_end"]] == a["long_text"]
+
+
+@given(text_st, text_st)
+@settings(max_examples=50, deadline=None)
+def test_resolve_and_remove_total(src, target):
+    abbrevs = detect_abbreviations(src)
+    out = resolve_abbreviations(target, abbrevs)
+    assert out is None or isinstance(out, str)
+    out2 = find_and_remove_definitions(target, abbrevs)
+    assert len(out2.split()) <= len(target.split())
+
+
+@given(st.lists(st.text(min_size=1, max_size=12), max_size=40))
+@settings(max_examples=50, deadline=None)
+def test_minhash_estimates_bounded(tokens):
+    a, b = minhash_params(64)
+    sig = minhash_signature(tokens, a, b)
+    assert sig.shape == (64,)
+    # identical input -> identical signature (determinism)
+    assert (sig == minhash_signature(list(tokens), a, b)).all()
+
+
+@given(text_st)
+@settings(max_examples=50, deadline=None)
+def test_fingerprint_whitespace_invariant(s):
+    assert fingerprint64(s) == fingerprint64(" ".join(s.split()))
+    assert word_count(s) == len(s.split())
+
+
+@given(st.sets(st.integers(0, 50)), st.sets(st.integers(0, 50)))
+@settings(max_examples=50, deadline=None)
+def test_jaccard_bounds(a, b):
+    j = jaccard(a, b)
+    assert 0.0 <= j <= 1.0
+    assert jaccard(a, a) == 1.0
+
+
+@given(st.lists(st.text(min_size=1, max_size=8), max_size=30))
+@settings(max_examples=50, deadline=None)
+def test_simhash_deterministic(tokens):
+    assert simhash64(tokens) == simhash64(list(tokens))
