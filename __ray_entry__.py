@@ -253,6 +253,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_orders": steps.events_asof_orders,
         "knn_embeddings": lambda sf: _round_cols(steps.knn_embeddings(sf), {"score": 4}),
         "docs_text_features": steps.docs_text_features,
+        "revenue_by_nation": steps.revenue_by_nation,
         # --- non-SQL-expressible operators (driver rows-only checks) ---
         "docs_langid_quality": _docs_langid_quality,
         "docs_fingerprint": _docs_fingerprint,
@@ -372,6 +373,15 @@ def oracle_sql() -> dict[str, str]:
             "r AS (SELECT *, row_number() OVER (PARTITION BY query_id "
             "      ORDER BY score DESC, vec_id) AS rn FROM s) "
             "SELECT query_id, vec_id, round(score, 4) AS score FROM r WHERE rn <= 10"
+        ),
+        "revenue_by_nation": (
+            "SELECT n.n_name, r.r_name, "
+            "round(sum(o.o_totalprice), 4) AS total_revenue, "
+            "count(*) AS n_orders "
+            "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
+            "JOIN nation n ON c.c_nationkey = n.n_nationkey "
+            "JOIN region r ON n.n_regionkey = r.r_regionkey "
+            "GROUP BY n.n_name, r.r_name"
         ),
         "docs_text_features": (
             "SELECT doc_id, "

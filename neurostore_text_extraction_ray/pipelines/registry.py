@@ -99,6 +99,7 @@ def _register_builtins():
     register_op("events_asof_orders")(steps.events_asof_orders)
     register_op("knn_embeddings")(steps.knn_embeddings)
     register_op("docs_text_features")(steps.docs_text_features)
+    register_op("revenue_by_nation")(steps.revenue_by_nation)
 
 
 _register_builtins()

@@ -93,12 +93,26 @@ def tfidf(sf_dir: str, min_df: int = 2):
         return pa.table({"doc_id": pa.array(doc_ids, pa.int64()),
                          "term": pa.array(terms, pa.string())})
 
+    # document-frequency aggregate: per-batch partial counts (one row
+    # per distinct term per batch) combined in a final small pass —
+    # the A2 partial+final split without a Ray-native shuffle
+    def df_partial(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c = Counter()
+        for t in batch["term"].to_pylist():
+            c[t] += 1
+        return pa.table({"term": pa.array(list(c.keys()), pa.string()),
+                         "n": pa.array(list(c.values()), pa.int64())})
+
     df_counts = (
         docs.map_batches(term_rows, batch_format="pyarrow")
-        .groupby("term")
-        .count()
+        .map_batches(df_partial, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("term", sort=False)["n"]
+        .sum()
     )
-    df_map = {r["term"]: r["count()"] for r in df_counts.iter_rows()}
+    df_map = df_counts.to_dict()
     vocab = sorted(t for t, c in df_map.items() if c >= min_df)
     idf = {
         t: np.log((1 + n_docs) / (1 + df_map[t])) + 1.0 for t in vocab
@@ -221,31 +235,53 @@ def filter_unprocessed(sf_dir: str):
 
 def dedup_exact(sf_dir: str):
     """Exact dedup on text content: keep the lowest doc_id per distinct
-    text. Hash-partition by a content hash (groupby shuffle), min per
-    group — dedup-before-extract shape (SURVEY D1)."""
+    text (SURVEY D1). Same aggregate+broadcast-semijoin shape as the
+    flagship dedup — a per-batch partial (min doc_id per 16-byte
+    content hash), a small combine, and a broadcast winner-id filter —
+    so document text never enters a shuffle. 128-bit content hashing
+    stands in for byte equality (collision probability ~ n^2 / 2^128)."""
+    import hashlib
 
-    def add_hash(df: pd.DataFrame) -> pd.DataFrame:
-        import hashlib
+    import ray
 
-        df = df.copy()
-        df["_h"] = [
-            int.from_bytes(
-                hashlib.blake2b((t or "").encode(), digest_size=8).digest(), "little"
-            ) >> 1
-            for t in df["text"]
-        ]
-        return df
+    def _hashes(df: pd.DataFrame) -> np.ndarray:
+        return np.fromiter(
+            (
+                int.from_bytes(
+                    hashlib.blake2b((t or "").encode(), digest_size=16).digest()[:8],
+                    "little",
+                )
+                ^ int.from_bytes(
+                    hashlib.blake2b((t or "").encode(), digest_size=16).digest()[8:],
+                    "little",
+                )
+                for t in df["text"]
+            ),
+            np.uint64,
+            len(df),
+        )
 
-    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
-        r = g.sort_values("doc_id").head(1)
-        return r[["doc_id", "n_chars"]]
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({"h": _hashes(df), "doc_id": df["doc_id"].to_numpy()})
+        return out.groupby("h", sort=False)["doc_id"].min().reset_index()
 
-    return (
-        _docs(sf_dir, ["doc_id", "text", "n_chars"])
-        .map_batches(add_hash, batch_format="pandas")
-        .groupby("_h")
-        .map_groups(keep_first, batch_format="pandas")
+    docs = _docs(sf_dir, ["doc_id", "text", "n_chars"])
+    partials = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(partial, batch_format="pandas")
+        .to_pandas()
     )
+    winners = set(partials.groupby("h", sort=False)["doc_id"].min().to_numpy())
+    ref = ray.put(np.array(sorted(winners), dtype=np.int64))
+
+    def filt(df: pd.DataFrame) -> pd.DataFrame:
+        import ray as _ray
+
+        keep = _ray.get(ref)
+        sub = df[np.isin(df["doc_id"].to_numpy(), keep)]
+        return sub[["doc_id", "n_chars"]]
+
+    return docs.map_batches(filt, batch_format="pandas")
 
 
 # -- M6: string normalization over a table column ---------------------------
@@ -458,3 +494,58 @@ def docs_text_features(sf_dir: str):
         return out
 
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(f, batch_format="pandas")
+
+
+# -- Multi-way broadcast join + aggregate (Q5-style) ------------------------
+
+
+def revenue_by_nation(sf_dir: str):
+    """orders ⋈ customer ⋈ nation ⋈ region -> revenue per nation.
+    Dimension tables (customer/nation/region) are broadcast once and
+    applied as vectorized pandas maps per batch; the per-batch partial
+    aggregate is combined in one tiny final pass (25 nations), so the
+    fact table streams with NO shuffle."""
+    import duckdb
+    import ray
+    import ray.data as rd
+
+    con = duckdb.connect()
+    cust = dict(con.execute(
+        f"SELECT c_custkey, c_nationkey FROM read_parquet('{sf_dir}/customer.parquet')"
+    ).fetchall())
+    nation = {
+        k: (n, r) for k, n, r in con.execute(
+            f"SELECT n_nationkey, n_name, n_regionkey FROM read_parquet('{sf_dir}/nation.parquet')"
+        ).fetchall()
+    }
+    region = dict(con.execute(
+        f"SELECT r_regionkey, r_name FROM read_parquet('{sf_dir}/region.parquet')"
+    ).fetchall())
+    con.close()
+    ref = ray.put((cust, nation, region))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        import ray as _ray
+
+        cust_m, nation_m, region_m = _ray.get(ref)
+        nk = df["o_custkey"].map(cust_m)
+        names = nk.map(lambda k: nation_m[k][0] if k in nation_m else None)
+        regs = nk.map(lambda k: region_m[nation_m[k][1]] if k in nation_m else None)
+        out = pd.DataFrame({
+            "n_name": names, "r_name": regs, "o_totalprice": df["o_totalprice"],
+        }).dropna(subset=["n_name"])
+        g = out.groupby(["n_name", "r_name"], sort=False)["o_totalprice"].agg(
+            ["sum", "count"]).reset_index()
+        g.columns = ["n_name", "r_name", "s", "c"]
+        return g
+
+    partials = (
+        rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
+        .map_batches(partial, batch_format="pandas")
+        .to_pandas()
+    )
+    final = partials.groupby(["n_name", "r_name"], sort=False).agg(
+        total_revenue=("s", "sum"), n_orders=("c", "sum")).reset_index()
+    final["total_revenue"] = final["total_revenue"].round(4)
+    final["n_orders"] = final["n_orders"].astype("int64")
+    return rd.from_pandas(final)

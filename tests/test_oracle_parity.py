@@ -58,7 +58,7 @@ def _pairs():
     "docs_en_quality", "docs_join_embeddings", "filter_unprocessed",
     "dedup_exact", "normalize_part_names", "lineitem_agg", "events_hourly",
     "events_sessionize", "events_asof_orders", "knn_embeddings",
-    "docs_text_features",
+    "docs_text_features", "revenue_by_nation",
 ])
 def test_query_matches_oracle(name, ray_session):
     import __ray_entry__ as e
