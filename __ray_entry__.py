@@ -141,9 +141,19 @@ def _llm_demographics(sf_dir: str):
     from neurostore_text_extraction_ray.stages.llm import (
         LLMExtractActor, clean_groups_batch, is_patient_study_batch)
 
+    import pyarrow as pa_
+
+    from neurostore_text_extraction_ray.stages.llm import GROUPS_TYPE
+
+    def keep_raw(batch: pa_.Table) -> pa_.Table:
+        # reference S5 parity: raw_results retained alongside the
+        # post-processed results (utils.py:309-342 writes both)
+        return batch.append_column("groups_raw", batch["groups"])
+
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return (
         docs.map_batches(LLMExtractActor, batch_format="pyarrow", concurrency=2)
+        .map_batches(keep_raw, batch_format="pyarrow")
         .map_batches(clean_groups_batch, batch_format="pyarrow")
         .map_batches(is_patient_study_batch, batch_format="pyarrow")
     )

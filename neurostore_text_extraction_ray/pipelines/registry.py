@@ -36,9 +36,15 @@ def camel_to_snake(name: str) -> str:
     return re.sub(r"([a-z0-9])([A-Z])", r"\1_\2", s1).lower()
 
 
-def register_op(name: str, version: str = "1.0.0"):
+def register_op(name: str, version: str = "1.0.0", dependent: bool = False):
+    """``dependent=True`` marks corpus-global operators (reference
+    DependentPipeline, base.py:536-669): their config hash incorporates
+    the INPUT IDENTITY (dataset membership analog, base.py:646-669), so
+    a changed corpus lands in a fresh hash dir instead of silently
+    reusing stale results."""
+
     def deco(fn: Callable):
-        _REGISTRY[name] = {"fn": fn, "version": version}
+        _REGISTRY[name] = {"fn": fn, "version": version, "dependent": dependent}
         return fn
 
     return deco
@@ -70,10 +76,15 @@ def load_config(path: str) -> list[tuple[str, dict]]:
 def run_config(config_path: str, sf_dir: str, out_dir: str) -> dict[str, str]:
     """Run every configured pipeline; returns {name: output_dir}.
     Output layout: <out>/<name>/<version>/<12-hex config hash>/part-*."""
+    from ..state.manifest import input_fingerprint
+
     results = {}
     for name, kwargs in load_config(config_path):
         entry = _REGISTRY[name]
-        h = config_hash({"name": name, **kwargs})
+        hash_input = {"name": name, **kwargs}
+        if entry.get("dependent"):
+            hash_input["input_fingerprint"] = input_fingerprint(sf_dir)
+        h = config_hash(hash_input)
         dest = os.path.join(out_dir, name, entry["version"], h)
         os.makedirs(dest, exist_ok=True)
         ds = entry["fn"](sf_dir, **kwargs)
@@ -86,8 +97,8 @@ def _register_builtins():
     from . import steps
 
     register_op("word_count")(steps.word_count)
-    register_op("word_deviance")(steps.word_deviance)
-    register_op("tfidf")(steps.tfidf)
+    register_op("word_deviance", dependent=True)(steps.word_deviance)
+    register_op("tfidf", dependent=True)(steps.tfidf)
     register_op("docs_en_quality")(steps.docs_en_quality)
     register_op("docs_join_embeddings")(steps.docs_join_embeddings)
     register_op("filter_unprocessed")(steps.filter_unprocessed)

@@ -67,3 +67,32 @@ def test_cli_runs_pipeline(tmp_path):
     res = json.loads(out.strip().splitlines()[-1])
     assert "word_count" in res
     assert os.path.isdir(res["word_count"])
+
+
+def test_rerun_same_config_no_new_hash_dir(ray_session, tmp_path):
+    """Incremental parity (reference test_word_count.py:81-83): a rerun
+    with identical config reuses the same hash dir — no new dirs."""
+    cfg = tmp_path / "c.yaml"
+    cfg.write_text("pipelines:\n  - name: word_count\n")
+    out = tmp_path / "out"
+    registry.run_config(str(cfg), SF, str(out))
+    dirs1 = set((out / "word_count" / "1.0.0").iterdir())
+    registry.run_config(str(cfg), SF, str(out))
+    dirs2 = set((out / "word_count" / "1.0.0").iterdir())
+    assert dirs1 == dirs2 and len(dirs1) == 1
+
+
+def test_dependent_op_hash_includes_input(tmp_path):
+    """Corpus-global ops hash the input identity (base.py:646-669
+    analog): different sf dirs -> different hash dirs."""
+    from neurostore_text_extraction_ray.functions.hashing import config_hash
+    from neurostore_text_extraction_ray.state.manifest import input_fingerprint
+
+    assert registry._REGISTRY["tfidf"]["dependent"] is True
+    assert registry._REGISTRY["word_count"].get("dependent", False) is False
+    f1 = input_fingerprint("/root/testdata/sf0.001")
+    f2 = input_fingerprint("/root/testdata/sf0.01")
+    assert f1 != f2
+    assert config_hash({"name": "tfidf", "input_fingerprint": f1}) != config_hash(
+        {"name": "tfidf", "input_fingerprint": f2}
+    )
