@@ -23,7 +23,7 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-REPLICATE = int(os.environ.get("GRAFT_REPLICATE", "30"))
+REPLICATE = int(os.environ.get("GRAFT_REPLICATE", "45"))
 TEXT_REPEAT = int(os.environ.get("GRAFT_TEXT_REPEAT", "8"))
 # bench scratch lives on tmpfs: /tmp is disk-backed here and 32
 # concurrent IO streams thrash it; a real cluster reads from parallel
