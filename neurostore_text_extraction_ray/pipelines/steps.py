@@ -315,9 +315,11 @@ def normalize_part_names(sf_dir: str):
 
 def lineitem_agg(sf_dir: str):
     """TPC-H Q1-style pricing summary: vectorized derived column +
-    grouped aggregate (partial per-block combine is automatic)."""
+    per-batch partial aggregate + one small combine (group cardinality
+    is tiny — 6 rows — so the fact stream never shuffles; for
+    high-cardinality keys use the partition-exchange pattern in
+    pipelines/flagship.py instead)."""
     import ray.data as rd
-    from ray.data.aggregate import Count, Mean, Sum
 
     ds = rd.read_parquet(
         f"{sf_dir}/lineitem.parquet",
@@ -325,47 +327,57 @@ def lineitem_agg(sf_dir: str):
                  "l_extendedprice", "l_discount"],
     )
 
-    def rev(batch: pa.Table) -> pa.Table:
-        return batch.append_column(
-            "revenue",
-            pc.multiply(batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"])),
-        )
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(revenue=df["l_extendedprice"] * (1.0 - df["l_discount"]))
+        g = df.groupby(["l_returnflag", "l_linestatus"], sort=False).agg(
+            sum_qty=("l_quantity", "sum"),
+            sum_revenue=("revenue", "sum"),
+            sum_disc=("l_discount", "sum"),
+            n_rows=("l_quantity", "size"),
+        ).reset_index()
+        return g
 
-    return (
-        ds.map_batches(rev, batch_format="pyarrow")
-        .groupby(["l_returnflag", "l_linestatus"])
-        .aggregate(
-            Sum("l_quantity", alias_name="sum_qty"),
-            Sum("revenue", alias_name="sum_revenue"),
-            Mean("l_discount", alias_name="avg_disc"),
-            Count(alias_name="n_rows"),
-        )
-    )
+    partials = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    final = partials.groupby(["l_returnflag", "l_linestatus"], sort=False).agg(
+        sum_qty=("sum_qty", "sum"),
+        sum_revenue=("sum_revenue", "sum"),
+        sum_disc=("sum_disc", "sum"),
+        n_rows=("n_rows", "sum"),
+    ).reset_index()
+    final["avg_disc"] = final["sum_disc"] / final["n_rows"]
+    final["n_rows"] = final["n_rows"].astype("int64")
+    final = final[["l_returnflag", "l_linestatus", "sum_qty", "sum_revenue",
+                   "avg_disc", "n_rows"]]
+    return rd.from_pandas(final)
 
 
 def events_hourly(sf_dir: str):
     """Tumbling 1-hour window per event_type: count + value sum.
-    Event-time windows via truncation + grouped aggregate (no ordering
-    assumption needed for tumbling windows)."""
+    Event-time windows via truncation + per-batch partial aggregate +
+    small combine (bounded by event_type x hours cardinality; tumbling
+    windows need no ordering assumption)."""
     import ray.data as rd
-    from ray.data.aggregate import Count, Sum
 
     ds = rd.read_parquet(
         f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
     )
 
-    def trunc(batch: pa.Table) -> pa.Table:
-        return pa.table({
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({
             "event_type": batch["event_type"],
             "hour": pc.floor_temporal(batch["ts"], unit="hour"),
             "value": batch["value"],
-        })
+        }).to_pandas()
+        g = t.groupby(["event_type", "hour"], sort=False)["value"].agg(
+            ["count", "sum"]).reset_index()
+        g.columns = ["event_type", "hour", "n_events", "sum_value"]
+        return pa.Table.from_pandas(g, preserve_index=False)
 
-    return (
-        ds.map_batches(trunc, batch_format="pyarrow")
-        .groupby(["event_type", "hour"])
-        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
-    )
+    partials = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    final = partials.groupby(["event_type", "hour"], sort=False).agg(
+        n_events=("n_events", "sum"), sum_value=("sum_value", "sum")).reset_index()
+    final["n_events"] = final["n_events"].astype("int64")
+    return rd.from_pandas(final)
 
 
 # -- Streaming-shaped: session windows (gap-based) --------------------------
