@@ -241,6 +241,14 @@ def _process_part(
     else:
         group = pa.concat_tables([pq.read_table(f) for f in frag_files])
     if group is None or group.num_rows == 0:
+        # still write an (empty) manifest so resume marks the part done
+        mf.write_part(
+            run_dir, part,
+            pa.table({"url": pa.array([], pa.string())}),
+            {"input_file": input_path, "url_range": None, "input_rows": 0,
+             "parser_version": PARSER_VERSION, "n_ok": 0,
+             "n_parse_failed": 0, "n_empty": 0},
+        )
         return {"partition_id": part, "rows": 0, "n_parse_failed": 0, "n_empty": 0}
     urls_np = group["url"].to_pandas().to_numpy(dtype=object)
     keep = _latest_per_url_indices(

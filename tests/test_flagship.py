@@ -126,3 +126,27 @@ def test_jats_pages_path(ray_session):
     assert "## Introduction \n  \n" in text0
     labels = [s["label"] for s in table["spans"][0].as_py()]
     assert labels == ["intro", "results"]
+
+
+def test_empty_parts_get_manifests(ray_session, tmp_path):
+    """num_parts larger than the url space: empty parts still write
+    manifests so resume marks them complete."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from neurostore_text_extraction_ray.sources import pages as pages_src
+
+    few = pa.table({
+        "url": pa.array([pages_src.url_for(i) for i in range(3)], pa.string()),
+        "warc_ts": pa.array([pages_src.ts_for(i, 0) for i in range(3)], pa.timestamp("us")),
+        "html": pa.array([pages_src.html_for(i, "alpha beta", 0) for i in range(3)], pa.binary()),
+    })
+    run_dir, summary = flagship.run_flagship_to_parquet(
+        rd.from_arrow(few), str(tmp_path), num_parts=8, input_path="<inline>",
+    )
+    from neurostore_text_extraction_ray.state import manifest as mf
+
+    assert len(mf.completed_parts(run_dir)) == 8
+    assert int(summary["rows"].sum()) == 3
+    # stage (exchange) dir cleaned once all parts completed
+    assert not os.path.isdir(os.path.join(run_dir, "stage"))
