@@ -262,7 +262,15 @@ def section_label(title: str) -> str:
 
 
 def _parse(xml_str: str):
-    return ET.fromstring(xml_str)
+    """Parse and strip element namespaces in place: some JATS archives
+    default-namespace the whole document, which would break every
+    un-namespaced path lookup and tag comparison."""
+    root = ET.fromstring(xml_str)
+    if "}" in root.tag or any("}" in el.tag for el in root.iter()):
+        for el in root.iter():
+            if isinstance(el.tag, str) and "}" in el.tag:
+                el.tag = el.tag.split("}")[-1]
+    return root
 
 
 def jats_text(xml_str: str) -> str:

@@ -138,3 +138,20 @@ def test_reference_metadata_majority_fields():
             gold = json.load(open(gf))
             for k in ("title", "journal", "keywords", "publication_year", "license", "text"):
                 assert md[k] == gold[k], (d, k)
+
+
+def test_default_namespaced_jats():
+    """Some JATS archives default-namespace the document; the kernel
+    must behave identically."""
+    ns = ('<article xmlns="https://jats.nlm.nih.gov/ns/archiving/1.2/">'
+          '<front><article-meta><title-group><article-title>NS Title'
+          '</article-title></title-group><pub-date><year>2021</year></pub-date>'
+          '</article-meta></front>'
+          '<body><sec><title>Methods</title><p>Namespaced text.</p></sec></body>'
+          '</article>')
+    text, spans = jats_text_and_spans(ns)
+    assert "Namespaced text." in text
+    assert [s["label"] for s in spans] == ["methods"]
+    md = jats_metadata(ns)
+    assert md["title"] == "NS Title"
+    assert md["publication_year"] == 2021
