@@ -241,10 +241,17 @@ def _process_part(
     else:
         group = pa.concat_tables([pq.read_table(f) for f in frag_files])
     if group is None or group.num_rows == 0:
-        # still write an (empty) manifest so resume marks the part done
+        # still write an (empty, full-schema) part + manifest so resume
+        # marks the part done and readers can glob all parts uniformly
+        empty_pages = pa.table({
+            "url": pa.array([], pa.string()),
+            "warc_ts": pa.array([], pa.timestamp("us")),
+            payload_column: pa.array([], pa.binary()),
+        })
+        empty_out = extract_batch(empty_pages, payload_column=payload_column,
+                                  mode=mode, keep_columns=("url", "warc_ts"))
         mf.write_part(
-            run_dir, part,
-            pa.table({"url": pa.array([], pa.string())}),
+            run_dir, part, empty_out,
             {"input_file": input_path, "url_range": None, "input_rows": 0,
              "parser_version": PARSER_VERSION, "n_ok": 0,
              "n_parse_failed": 0, "n_empty": 0},

@@ -150,3 +150,7 @@ def test_empty_parts_get_manifests(ray_session, tmp_path):
     assert int(summary["rows"].sum()) == 3
     # stage (exchange) dir cleaned once all parts completed
     assert not os.path.isdir(os.path.join(run_dir, "stage"))
+    # empty parts share the full output schema -> uniform reads work
+    table = _read_all(run_dir)
+    assert table.num_rows == 3
+    assert "extracted_text" in table.column_names
