@@ -70,6 +70,11 @@ def _latest_per_url_indices(urls, tss) -> np.ndarray:
     t = np.asarray(tss)
     pos = np.arange(len(u))
     codes, _ = pd.factorize(u)  # exact string identity, vectorized
+    if (codes == -1).any():
+        # null urls are NOT one group: keep each null row distinct
+        null_ix = np.flatnonzero(codes == -1)
+        codes = codes.copy()
+        codes[null_ix] = codes.max(initial=-1) + 1 + np.arange(len(null_ix))
     order = np.lexsort((pos, t, codes))
     sorted_c = codes[order]
     is_last = np.empty(len(u), dtype=bool)
@@ -402,3 +407,15 @@ def run_flagship_to_parquet(
 
         shutil.rmtree(stage_dir, ignore_errors=True)
     return run_dir, sdf
+
+
+def read_flagship_output(run_dir: str):
+    """Read a completed (or partial) run back as a Dataset, plus its
+    manifest summary: (Dataset, list-of-manifests)."""
+    import glob as _glob
+
+    import ray.data as rd
+
+    files = sorted(_glob.glob(os.path.join(run_dir, "parts", "part-*.parquet")))
+    ds = rd.read_parquet(files) if files else rd.from_items([])
+    return ds, mf.read_manifests(run_dir)

@@ -154,3 +154,23 @@ def test_empty_parts_get_manifests(ray_session, tmp_path):
     table = _read_all(run_dir)
     assert table.num_rows == 3
     assert "extracted_text" in table.column_names
+
+
+def test_null_urls_not_collapsed():
+    """Null urls must stay distinct rows in dedup, never merged."""
+    import numpy as np
+
+    idx = flagship._latest_per_url_indices(
+        np.array(["a", None, None, "a"], dtype=object),
+        np.array(["2024-01-01", "2024-01-01", "2024-01-02", "2024-01-03"],
+                 dtype="datetime64[us]"),
+    )
+    assert len(idx) == 3  # latest 'a' + both nulls
+
+
+def test_read_flagship_output(extracted, ray_session):
+    run_dir, _ = extracted
+    ds, manifests = flagship.read_flagship_output(run_dir)
+    assert ds.count() == 500
+    assert len(manifests) == 8
+    assert all("n_parse_failed" in m for m in manifests)
