@@ -159,6 +159,30 @@ def _llm_demographics(sf_dir: str):
     )
 
 
+def _abbrev_expand(sf_dir: str):
+    """M7/M8 as a pipeline: detect abbreviations in each document and
+    expand them in its own text (rows-only; Schwartz-Hearst kernel)."""
+    import pandas as pd_
+    import ray.data as rd
+
+    from neurostore_text_extraction_ray.functions.normalize import (
+        detect_abbreviations, resolve_abbreviations)
+
+    def f(df: pd_.DataFrame) -> pd_.DataFrame:
+        out = pd_.DataFrame()
+        out["doc_id"] = df["doc_id"]
+        abbrevs = df["text"].map(lambda t: detect_abbreviations(t or ""))
+        out["n_abbreviations"] = abbrevs.map(len).astype("int64")
+        out["expanded_text"] = [
+            resolve_abbreviations(t, a) for t, a in zip(df["text"], abbrevs)
+        ]
+        return out
+
+    return rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"]).map_batches(
+        f, batch_format="pandas")
+
+
 def _entity_linking(sf_dir: str):
     """Demographics extraction -> candidate entity linking (T4/K1
     chain; rows-only)."""
@@ -272,6 +296,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_documents": _embed_documents,
         "llm_demographics": _llm_demographics,
         "entity_linking": _entity_linking,
+        "abbrev_expand": _abbrev_expand,
         "knn_ivf": _knn_ivf,
         "extract_jats_pages": _extract_jats,
         "multimodal_features": _multimodal_features,

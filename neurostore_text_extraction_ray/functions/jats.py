@@ -261,11 +261,26 @@ def section_label(title: str) -> str:
     return "body"
 
 
+_HTML_ENTITIES_RE = re.compile(r"&(?!amp;|lt;|gt;|quot;|apos;|#)(\w+);")
+
+
 def _parse(xml_str: str):
     """Parse and strip element namespaces in place: some JATS archives
     default-namespace the whole document, which would break every
-    un-namespaced path lookup and tag comparison."""
-    root = ET.fromstring(xml_str)
+    un-namespaced path lookup and tag comparison. HTML-style named
+    entities (&nbsp; etc.), illegal in plain XML, are resolved via the
+    stdlib html5 table on a retry."""
+    try:
+        root = ET.fromstring(xml_str)
+    except ET.ParseError:
+        import html as _html
+
+        def sub(m):
+            name = m.group(1)
+            val = _html.entities.html5.get(name + ";")
+            return val if val is not None else m.group(0)
+
+        root = ET.fromstring(_HTML_ENTITIES_RE.sub(sub, xml_str))
     if "}" in root.tag or any("}" in el.tag for el in root.iter()):
         for el in root.iter():
             if isinstance(el.tag, str) and "}" in el.tag:

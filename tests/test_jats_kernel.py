@@ -155,3 +155,12 @@ def test_default_namespaced_jats():
     md = jats_metadata(ns)
     assert md["title"] == "NS Title"
     assert md["publication_year"] == 2021
+
+
+def test_html_entities_in_xml():
+    """&nbsp;/&ndash; are illegal in plain XML; the parser resolves
+    them via the html5 table on retry."""
+    xml = ("<article><body><sec><title>Results</title>"
+           "<p>value&nbsp;=&nbsp;3&ndash;5 &amp; more</p></sec></body></article>")
+    text = jats_text(xml)
+    assert "value\xa0=\xa03\u20135 & more" in text
