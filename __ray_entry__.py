@@ -288,6 +288,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_embeddings": lambda sf: _round_cols(steps.knn_embeddings(sf), {"score": 4}),
         "docs_text_features": steps.docs_text_features,
         "revenue_by_nation": steps.revenue_by_nation,
+        "distinct_langs": steps.distinct_langs,
+        "top_docs_by_length": steps.top_docs_by_length,
         # --- non-SQL-expressible operators (driver rows-only checks) ---
         "docs_langid_quality": _docs_langid_quality,
         "docs_fingerprint": _docs_fingerprint,
@@ -417,6 +419,11 @@ def oracle_sql() -> dict[str, str]:
             "JOIN nation n ON c.c_nationkey = n.n_nationkey "
             "JOIN region r ON n.n_regionkey = r.r_regionkey "
             "GROUP BY n.n_name, r.r_name"
+        ),
+        "distinct_langs": "SELECT DISTINCT lang FROM documents",
+        "top_docs_by_length": (
+            "SELECT doc_id, n_chars FROM documents "
+            "ORDER BY n_chars DESC, doc_id LIMIT 10"
         ),
         "docs_text_features": (
             "SELECT doc_id, "

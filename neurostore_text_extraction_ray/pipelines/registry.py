@@ -111,6 +111,8 @@ def _register_builtins():
     register_op("knn_embeddings")(steps.knn_embeddings)
     register_op("docs_text_features")(steps.docs_text_features)
     register_op("revenue_by_nation")(steps.revenue_by_nation)
+    register_op("distinct_langs")(steps.distinct_langs)
+    register_op("top_docs_by_length")(steps.top_docs_by_length)
 
 
 _register_builtins()

@@ -561,3 +561,46 @@ def revenue_by_nation(sf_dir: str):
     final["total_revenue"] = final["total_revenue"].round(4)
     final["n_orders"] = final["n_orders"].astype("int64")
     return rd.from_pandas(final)
+
+
+# -- Set op: distinct values (partial-unique + combine) ---------------------
+
+
+def distinct_langs(sf_dir: str):
+    """DISTINCT over a column without a Ray-native shuffle: per-batch
+    unique (vectorized) then one tiny combine."""
+    import ray.data as rd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        u = pc.unique(batch["lang"])
+        return pa.table({"lang": u})
+
+    partials = (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang"])
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return rd.from_pandas(partials.drop_duplicates().reset_index(drop=True))
+
+
+# -- Top-k (partial top-k per batch + merge) --------------------------------
+
+
+def top_docs_by_length(sf_dir: str, k: int = 10):
+    """Global top-k by n_chars with a deterministic tie-break
+    (n_chars desc, doc_id asc): per-batch partial top-k rows then one
+    small merge — no global sort."""
+    import ray.data as rd
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["n_chars", "doc_id"], ascending=[False, True]).head(k)
+
+    partials = (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"])
+        .map_batches(partial, batch_format="pandas")
+        .to_pandas()
+    )
+    final = partials.sort_values(
+        ["n_chars", "doc_id"], ascending=[False, True]
+    ).head(k).reset_index(drop=True)
+    return rd.from_pandas(final)

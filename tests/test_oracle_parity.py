@@ -58,7 +58,8 @@ def _pairs():
     "docs_en_quality", "docs_join_embeddings", "filter_unprocessed",
     "dedup_exact", "normalize_part_names", "lineitem_agg", "events_hourly",
     "events_sessionize", "events_asof_orders", "knn_embeddings",
-    "docs_text_features", "revenue_by_nation",
+    "docs_text_features", "revenue_by_nation", "distinct_langs",
+    "top_docs_by_length",
 ])
 def test_query_matches_oracle(name, ray_session):
     import __ray_entry__ as e
