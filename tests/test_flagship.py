@@ -174,3 +174,43 @@ def test_read_flagship_output(extracted, ray_session):
     assert ds.count() == 500
     assert len(manifests) == 8
     assert all("n_parse_failed" in m for m in manifests)
+
+
+def test_hot_key_skew(ray_session, tmp_path):
+    """5,000 fetches of ONE url (hot key) collapse to a single row and
+    don't break partitioning."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    n = 5000
+    hot = pa.table({
+        "url": pa.array(["https://hot.example.org/x"] * n, pa.string()),
+        "warc_ts": pa.array([pages_src.ts_for(i, 0) for i in range(n)],
+                            pa.timestamp("us")),
+        "html": pa.array([pages_src.html_for(1, f"rev {i}", 0) for i in range(n)],
+                         pa.binary()),
+    })
+    run_dir, summary = flagship.run_flagship_to_parquet(
+        rd.from_arrow(hot), str(tmp_path), num_parts=4, input_path="<hot>",
+    )
+    table = _read_all(run_dir)
+    assert table.num_rows == 1
+    assert f"rev {n-1}" in table["extracted_text"][0].as_py()  # latest wins
+
+
+def test_empty_input(ray_session, tmp_path):
+    import pyarrow as pa
+    import ray.data as rd
+
+    empty = pa.table({
+        "url": pa.array([], pa.string()),
+        "warc_ts": pa.array([], pa.timestamp("us")),
+        "html": pa.array([], pa.binary()),
+    })
+    run_dir, summary = flagship.run_flagship_to_parquet(
+        rd.from_arrow(empty), str(tmp_path), num_parts=4, input_path="<empty>",
+    )
+    from neurostore_text_extraction_ray.state import manifest as mf
+
+    assert len(mf.completed_parts(run_dir)) == 4
+    assert _read_all(run_dir).num_rows == 0
