@@ -217,6 +217,25 @@ def _knn_ivf(sf_dir: str):
                    k=10, n_cells=8, n_probe=4)
 
 
+def _jats_extract_text(sf_dir: str):
+    """JATS e2e with a BYTE-EXACT SQL oracle: xml pages synthesized
+    from documents -> JATS renderer -> (url, extracted_text)."""
+    import pyarrow as pa_
+
+    from neurostore_text_extraction_ray.pipelines import flagship
+    from neurostore_text_extraction_ray.sources import pages as pages_src
+
+    ds = flagship.extract_pages(
+        pages_src.read_pages_xml(sf_dir), payload_column="xml", mode="jats",
+        concurrency=2, batch_size=128,
+    )
+
+    def project(batch: pa_.Table) -> pa_.Table:
+        return batch.select(["url", "extracted_text"])
+
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
 def _extract_jats(sf_dir: str):
     """JATS variant of the flagship (pubget path): xml pages -> extract
     with section spans."""
@@ -301,6 +320,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "abbrev_expand": _abbrev_expand,
         "knn_ivf": _knn_ivf,
         "extract_jats_pages": _extract_jats,
+        "jats_extract_text": _jats_extract_text,
         "multimodal_features": _multimodal_features,
     }
 
@@ -419,6 +439,23 @@ def oracle_sql() -> dict[str, str]:
             "JOIN nation n ON c.c_nationkey = n.n_nationkey "
             "JOIN region r ON n.n_regionkey = r.r_regionkey "
             "GROUP BY n.n_name, r.r_name"
+        ),
+        "jats_extract_text": (
+            "WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws "
+            "           FROM documents), "
+            "h AS (SELECT doc_id, ws, "
+            "      CASE WHEN len(ws) // 2 = 0 THEN 1 ELSE len(ws) // 2 END AS half "
+            "      FROM w), "
+            "p AS (SELECT doc_id, "
+            "      array_to_string(ws[1:half], ' ') AS intro, "
+            "      CASE WHEN array_to_string(ws[half+1:], ' ') = '' THEN 'none' "
+            "           ELSE array_to_string(ws[half+1:], ' ') END AS results "
+            "      FROM h) "
+            "SELECT 'https://corpus.example.org/doc/' || doc_id AS url, "
+            "' ' || chr(10) || '## Introduction ' || chr(10) || '  ' || chr(10) || "
+            "intro || ' ' || chr(10) || chr(10) || chr(10) || '## Results ' || chr(10) "
+            "|| '  ' || chr(10) || results || ' ' || chr(10) || chr(10) || ' ' "
+            "AS extracted_text FROM p"
         ),
         "distinct_langs": "SELECT DISTINCT lang FROM documents",
         "top_docs_by_length": (
