@@ -217,6 +217,26 @@ def _knn_ivf(sf_dir: str):
                    k=10, n_cells=8, n_probe=4)
 
 
+def _pdf_extract_text(sf_dir: str):
+    """PDF layout-block e2e with a BYTE-EXACT SQL oracle: one-page PDFs
+    synthesized from documents -> pure-python PDF parser -> reading-
+    order text."""
+    import pyarrow as pa_
+
+    from neurostore_text_extraction_ray.pipelines import flagship
+    from neurostore_text_extraction_ray.sources import pages as pages_src
+
+    ds = flagship.extract_pages(
+        pages_src.read_pages_pdf(sf_dir), payload_column="pdf", mode="auto",
+        concurrency=2, batch_size=128,
+    )
+
+    def project(batch: pa_.Table) -> pa_.Table:
+        return batch.select(["url", "extracted_text"])
+
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
 def _jats_extract_text(sf_dir: str):
     """JATS e2e with a BYTE-EXACT SQL oracle: xml pages synthesized
     from documents -> JATS renderer -> (url, extracted_text)."""
@@ -321,6 +341,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf": _knn_ivf,
         "extract_jats_pages": _extract_jats,
         "jats_extract_text": _jats_extract_text,
+        "pdf_extract_text": _pdf_extract_text,
         "multimodal_features": _multimodal_features,
     }
 
@@ -439,6 +460,11 @@ def oracle_sql() -> dict[str, str]:
             "JOIN nation n ON c.c_nationkey = n.n_nationkey "
             "JOIN region r ON n.n_regionkey = r.r_regionkey "
             "GROUP BY n.n_name, r.r_name"
+        ),
+        "pdf_extract_text": (
+            "SELECT 'https://corpus.example.org/doc/' || doc_id AS url, "
+            "'Doc ' || doc_id || chr(10) || chr(10) || text AS extracted_text "
+            "FROM documents"
         ),
         "jats_extract_text": (
             "WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws "

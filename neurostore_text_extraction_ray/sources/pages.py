@@ -144,3 +144,41 @@ def read_pages_xml(sf_dir: str):
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
     return ds.map_batches(pages_xml_batch, batch_format="pyarrow", batch_size=256)
+
+
+# -- PDF variant (pages_pdf): exercises the PDF layout-block path -----------
+
+
+def pdf_for(doc_id: int, text: str) -> bytes:
+    """One-page PDF: a title block 'Doc {id}' and a body block. The
+    extract kernel's reading-order text is 'Doc {id}\n\n{text}' — a
+    SQL-reconstructible function of the source row."""
+    from ..functions.pdf_text import synthesize_pdf
+
+    return synthesize_pdf(
+        [
+            {"x": 72, "y": 720, "text": f"Doc {int(doc_id)}"},
+            {"x": 72, "y": 650, "text": text or ""},
+        ],
+        title=f"Doc {int(doc_id)}",
+        compress=(doc_id % 2 == 0),  # both filter paths exercised
+    )
+
+
+def pages_pdf_batch(batch: pa.Table) -> pa.Table:
+    doc_ids = batch["doc_id"].to_pylist()
+    texts = batch["text"].to_pylist()
+    return pa.table(
+        {
+            "url": pa.array([url_for(d) for d in doc_ids], pa.string()),
+            "warc_ts": pa.array([ts_for(d, 0) for d in doc_ids], pa.timestamp("us")),
+            "pdf": pa.array([pdf_for(d, t or "") for d, t in zip(doc_ids, texts)], pa.binary()),
+        }
+    )
+
+
+def read_pages_pdf(sf_dir: str):
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(pages_pdf_batch, batch_format="pyarrow", batch_size=256)

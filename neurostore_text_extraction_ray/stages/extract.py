@@ -21,7 +21,7 @@ import re
 
 import pyarrow as pa
 
-from ..functions import html_text, jats
+from ..functions import html_text, jats, pdf_text
 
 SPAN_TYPE = pa.list_(
     pa.struct([("label", pa.string()), ("start", pa.int64()), ("end", pa.int64())])
@@ -40,7 +40,8 @@ METADATA_TYPE = pa.struct(
     ]
 )
 
-PARSER_VERSION = max(html_text.PARSER_VERSION, jats.PARSER_VERSION)
+PARSER_VERSION = max(html_text.PARSER_VERSION, jats.PARSER_VERSION,
+                     pdf_text.PARSER_VERSION)
 
 _EMPTY_METADATA = {k: None for k in (
     "title", "authors", "journal", "keywords", "abstract",
@@ -48,6 +49,8 @@ _EMPTY_METADATA = {k: None for k in (
 
 
 def _sniff_mode(payload: bytes) -> str:
+    if payload.startswith(b"%PDF-"):
+        return "pdf"
     head = payload[:512].lstrip()
     if head.startswith(b"<?xml") or b"<article" in head:
         return "jats"
@@ -65,6 +68,24 @@ def extract_one(payload: bytes, mode: str = "auto", fold_unicode: bool = False) 
             }
         if mode == "auto":
             mode = _sniff_mode(payload)
+        if mode == "pdf":
+            blocks = pdf_text.pdf_extract_blocks(payload)
+            pieces, spans, pos = [], [], 0
+            for b in blocks:
+                if pieces:
+                    pos += 2  # joining blank line
+                spans.append({"label": jats.section_label(b["text"].split("\n")[0]),
+                              "start": pos, "end": pos + len(b["text"])})
+                pieces.append(b["text"])
+                pos += len(b["text"])
+            text = "\n\n".join(pieces)
+            metadata = dict(_EMPTY_METADATA)
+            metadata["title"] = pdf_text.pdf_title(payload)
+            metadata["text"] = bool(text.strip())
+            return {
+                "extracted_text": text, "spans": spans, "metadata": metadata,
+                "parse_failed": False, "empty": not text.strip(),
+            }
         raw = payload.decode("utf-8")
         if mode == "jats":
             text, spans = jats.jats_text_and_spans(raw)

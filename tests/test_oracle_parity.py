@@ -59,7 +59,7 @@ def _pairs():
     "dedup_exact", "normalize_part_names", "lineitem_agg", "events_hourly",
     "events_sessionize", "events_asof_orders", "knn_embeddings",
     "docs_text_features", "revenue_by_nation", "distinct_langs",
-    "top_docs_by_length", "jats_extract_text",
+    "top_docs_by_length", "jats_extract_text", "pdf_extract_text",
 ])
 def test_query_matches_oracle(name, ray_session):
     import __ray_entry__ as e
