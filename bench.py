@@ -184,6 +184,34 @@ def run_benchmarks() -> dict:
     timings["flagship_streaming"] = round(time.time() - t0, 3)
 
     if not os.environ.get("GRAFT_FLAGSHIP_ONLY"):
+        # mixed-modality extraction: html + JATS + PDF pages auto-sniffed
+        # through one actor pool
+        import pyarrow as pa_
+
+        from neurostore_text_extraction_ray.sources import pages as pages_src
+
+        def mixed(batch: pa_.Table) -> pa_.Table:
+            html_t = pages_src.pages_batch(batch).select(["url", "warc_ts", "html"]).rename_columns(["url", "warc_ts", "payload"])
+            xml_t = pages_src.pages_xml_batch(batch).rename_columns(["url", "warc_ts", "payload"])
+            pdf_t = pages_src.pages_pdf_batch(batch).rename_columns(["url", "warc_ts", "payload"])
+            return pa_.concat_tables([html_t, xml_t, pdf_t])
+
+        t0 = time.time()
+        n_mixed = (
+            rd.read_parquet(f"{SF_DIR}/documents.parquet",
+                            columns=["doc_id", "text", "lang"])
+            .map_batches(mixed, batch_format="pyarrow", batch_size=256)
+            .map_batches(
+                __import__("neurostore_text_extraction_ray.stages.extract",
+                           fromlist=["ExtractActor"]).ExtractActor,
+                fn_constructor_kwargs={"payload_column": "payload", "mode": "auto"},
+                batch_format="pyarrow", batch_size=512,
+                concurrency=max(4, NUM_CPUS // 2),
+            )
+            .count()
+        )
+        timings["mixed_modality_extract"] = round(time.time() - t0, 3)
+        meta["mixed_docs"] = n_mixed
         for name, fn in [
             ("word_deviance", steps.word_deviance),
             ("tfidf", steps.tfidf),
