@@ -169,6 +169,7 @@ def pdf_extract_blocks(pdf_bytes: bytes) -> list[dict]:
     if b"/Encrypt" in pdf_bytes:
         raise NotImplementedError("encrypted PDFs unsupported")
     blocks = []
+    page_no = 0
     # Length-driven linear scan: compressed payloads can contain the
     # literal bytes 'endstream'/'endobj', so keyword-delimited regex
     # matching over whole objects is unsound; the /Length entry is the
@@ -204,8 +205,14 @@ def pdf_extract_blocks(pdf_bytes: bytes) -> list[dict]:
         elif any(f in head for f in _UNSUPPORTED_FILTERS):
             raise NotImplementedError("unsupported stream filter")
         if b"BT" in data:
-            blocks.extend(_extract_blocks_from_content(data))
-    blocks.sort(key=lambda b: (-b["y"], b["x"]))
+            page_blocks = _extract_blocks_from_content(data)
+            # reading order WITHIN a content stream (one page); pages
+            # keep their object order
+            page_blocks.sort(key=lambda b: (-b["y"], b["x"]))
+            for pb in page_blocks:
+                pb["page"] = page_no
+            blocks.extend(page_blocks)
+            page_no += 1
     return blocks
 
 
@@ -228,10 +235,7 @@ def _escape_pdf_string(s: str) -> str:
     return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
 
 
-def synthesize_pdf(blocks: list[dict], title: str | None = None,
-                   compress: bool = True) -> bytes:
-    """blocks: [{x, y, text}] -> one-page PDF. Multi-line text becomes
-    one Tj per line with T* line feeds inside a single BT..ET."""
+def _content_stream_for(blocks: list[dict]) -> bytes:
     parts = []
     for b in blocks:
         lines = str(b["text"]).split("\n")
@@ -242,23 +246,42 @@ def synthesize_pdf(blocks: list[dict], title: str | None = None,
             seg.append(f"({_escape_pdf_string(line)}) Tj")
         seg.append("ET")
         parts.append(" ".join(seg))
-    content = ("\n".join(parts)).encode("latin-1", "replace")
-    filt = b""
-    if compress:
-        content = zlib.compress(content)
-        filt = b" /Filter /FlateDecode"
+    return ("\n".join(parts)).encode("latin-1", "replace")
+
+
+def synthesize_pdf(blocks: list[dict], title: str | None = None,
+                   compress: bool = True, pages: list[list[dict]] | None = None) -> bytes:
+    """blocks: [{x, y, text}] -> one-page PDF; or pass ``pages`` (a list
+    of block lists) for a multi-page document. Multi-line text becomes
+    one Tj per line with T* line feeds inside a single BT..ET."""
+    page_lists = pages if pages is not None else [blocks]
+    n_pages = len(page_lists)
+    filt = b" /Filter /FlateDecode" if compress else b""
 
     objs = []
     objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")
-    objs.append(b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
-    objs.append(
-        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
-        b"/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>"
+    first_page_obj = 3
+    kids = b" ".join(
+        str(first_page_obj + 2 * i).encode() + b" 0 R" for i in range(n_pages)
     )
-    objs.append(
-        b"<< /Length " + str(len(content)).encode() + filt + b" >>\nstream\n"
-        + content + b"\nendstream"
-    )
+    objs.append(b"<< /Type /Pages /Kids [" + kids + b"] /Count "
+                + str(n_pages).encode() + b" >>")
+    font_obj = first_page_obj + 2 * n_pages
+    for i, pblocks in enumerate(page_lists):
+        content = _content_stream_for(pblocks)
+        if compress:
+            content = zlib.compress(content)
+        page_obj = first_page_obj + 2 * i
+        objs.append(
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] /Contents "
+            + str(page_obj + 1).encode()
+            + b" 0 R /Resources << /Font << /F1 " + str(font_obj).encode()
+            + b" 0 R >> >> >>"
+        )
+        objs.append(
+            b"<< /Length " + str(len(content)).encode() + filt + b" >>\nstream\n"
+            + content + b"\nendstream"
+        )
     objs.append(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
     if title is not None:
         objs.append(

@@ -77,3 +77,17 @@ def test_extract_stage_integration():
 def test_extract_stage_counts_unsupported_as_failed():
     r = extract_one(b"%PDF-1.7\nxref stream only, no parsable objects /Encrypt")
     assert r["parse_failed"]
+
+
+def test_multi_page_reading_order():
+    """Pages keep their order; blocks sort top-to-bottom per page (no
+    cross-page interleave from the y-sort)."""
+    pages = [
+        [{"x": 72, "y": 300, "text": "p1 low"}, {"x": 72, "y": 700, "text": "p1 high"}],
+        [{"x": 72, "y": 720, "text": "p2 top"}],
+    ]
+    pdf = synthesize_pdf([], pages=pages)
+    got = pdf_extract_blocks(pdf)
+    assert [(b["page"], b["text"]) for b in got] == [
+        (0, "p1 high"), (0, "p1 low"), (1, "p2 top")]
+    assert pdf_to_text(pdf) == "p1 high\n\np1 low\n\np2 top"
