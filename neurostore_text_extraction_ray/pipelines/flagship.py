@@ -35,19 +35,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-# Per-worker-process cache for broadcast objects: ray.get + deserialize
-# once per worker, not once per batch task.
-_BROADCAST_CACHE: dict = {}
-
-
-def _get_broadcast(ref):
-    import ray
-
-    key = ref.hex() if hasattr(ref, "hex") else id(ref)
-    if key not in _BROADCAST_CACHE:
-        _BROADCAST_CACHE.clear()
-        _BROADCAST_CACHE[key] = ray.get(ref)
-    return _BROADCAST_CACHE[key]
+from ..stages.broadcast import get_broadcast as _get_broadcast
 
 from ..stages.extract import ExtractActor, PARSER_VERSION, extract_batch
 from ..state import manifest as mf

@@ -120,7 +120,9 @@ def tfidf(sf_dir: str, min_df: int = 2):
     idf_ref = ray.put(idf)
 
     def score(batch: pa.Table) -> pa.Table:
-        idf_local = ray.get(idf_ref)
+        from ..stages.broadcast import get_broadcast
+
+        idf_local = get_broadcast(idf_ref)
         doc_ids, terms, scores = [], [], []
         for did, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
             counts: dict[str, int] = {}
@@ -184,9 +186,9 @@ def docs_join_embeddings(sf_dir: str):
     ref = ray.put(label_map)
 
     def join(df: pd.DataFrame) -> pd.DataFrame:
-        import ray as _ray
+        from ..stages.broadcast import get_broadcast
 
-        m = _ray.get(ref)
+        m = get_broadcast(ref)
         out = df[["doc_id", "lang", "n_chars"]].copy()
         out["label"] = out["doc_id"].map(m)
         out = out[out["label"].notna()]
@@ -219,9 +221,9 @@ def filter_unprocessed(sf_dir: str):
     ref = ray.put(np.array(sorted(done), dtype=np.int64))
 
     def f(batch: pa.Table) -> pa.Table:
-        import ray as _ray
+        from ..stages.broadcast import get_broadcast
 
-        done_arr = _ray.get(ref)
+        done_arr = get_broadcast(ref)
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)
         return batch.filter(pa.array(~np.isin(ids, done_arr)))
 
@@ -275,9 +277,9 @@ def dedup_exact(sf_dir: str):
     ref = ray.put(np.array(sorted(winners), dtype=np.int64))
 
     def filt(df: pd.DataFrame) -> pd.DataFrame:
-        import ray as _ray
+        from ..stages.broadcast import get_broadcast
 
-        keep = _ray.get(ref)
+        keep = get_broadcast(ref)
         sub = df[np.isin(df["doc_id"].to_numpy(), keep)]
         return sub[["doc_id", "n_chars"]]
 
@@ -435,9 +437,9 @@ def events_asof_orders(sf_dir: str):
     ref = ray.put(by_user)
 
     def asof(df: pd.DataFrame) -> pd.DataFrame:
-        import ray as _ray
+        from ..stages.broadcast import get_broadcast
 
-        m = _ray.get(ref)
+        m = get_broadcast(ref)
         okeys = np.full(len(df), -1, dtype=np.int64)
         odates = np.full(len(df), np.datetime64("NaT"), dtype="datetime64[us]")
         tss = df["ts"].to_numpy()
@@ -537,9 +539,9 @@ def revenue_by_nation(sf_dir: str):
     ref = ray.put((cust, nation, region))
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        import ray as _ray
+        from ..stages.broadcast import get_broadcast
 
-        cust_m, nation_m, region_m = _ray.get(ref)
+        cust_m, nation_m, region_m = get_broadcast(ref)
         nk = df["o_custkey"].map(cust_m)
         names = nk.map(lambda k: nation_m[k][0] if k in nation_m else None)
         regs = nk.map(lambda k: region_m[nation_m[k][1]] if k in nation_m else None)

@@ -98,3 +98,24 @@ def test_jaccard_bounds(a, b):
 @settings(max_examples=50, deadline=None)
 def test_simhash_deterministic(tokens):
     assert simhash64(tokens) == simhash64(list(tokens))
+
+
+@given(st.lists(
+    st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=255),
+            min_size=1, max_size=60),
+    min_size=1, max_size=5,
+))
+@settings(max_examples=60, deadline=None)
+def test_pdf_roundtrip_property(texts):
+    """Any latin-1 text block set round-trips through synthesize ->
+    parse (both compressed and raw streams)."""
+    from neurostore_text_extraction_ray.functions.pdf_text import (
+        pdf_extract_blocks, synthesize_pdf)
+
+    blocks = [
+        {"x": 72, "y": 700 - 20 * i, "text": t} for i, t in enumerate(texts)
+        if t.strip()
+    ]
+    for compress in (True, False):
+        got = pdf_extract_blocks(synthesize_pdf(blocks, compress=compress))
+        assert [b["text"] for b in got] == [b["text"] for b in blocks]
