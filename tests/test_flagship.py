@@ -214,3 +214,15 @@ def test_empty_input(ray_session, tmp_path):
 
     assert len(mf.completed_parts(run_dir)) == 4
     assert _read_all(run_dir).num_rows == 0
+
+
+def test_partitioned_dedup_matches_broadcast(ray_session):
+    """dedup_pages (broadcast semi-join) and dedup_pages_partitioned
+    (hash-part shuffle) agree row-for-row."""
+    ds1 = flagship.dedup_pages(pages_src.read_pages(SF))
+    ds2 = flagship.dedup_pages_partitioned(pages_src.read_pages(SF), num_parts=8)
+    a = ds1.to_pandas().sort_values("url").reset_index(drop=True)
+    b = ds2.to_pandas().sort_values("url").reset_index(drop=True)
+    assert len(a) == len(b) == 500
+    assert (a["url"] == b["url"]).all()
+    assert (a["warc_ts"] == b["warc_ts"]).all()

@@ -74,3 +74,13 @@ def test_resolve_pipeline_dir(tmp_path):
     assert got.endswith(os.path.join("word_count", "1.1.0", "ccc"))
     assert resolve_pipeline_dir(str(base), "word_count", version="1.0.0").endswith("aaa")
     assert resolve_pipeline_dir(str(base), "missing") is None
+
+
+def test_eval_corpus_pond():
+    """The larger evaluation corpus (14 studies) also scans cleanly."""
+    eval_pond = "/root/reference/evaluation/data/ns_pond_inputs"
+    if not os.path.isdir(eval_pond):
+        pytest.skip("eval corpus unavailable")
+    idx = scan_pond(eval_pond)
+    assert len(idx) == 14
+    assert all(r["pubget_xml_path"] or r["ace_html_path"] for r in idx)
