@@ -166,7 +166,14 @@ def dedup_pages_partitioned(ds, num_parts: int = 64):
     """Shuffle-based exact dedup: url-hash part co-location + one
     vectorized pass per part. Used when deterministic partitioning is
     needed anyway (the resumable sink) or when the winner table is too
-    large to broadcast."""
+    large to broadcast.
+
+    Hot keys: the ``partial_dedup_batch`` combiner runs BEFORE the
+    exchange, so a url with any number of duplicate fetches contributes
+    at most one row per input batch to the shuffle — the combiner is
+    the salting-equivalent for this associative (latest-wins) reduce,
+    bounding per-part skew by the batch count rather than the raw
+    duplicate count (verified by the 5,000-fetch hot-key test)."""
     ds = ds.map_batches(partial_dedup_batch, batch_format="pyarrow")
     ds = ds.map_batches(
         lambda b: b.append_column("part", _url_hash_mod(b["url"], num_parts)),
