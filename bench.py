@@ -216,6 +216,12 @@ def run_benchmarks() -> dict:
             ("word_deviance", steps.word_deviance),
             ("tfidf", steps.tfidf),
             ("dedup_exact", steps.dedup_exact),
+            ("minhash_near_dup", lambda sf: __import__(
+                "neurostore_text_extraction_ray.stages.dedup",
+                fromlist=["minhash_near_dup"]).minhash_near_dup(
+                    rd.read_parquet(f"{sf}/documents.parquet",
+                                    columns=["doc_id", "text"]),
+                    threshold=0.7, bands=16)),
             ("lineitem_agg", steps.lineitem_agg),
             ("events_hourly", steps.events_hourly),
         ]:

@@ -42,25 +42,25 @@ def _token_hashes(tokens: list[str]) -> np.ndarray:
 
 
 def minhash_params(num_perm: int, seed: int = 42):
-    """(a, b) coefficient arrays for the universal-hash family
-    h_i(x) = (a_i * x + b_i) mod p."""
+    """(a, b) coefficient arrays for the multiply-shift universal
+    family h_i(x) = a_i * x + b_i (mod 2^64) — fully vectorizable in
+    uint64 (numpy wrap-around), no big-int arithmetic. a_i forced odd
+    (multiply-shift requirement)."""
     rng = np.random.RandomState(seed)
-    a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.uint64)
-    b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+    a = rng.randint(1, 2**63 - 1, size=num_perm).astype(np.uint64) * np.uint64(2) + np.uint64(1)
+    b = rng.randint(0, 2**63 - 1, size=num_perm).astype(np.uint64)
     return a, b
 
 
 def minhash_signature(tokens: list[str], a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    """MinHash signature (uint64[num_perm]) of a token set."""
+    """MinHash signature (uint64[num_perm]) of a token set; one
+    vectorized (num_perm, n) uint64 pass."""
     if not tokens:
         return np.full(len(a), np.iinfo(np.uint64).max, dtype=np.uint64)
     hv = _token_hashes(list(set(tokens)))
-    # (num_perm, n) permuted values; min over tokens
-    vals = (
-        a[:, None].astype(np.object_) * hv[None, :].astype(np.object_)
-        + b[:, None].astype(np.object_)
-    ) % _MERSENNE
-    return np.min(vals, axis=1).astype(np.uint64)
+    with np.errstate(over="ignore"):
+        vals = a[:, None] * hv[None, :] + b[:, None]
+    return np.min(vals, axis=1)
 
 
 def lsh_band_keys(sig: np.ndarray, bands: int) -> list[int]:

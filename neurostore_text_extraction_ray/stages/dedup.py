@@ -44,6 +44,32 @@ def _components(pairs: list[tuple[int, int]]) -> dict[int, int]:
     return {x: find(x) for x in parent}
 
 
+def _bucket_pairs(band_rows_ds) -> pd.DataFrame:
+    """(doc_id, band, key) rows -> candidate pairs. Band rows are tiny
+    (ids + 8-byte keys, never text), so below a size guard they combine
+    on the driver with one vectorized pandas groupby; beyond it, fall
+    back to the distributed groupby. At cluster scale the band rows
+    would instead flow through the partition-exchange pattern
+    (pipelines/flagship.py)."""
+    rows = band_rows_ds.to_pandas()
+    if len(rows) > 50_000_000:
+        pairs = (
+            band_rows_ds.groupby(["band", "key"])
+            .map_groups(_emit_pairs_from_bucket, batch_format="pandas")
+            .to_pandas()
+        )
+        return pairs.drop_duplicates()
+    out = []
+    for _, g in rows.groupby(["band", "key"], sort=False):
+        if len(g) < 2:
+            continue
+        out.append(_emit_pairs_from_bucket(g))
+    if not out:
+        return pd.DataFrame({"a": pd.Series(dtype="int64"),
+                             "b": pd.Series(dtype="int64")})
+    return pd.concat(out, ignore_index=True).drop_duplicates()
+
+
 def _emit_pairs_from_bucket(g: pd.DataFrame) -> pd.DataFrame:
     """All unordered id pairs within one bucket (buckets are small by
     LSH design; a guard caps pathological buckets)."""
@@ -90,10 +116,7 @@ def minhash_near_dup(
         })
 
     band_rows = ds.map_batches(sketch, batch_format="pyarrow")
-    pairs_ds = band_rows.groupby(["band", "key"]).map_groups(
-        _emit_pairs_from_bucket, batch_format="pandas"
-    )
-    pairs_df = pairs_ds.to_pandas()  # small by LSH design (guarded)
+    pairs_df = _bucket_pairs(band_rows)
     if len(pairs_df) > max_pairs:
         raise RuntimeError(
             f"candidate pair explosion ({len(pairs_df)}); raise bands or threshold"
@@ -179,12 +202,7 @@ def simhash_near_dup(
                          "sim": pa.array(np.array(hs, dtype=np.uint64).view(np.int64))})
 
     band_rows = ds.map_batches(sketch, batch_format="pyarrow")
-    pairs_df = (
-        band_rows.groupby(["band", "key"])
-        .map_groups(_emit_pairs_from_bucket, batch_format="pandas")
-        .to_pandas()
-        .drop_duplicates()
-    )
+    pairs_df = _bucket_pairs(band_rows)
     sim_map = {
         r["doc_id"]: np.uint64(r["sim"]).item() & 0xFFFFFFFFFFFFFFFF
         for r in ds.map_batches(hash_rows, batch_format="pyarrow").iter_rows()
@@ -237,13 +255,7 @@ def ngram_jaccard_pairs(
             "key": pa.array(bkey, pa.int64()),
         })
 
-    pairs_df = (
-        ds.map_batches(sketch, batch_format="pyarrow")
-        .groupby(["band", "key"])
-        .map_groups(_emit_pairs_from_bucket, batch_format="pandas")
-        .to_pandas()
-        .drop_duplicates()
-    )
+    pairs_df = _bucket_pairs(ds.map_batches(sketch, batch_format="pyarrow"))
     cand_ids = set(pairs_df.get("a", [])).union(pairs_df.get("b", []))
     cand_ref = ray.put(np.array(sorted(cand_ids), dtype=np.int64))
 
