@@ -1,0 +1,281 @@
+"""Query-only pipelines (SURVEY coverage beyond the core operator
+library in ``steps.py``): flagship wrappers, rows-only operators, and
+modality-specific end-to-end extractions. Each takes ``sf_dir`` and
+returns a lazy Dataset; all are registered for the CLI."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _flagship(sf_dir: str):
+    """pages synthesis -> groupby-url dedup -> extract actor pool ->
+    (url, extracted_text) for cleanly extracted rows."""
+    from . import flagship
+    from ..sources import pages as pages_src
+
+    ds = flagship.flagship_dataset(pages_src.read_pages(sf_dir))
+
+    def ok_rows(batch: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            pc.equal(batch["parse_failed"], False), pc.equal(batch["empty"], False)
+        )
+        return batch.filter(mask).select(["url", "extracted_text"])
+
+    return ds.map_batches(ok_rows, batch_format="pyarrow")
+
+
+def _flagship_titles(sf_dir: str):
+    """M11 text-source projection: struct-field projection of the
+    extracted metadata (title) — pc.struct_field over the flagship
+    output."""
+    from . import flagship
+    from ..sources import pages as pages_src
+
+    ds = flagship.flagship_dataset(pages_src.read_pages(sf_dir))
+
+    def project(batch: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            pc.equal(batch["parse_failed"], False), pc.equal(batch["empty"], False)
+        )
+        sub = batch.filter(mask)
+        return pa.table({
+            "url": sub["url"],
+            "title": pc.struct_field(sub["metadata"], "title"),
+        })
+
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
+def _docs_langid_quality(sf_dir: str):
+    """Language-ID + quality scoring actor stage over documents
+    (rows-only: heuristic kernels are not SQL-expressible)."""
+    import pandas as pd_
+    import ray.data as rd
+
+    from ..functions.textstats import (
+        lang_id, quality_features)
+
+    def f(df: pd_.DataFrame) -> pd_.DataFrame:
+        out = pd_.DataFrame()
+        out["doc_id"] = df["doc_id"]
+        li = df["text"].map(lambda t: lang_id(t))
+        out["lang_pred"] = li.map(lambda x: x[0])
+        out["lang_conf"] = li.map(lambda x: x[1])
+        out["quality_score"] = df["text"].map(
+            lambda t: quality_features(t)["quality_score"])
+        return out
+
+    return rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"]).map_batches(
+        f, batch_format="pandas")
+
+
+def _docs_fingerprint(sf_dir: str):
+    import pandas as pd_
+    import ray.data as rd
+
+    from ..functions.textstats import fingerprint64
+
+    def f(df: pd_.DataFrame) -> pd_.DataFrame:
+        out = pd_.DataFrame()
+        out["doc_id"] = df["doc_id"]
+        out["fingerprint"] = df["text"].map(lambda t: fingerprint64(t) >> 1).astype("int64")
+        return out
+
+    return rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"]).map_batches(
+        f, batch_format="pandas")
+
+
+def _minhash_groups(sf_dir: str):
+    import ray.data as rd
+
+    from ..stages.dedup import minhash_near_dup
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return minhash_near_dup(docs, threshold=0.7, bands=16)
+
+
+def _simhash_groups(sf_dir: str):
+    import ray.data as rd
+
+    from ..stages.dedup import simhash_near_dup
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return simhash_near_dup(docs, hamming_threshold=3)
+
+
+def _embed_documents(sf_dir: str):
+    import ray.data as rd
+
+    from ..stages.embed import embed_documents
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return embed_documents(docs, dim=32, concurrency=2)
+
+
+def _llm_demographics(sf_dir: str):
+    import ray.data as rd
+
+    from ..stages.llm import (
+        LLMExtractActor, clean_groups_batch, is_patient_study_batch)
+
+    import pyarrow as pa_
+
+    from ..stages.llm import GROUPS_TYPE
+
+    def keep_raw(batch: pa_.Table) -> pa_.Table:
+        # reference S5 parity: raw_results retained alongside the
+        # post-processed results (utils.py:309-342 writes both)
+        return batch.append_column("groups_raw", batch["groups"])
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return (
+        docs.map_batches(LLMExtractActor, batch_format="pyarrow", concurrency=2)
+        .map_batches(keep_raw, batch_format="pyarrow")
+        .map_batches(clean_groups_batch, batch_format="pyarrow")
+        .map_batches(is_patient_study_batch, batch_format="pyarrow")
+    )
+
+
+def _abbrev_expand(sf_dir: str):
+    """M7/M8 as a pipeline: detect abbreviations in each document and
+    expand them in its own text (rows-only; Schwartz-Hearst kernel)."""
+    import pandas as pd_
+    import ray.data as rd
+
+    from ..functions.normalize import (
+        detect_abbreviations, resolve_abbreviations)
+
+    def f(df: pd_.DataFrame) -> pd_.DataFrame:
+        out = pd_.DataFrame()
+        out["doc_id"] = df["doc_id"]
+        abbrevs = df["text"].map(lambda t: detect_abbreviations(t or ""))
+        out["n_abbreviations"] = abbrevs.map(len).astype("int64")
+        out["expanded_text"] = [
+            resolve_abbreviations(t, a) for t, a in zip(df["text"], abbrevs)
+        ]
+        return out
+
+    return rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"]).map_batches(
+        f, batch_format="pandas")
+
+
+def _entity_linking(sf_dir: str):
+    """Demographics extraction -> candidate entity linking (T4/K1
+    chain; rows-only)."""
+    import ray.data as rd
+
+    from ..stages.linker import LinkActor
+    from ..stages.llm import (
+        LLMExtractActor, clean_groups_batch)
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return (
+        docs.map_batches(LLMExtractActor, batch_format="pyarrow", concurrency=2)
+        .map_batches(clean_groups_batch, batch_format="pyarrow")
+        .map_batches(LinkActor, batch_format="pyarrow", concurrency=2)
+    )
+
+
+def _knn_ivf(sf_dir: str):
+    import duckdb
+    import numpy as np_
+    import ray.data as rd
+
+    from ..stages.similarity import knn_ivf
+
+    con = duckdb.connect()
+    q = con.execute(
+        f"SELECT vec_id, embedding FROM read_parquet('{sf_dir}/embeddings.parquet') "
+        f"WHERE vec_id < 3 ORDER BY vec_id").fetchall()
+    con.close()
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return knn_ivf(ds, np_.array([r[1] for r in q]), [r[0] for r in q],
+                   k=10, n_cells=8, n_probe=4)
+
+
+def _pdf_extract_text(sf_dir: str):
+    """PDF layout-block e2e with a BYTE-EXACT SQL oracle: one-page PDFs
+    synthesized from documents -> pure-python PDF parser -> reading-
+    order text."""
+    import pyarrow as pa_
+
+    from . import flagship
+    from ..sources import pages as pages_src
+
+    ds = flagship.extract_pages(
+        pages_src.read_pages_pdf(sf_dir), payload_column="pdf", mode="auto",
+        concurrency=2, batch_size=128,
+    )
+
+    def project(batch: pa_.Table) -> pa_.Table:
+        return batch.select(["url", "extracted_text"])
+
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
+def _jats_extract_text(sf_dir: str):
+    """JATS e2e with a BYTE-EXACT SQL oracle: xml pages synthesized
+    from documents -> JATS renderer -> (url, extracted_text)."""
+    import pyarrow as pa_
+
+    from . import flagship
+    from ..sources import pages as pages_src
+
+    ds = flagship.extract_pages(
+        pages_src.read_pages_xml(sf_dir), payload_column="xml", mode="jats",
+        concurrency=2, batch_size=128,
+    )
+
+    def project(batch: pa_.Table) -> pa_.Table:
+        return batch.select(["url", "extracted_text"])
+
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
+def _extract_jats(sf_dir: str):
+    """JATS variant of the flagship (pubget path): xml pages -> extract
+    with section spans."""
+    import pyarrow as pa_
+
+    from . import flagship
+    from ..sources import pages as pages_src
+
+    ds = flagship.extract_pages(
+        pages_src.read_pages_xml(sf_dir), payload_column="xml", mode="jats",
+        concurrency=2, batch_size=128,
+    )
+
+    def project(batch: pa_.Table) -> pa_.Table:
+        spans = batch["spans"].to_pylist()
+        return pa_.table({
+            "url": batch["url"],
+            "n_chars": pa_.array(
+                [len(t or "") for t in batch["extracted_text"].to_pylist()],
+                pa_.int64()),
+            "n_spans": pa_.array([len(s) for s in spans], pa_.int64()),
+        })
+
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
+def _multimodal_features(sf_dir: str):
+    """Multimodal actor-pool stage over a deterministic synthetic media
+    table (decode -> feature extract; stubbed codec, real plumbing)."""
+    import ray.data as rd
+
+    from ..stages.multimodal import (
+        FeatureActor, media_table)
+
+    ds = rd.from_arrow(media_table(240, size_bytes=2048))
+    return ds.map_batches(
+        FeatureActor, fn_constructor_kwargs={"dim": 16},
+        batch_format="pyarrow", batch_size=32, concurrency=2,
+    )
+
+

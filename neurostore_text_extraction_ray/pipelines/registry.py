@@ -114,5 +114,23 @@ def _register_builtins():
     register_op("distinct_langs")(steps.distinct_langs)
     register_op("top_docs_by_length")(steps.top_docs_by_length)
 
+    from . import extras
+
+    register_op("flagship_extract")(extras._flagship)
+    register_op("flagship_titles")(extras._flagship_titles)
+    register_op("jats_extract_text")(extras._jats_extract_text)
+    register_op("pdf_extract_text")(extras._pdf_extract_text)
+    register_op("extract_jats_pages")(extras._extract_jats)
+    register_op("docs_langid_quality")(extras._docs_langid_quality)
+    register_op("docs_fingerprint")(extras._docs_fingerprint)
+    register_op("abbrev_expand")(extras._abbrev_expand)
+    register_op("minhash_dedup_groups")(extras._minhash_groups)
+    register_op("simhash_dedup_groups")(extras._simhash_groups)
+    register_op("embed_documents")(extras._embed_documents)
+    register_op("llm_demographics")(extras._llm_demographics)
+    register_op("entity_linking")(extras._entity_linking)
+    register_op("knn_ivf")(extras._knn_ivf)
+    register_op("multimodal_features")(extras._multimodal_features)
+
 
 _register_builtins()
