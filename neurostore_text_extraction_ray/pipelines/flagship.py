@@ -351,10 +351,20 @@ def run_flagship_to_parquet(
             sub = batch.filter(pa.array(parts_np == part))
             frag_dir = os.path.join(stage_dir, f"part={int(part):05d}")
             os.makedirs(frag_dir, exist_ok=True)
-            urls_b = "".join(sub["url"].to_pylist()).encode()
-            fid = hashlib.blake2b(
-                urls_b + str(sub.num_rows).encode(), digest_size=10
-            ).hexdigest()
+            # Content-addressed fragment id over the actual (url, warc_ts)
+            # pairs with separators: task RETRIES (identical rows) map to
+            # the same file and dedupe via os.replace, while two distinct
+            # batches that happen to carry the same url set but different
+            # fetches (the normal case after partial_dedup) NEVER collide.
+            tss = sub["warc_ts"].to_numpy(zero_copy_only=False).astype(
+                "datetime64[us]").astype(np.int64)
+            h = hashlib.blake2b(digest_size=10)
+            for u, t in zip(sub["url"].to_pylist(), tss):
+                h.update(u.encode())
+                h.update(b"|")
+                h.update(int(t).to_bytes(8, "little", signed=True))
+                h.update(b"\0")
+            fid = h.hexdigest()
             path = os.path.join(frag_dir, f"{fid}.parquet")
             tmp = path + f".tmp-{os.getpid()}"
             pq.write_table(sub.drop_columns(["part"]), tmp)

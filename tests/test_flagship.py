@@ -216,6 +216,45 @@ def test_empty_input(ray_session, tmp_path):
     assert _read_all(run_dir).num_rows == 0
 
 
+def test_fragment_ids_distinguish_same_url_sets(ray_session, tmp_path):
+    """Regression: two phase-A batches carrying the SAME url set but
+    different fetches (the normal case when each batch holds one fetch
+    per url) must write DISTINCT fragment files — a content-blind
+    fragment id silently drops one batch and latest-wins dedup then
+    emits the stale fetch."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    n = 512
+    def fetch_table(rev):
+        return pa.table({
+            "url": pa.array([pages_src.url_for(i) for i in range(n)], pa.string()),
+            "warc_ts": pa.array([pages_src.ts_for(i, rev) for i in range(n)],
+                                pa.timestamp("us")),
+            "html": pa.array([pages_src.html_for(i, f"payload rev{rev}", rev)
+                              for i in range(n)], pa.binary()),
+        })
+
+    # newest fetch first, stale second: two blocks, identical url lists
+    ds = rd.from_arrow([fetch_table(1), fetch_table(0)])
+    run_dir, _ = flagship.run_flagship_to_parquet(
+        ds, str(tmp_path), num_parts=4, input_path="<fragcollide>",
+    )
+    table = _read_all(run_dir)
+    assert table.num_rows == n
+    checked = 0
+    for url, text in zip(table["url"].to_pylist(),
+                         table["extracted_text"].to_pylist()):
+        did = int(url.rsplit("/", 1)[1])
+        if did % pages_src.BAD_UTF8_MOD == pages_src.BAD_UTF8_REM:
+            continue
+        if did % pages_src.EMPTY_MOD == pages_src.EMPTY_REM:
+            continue
+        assert "rev1" in text, f"stale fetch won for doc {did} — fragment id collided"
+        checked += 1
+    assert checked > 490
+
+
 def test_partitioned_dedup_matches_broadcast(ray_session):
     """dedup_pages (broadcast semi-join) and dedup_pages_partitioned
     (hash-part shuffle) agree row-for-row."""
