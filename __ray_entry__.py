@@ -11,6 +11,7 @@ Ray is initialised by the driver BEFORE this module is imported: no
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
@@ -20,7 +21,10 @@ import pyarrow.compute as pc
 
 
 from neurostore_text_extraction_ray.pipelines.extras import (  # noqa: E402
+    PLANTED_LONG,
+    PLANTED_SHORT,
     _abbrev_expand,
+    _abbrev_expand_planted,
     _docs_fingerprint,
     _docs_langid_quality,
     _embed_documents,
@@ -36,6 +40,85 @@ from neurostore_text_extraction_ray.pipelines.extras import (  # noqa: E402
     _pdf_extract_text,
     _simhash_groups,
 )
+
+_GOLDEN_DIR = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "tests", "goldens"
+)
+
+
+def _golden_sql(name: str, discriminated: bool = True) -> str:
+    """Oracle SQL for a pinned-golden query: read the committed golden
+    parquet (regenerate with ``python tools/make_goldens.py``). For
+    sf-dependent queries one golden exists per corpus, discriminated by
+    the corpus's total n_chars (sf0.001 and sf0.01 both have 500 docs,
+    so count(*) can't tell them apart) — the UNION ALL keeps exactly
+    the branch whose discriminator matches the corpus under test."""
+    import glob as _glob
+    import os as _os
+
+    if not discriminated:
+        return f"SELECT * FROM read_parquet('{_GOLDEN_DIR}/{name}.parquet')"
+    parts = []
+    for f in sorted(_glob.glob(f"{_GOLDEN_DIR}/{name}.*.parquet")):
+        disc = _os.path.basename(f).rsplit(".", 2)[-2]
+        parts.append(
+            f"SELECT * FROM read_parquet('{f}') "
+            f"WHERE (SELECT sum(n_chars) FROM documents) = {disc}"
+        )
+    if not parts:
+        raise FileNotFoundError(
+            f"no goldens for {name} in {_GOLDEN_DIR}; run tools/make_goldens.py"
+        )
+    return " UNION ALL ".join(parts)
+
+
+def _langid_quality_sql() -> str:
+    """ANSI-SQL re-expression of the lang_id stopword-voting heuristic
+    and the quality_features score (functions/textstats.py) — validated
+    equal to the Python kernels on sf0.001 and sf0.01 (ASCII corpus, so
+    RE2 \\w == Python \\w and [A-Za-z] == isalpha)."""
+    from neurostore_text_extraction_ray.functions.textstats import _STOPWORDS
+
+    def lst(words):
+        return "[" + ",".join(f"'{w}'" for w in sorted(words)) + "]"
+
+    langs = list(_STOPWORDS)
+    hits = ", ".join(
+        f"len(list_filter(ws, w -> list_contains({lst(_STOPWORDS[l])}, w))) AS {l}_hits"
+        for l in langs
+    )
+    case_lang = " ".join(f"WHEN {l}_hits = best THEN '{l}'" for l in langs)
+    return (
+        "WITH t AS (SELECT doc_id, text, "
+        "list_transform(regexp_extract_all(substr(text,1,4000), '\\w+'), "
+        "w -> lower(w)) AS ws FROM documents), "
+        f"h AS (SELECT doc_id, text, ws, {hits} FROM t), "
+        "b AS (SELECT *, greatest("
+        + ",".join(f"{l}_hits" for l in langs)
+        + ") AS best FROM h), "
+        "lid AS (SELECT doc_id, text, ws, "
+        f"CASE WHEN len(ws)=0 OR best=0 THEN 'und' {case_lang} END AS lang_pred, "
+        "CASE WHEN len(ws)=0 OR best=0 THEN 0.0 "
+        "ELSE least(1.0, best / greatest(1, len(ws))) END AS lang_conf FROM b), "
+        "q AS (SELECT doc_id, lang_pred, lang_conf, "
+        "CASE WHEN trim(text)='' THEN 0 ELSE "
+        "len(regexp_split_to_array(trim(text),'\\s+')) END AS n_words, "
+        "length(regexp_replace(text,'[^A-Za-z]','','g')) AS alpha, "
+        "length(regexp_replace(text,'[A-Za-z0-9\\s]','','g')) AS punct, "
+        "length(text) AS n_chars, "
+        "CASE WHEN trim(text)='' THEN [] ELSE "
+        "list_transform(regexp_split_to_array(trim(text),'\\s+'), "
+        "w -> trim(lower(w), '.,;:!?()\"' || chr(39))) END AS lw FROM lid), "
+        "q2 AS (SELECT doc_id, lang_pred, lang_conf, n_words, n_chars, alpha, punct, "
+        f"len(list_filter(lw, w -> list_contains({lst(_STOPWORDS['en'])}, w))) AS stops "
+        "FROM q) "
+        "SELECT doc_id, lang_pred, round(lang_conf, 6) AS lang_conf, "
+        "round(least(1.0, n_words/50.0)*0.3 "
+        "+ least(1.0, (stops/greatest(1,n_words))/0.3)*0.3 "
+        "+ (alpha/greatest(1,n_chars))*0.3 "
+        "+ (1.0 - least(1.0, (punct/greatest(1,n_chars))/0.3))*0.1, 6) "
+        "AS quality_score FROM q2"
+    )
 
 
 def _round_cols(ds, spec: dict[str, int]):
@@ -79,8 +162,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_nation": steps.revenue_by_nation,
         "distinct_langs": steps.distinct_langs,
         "top_docs_by_length": steps.top_docs_by_length,
-        # --- non-SQL-expressible operators (driver rows-only checks) ---
-        "docs_langid_quality": _docs_langid_quality,
+        # --- heuristic / sketch / fake-client operators: each has
+        # either a re-expressed ANSI-SQL oracle or a pinned-golden
+        # oracle (tools/make_goldens.py) ---
+        "docs_langid_quality": lambda sf: _round_cols(
+            _docs_langid_quality(sf), {"lang_conf": 6, "quality_score": 6}
+        ),
         "docs_fingerprint": _docs_fingerprint,
         "minhash_dedup_groups": _minhash_groups,
         "simhash_dedup_groups": _simhash_groups,
@@ -88,7 +175,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "llm_demographics": _llm_demographics,
         "entity_linking": _entity_linking,
         "abbrev_expand": _abbrev_expand,
-        "knn_ivf": _knn_ivf,
+        "abbrev_expand_planted": _abbrev_expand_planted,
+        "knn_ivf": lambda sf: _round_cols(_knn_ivf(sf), {"score": 4}),
         "extract_jats_pages": _extract_jats,
         "jats_extract_text": _jats_extract_text,
         "pdf_extract_text": _pdf_extract_text,
@@ -101,6 +189,38 @@ def oracle_sql() -> dict[str, str]:
         "SELECT doc_id, CASE WHEN trim(text) = '' THEN 0 "
         "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS word_count "
         "FROM documents"
+    )
+    jats = (
+        "WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws "
+        "           FROM documents), "
+        "h AS (SELECT doc_id, ws, "
+        "      CASE WHEN len(ws) // 2 = 0 THEN 1 ELSE len(ws) // 2 END AS half "
+        "      FROM w), "
+        "p AS (SELECT doc_id, "
+        "      array_to_string(ws[1:half], ' ') AS intro, "
+        "      CASE WHEN array_to_string(ws[half+1:], ' ') = '' THEN 'none' "
+        "           ELSE array_to_string(ws[half+1:], ' ') END AS results "
+        "      FROM h) "
+        "SELECT 'https://corpus.example.org/doc/' || doc_id AS url, "
+        "' ' || chr(10) || '## Introduction ' || chr(10) || '  ' || chr(10) || "
+        "intro || ' ' || chr(10) || chr(10) || chr(10) || '## Results ' || chr(10) "
+        "|| '  ' || chr(10) || results || ' ' || chr(10) || chr(10) || ' ' "
+        "AS extracted_text FROM p"
+    )
+    knn = (
+        "WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe "
+        "           FROM embeddings WHERE vec_id < 3), "
+        "s AS (SELECT q.query_id, e.vec_id, "
+        "      list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe) AS score "
+        "      FROM embeddings e CROSS JOIN q), "
+        "r AS (SELECT *, row_number() OVER (PARTITION BY query_id "
+        "      ORDER BY score DESC, vec_id) AS rn FROM s) "
+        "SELECT query_id, vec_id, round(score, 4) AS score FROM r WHERE rn <= 10"
+    )
+    planted_expanded = (
+        f"'Participants in study ' || doc_id || ' underwent {PLANTED_LONG} "
+        f"({PLANTED_LONG}) screening. The {PLANTED_LONG} findings for "
+        f"study ' || doc_id || ' were stable.'"
     )
     return {
         "flagship_extract": (
@@ -192,16 +312,10 @@ def oracle_sql() -> dict[str, str]:
             "FROM events e ASOF JOIN o "
             "ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate"
         ),
-        "knn_embeddings": (
-            "WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe "
-            "           FROM embeddings WHERE vec_id < 3), "
-            "s AS (SELECT q.query_id, e.vec_id, "
-            "      list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe) AS score "
-            "      FROM embeddings e CROSS JOIN q), "
-            "r AS (SELECT *, row_number() OVER (PARTITION BY query_id "
-            "      ORDER BY score DESC, vec_id) AS rn FROM s) "
-            "SELECT query_id, vec_id, round(score, 4) AS score FROM r WHERE rn <= 10"
-        ),
+        "knn_embeddings": knn,
+        # IVF with n_probe == n_cells is exhaustive -> provably equal
+        # to exact brute-force cosine top-k, so it shares the oracle.
+        "knn_ivf": knn,
         "revenue_by_nation": (
             "SELECT n.n_name, r.r_name, "
             "round(sum(o.o_totalprice), 4) AS total_revenue, "
@@ -216,23 +330,34 @@ def oracle_sql() -> dict[str, str]:
             "'Doc ' || doc_id || chr(10) || chr(10) || text AS extracted_text "
             "FROM documents"
         ),
-        "jats_extract_text": (
-            "WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws "
-            "           FROM documents), "
-            "h AS (SELECT doc_id, ws, "
-            "      CASE WHEN len(ws) // 2 = 0 THEN 1 ELSE len(ws) // 2 END AS half "
-            "      FROM w), "
-            "p AS (SELECT doc_id, "
-            "      array_to_string(ws[1:half], ' ') AS intro, "
-            "      CASE WHEN array_to_string(ws[half+1:], ' ') = '' THEN 'none' "
-            "           ELSE array_to_string(ws[half+1:], ' ') END AS results "
-            "      FROM h) "
-            "SELECT 'https://corpus.example.org/doc/' || doc_id AS url, "
-            "' ' || chr(10) || '## Introduction ' || chr(10) || '  ' || chr(10) || "
-            "intro || ' ' || chr(10) || chr(10) || chr(10) || '## Results ' || chr(10) "
-            "|| '  ' || chr(10) || results || ' ' || chr(10) || chr(10) || ' ' "
-            "AS extracted_text FROM p"
+        "jats_extract_text": jats,
+        # extract_jats_pages projects (n_chars, n_spans) of the same
+        # byte-exact JATS reconstruction; every synthesized article has
+        # exactly two sections (intro, results).
+        "extract_jats_pages": (
+            f"WITH j AS ({jats}) "
+            "SELECT url, CAST(length(extracted_text) AS BIGINT) AS n_chars, "
+            "CAST(2 AS BIGINT) AS n_spans FROM j"
         ),
+        "docs_langid_quality": _langid_quality_sql(),
+        "abbrev_expand_planted": (
+            "SELECT doc_id, "
+            "CAST(CASE WHEN doc_id % 3 = 0 THEN 0 ELSE 1 END AS BIGINT) "
+            "AS n_abbreviations, "
+            "CASE WHEN doc_id % 3 = 0 "
+            "THEN 'Study ' || doc_id || "
+            "' reports baseline results with no definitions.' "
+            f"ELSE {planted_expanded} END AS expanded_text FROM documents"
+        ),
+        # pinned-golden oracles (regenerate: python tools/make_goldens.py)
+        "docs_fingerprint": _golden_sql("docs_fingerprint"),
+        "minhash_dedup_groups": _golden_sql("minhash_dedup_groups"),
+        "simhash_dedup_groups": _golden_sql("simhash_dedup_groups"),
+        "embed_documents": _golden_sql("embed_documents"),
+        "llm_demographics": _golden_sql("llm_demographics"),
+        "entity_linking": _golden_sql("entity_linking"),
+        "abbrev_expand": _golden_sql("abbrev_expand"),
+        "multimodal_features": _golden_sql("multimodal_features", discriminated=False),
         "distinct_langs": "SELECT DISTINCT lang FROM documents",
         "top_docs_by_length": (
             "SELECT doc_id, n_chars FROM documents "

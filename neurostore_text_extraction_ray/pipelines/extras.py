@@ -5,9 +5,26 @@ returns a lazy Dataset; all are registered for the CLI."""
 
 from __future__ import annotations
 
+import json
+
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
+
+
+def _canon_json(value) -> str:
+    """Canonical JSON for nested (list<struct>) query outputs so the
+    driver's value-hash compare sees a plain string column on both the
+    Ray side and the pinned-golden oracle side."""
+    return json.dumps(value, sort_keys=True, separators=(",", ":"))
+
+
+def _vec_hex(vec) -> str:
+    """Exact (bit-level) serialization of a float32 vector — avoids any
+    float-repr ambiguity in the compare."""
+    import numpy as np_
+
+    return np_.asarray(vec, dtype=np_.float32).tobytes().hex()
 
 
 def _flagship(sf_dir: str):
@@ -114,7 +131,20 @@ def _embed_documents(sf_dir: str):
     from ..stages.embed import embed_documents
 
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return embed_documents(docs, dim=32, concurrency=2)
+    ds = embed_documents(docs, dim=32, concurrency=2)
+
+    def ser(batch: pa.Table) -> pa.Table:
+        # bit-exact hex serialization of the vector for the golden
+        # oracle compare; library users get the native fixed-size-list
+        # from stages/embed.py
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_chunks": batch["n_chunks"],
+            "embedding_hex": pa.array(
+                [_vec_hex(v) for v in batch["embedding"].to_pylist()], pa.string()),
+        })
+
+    return ds.map_batches(ser, batch_format="pyarrow")
 
 
 def _llm_demographics(sf_dir: str):
@@ -133,12 +163,25 @@ def _llm_demographics(sf_dir: str):
         return batch.append_column("groups_raw", batch["groups"])
 
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return (
+    ds = (
         docs.map_batches(LLMExtractActor, batch_format="pyarrow", concurrency=2)
         .map_batches(keep_raw, batch_format="pyarrow")
         .map_batches(clean_groups_batch, batch_format="pyarrow")
         .map_batches(is_patient_study_batch, batch_format="pyarrow")
     )
+
+    def ser(batch: pa.Table) -> pa.Table:
+        # canonical-JSON the nested group structs for the golden oracle
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "groups_json": pa.array(
+                [_canon_json(g) for g in batch["groups"].to_pylist()], pa.string()),
+            "groups_raw_json": pa.array(
+                [_canon_json(g) for g in batch["groups_raw"].to_pylist()], pa.string()),
+            "is_patient_study": batch["is_patient_study"],
+        })
+
+    return ds.map_batches(ser, batch_format="pyarrow")
 
 
 def _abbrev_expand(sf_dir: str):
@@ -175,11 +218,23 @@ def _entity_linking(sf_dir: str):
         LLMExtractActor, clean_groups_batch)
 
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return (
-        docs.map_batches(LLMExtractActor, batch_format="pyarrow", concurrency=2)
+    # autoscaling (1,2) pools: two fixed pools of 2 actors each deadlock
+    # a 4-CPU cluster (all CPUs pinned by actors, none left for the
+    # read/serialize tasks feeding them)
+    ds = (
+        docs.map_batches(LLMExtractActor, batch_format="pyarrow", concurrency=(1, 2))
         .map_batches(clean_groups_batch, batch_format="pyarrow")
-        .map_batches(LinkActor, batch_format="pyarrow", concurrency=2)
+        .map_batches(LinkActor, batch_format="pyarrow", concurrency=(1, 2))
     )
+
+    def ser(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "entities_json": pa.array(
+                [_canon_json(v) for v in batch["entities"].to_pylist()], pa.string()),
+        })
+
+    return ds.map_batches(ser, batch_format="pyarrow")
 
 
 def _knn_ivf(sf_dir: str):
@@ -195,8 +250,12 @@ def _knn_ivf(sf_dir: str):
         f"WHERE vec_id < 3 ORDER BY vec_id").fetchall()
     con.close()
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    # Correctness-gate config: n_probe == n_cells makes IVF exhaustive,
+    # so the result provably equals exact brute-force top-k and shares
+    # its SQL oracle; approximate recall at n_probe < n_cells is
+    # covered by tests/test_dedup_similarity.py.
     return knn_ivf(ds, np_.array([r[1] for r in q]), [r[0] for r in q],
-                   k=10, n_cells=8, n_probe=4)
+                   k=10, n_cells=8, n_probe=8)
 
 
 def _pdf_extract_text(sf_dir: str):
@@ -273,9 +332,64 @@ def _multimodal_features(sf_dir: str):
         FeatureActor, media_table)
 
     ds = rd.from_arrow(media_table(240, size_bytes=2048))
-    return ds.map_batches(
+    feats = ds.map_batches(
         FeatureActor, fn_constructor_kwargs={"dim": 16},
         batch_format="pyarrow", batch_size=32, concurrency=2,
     )
+
+    def ser(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "media_id": batch["media_id"],
+            "kind": batch["kind"],
+            "feature_hex": pa.array(
+                [_vec_hex(v) for v in batch["feature"].to_pylist()], pa.string()),
+        })
+
+    return feats.map_batches(ser, batch_format="pyarrow")
+
+
+PLANTED_LONG = "functional magnetic resonance imaging"
+PLANTED_SHORT = "fMRI"
+
+
+def planted_abbrev_text(doc_id: int) -> str:
+    """Deterministic per-doc text with a planted Schwartz-Hearst
+    ``long form (SF)`` definition (docs with doc_id %% 3 == 0 get no
+    definition — negative path). The expansion result is a pure string
+    function of doc_id, so the oracle is plain ANSI SQL."""
+    if doc_id % 3 == 0:
+        return f"Study {doc_id} reports baseline results with no definitions."
+    return (
+        f"Participants in study {doc_id} underwent {PLANTED_LONG} "
+        f"({PLANTED_SHORT}) screening. The {PLANTED_SHORT} findings for "
+        f"study {doc_id} were stable."
+    )
+
+
+def _abbrev_expand_planted(sf_dir: str):
+    """M7/M8 with a REAL SQL oracle: the Schwartz-Hearst detector and
+    expander run on planted-pattern text whose expansion is an exact
+    SQL-expressible function of doc_id (VERDICT r01 next-round #1a)."""
+    import pandas as pd_
+    import ray.data as rd
+
+    from ..functions.normalize import (
+        detect_abbreviations, resolve_abbreviations)
+
+    def f(df: pd_.DataFrame) -> pd_.DataFrame:
+        out = pd_.DataFrame()
+        out["doc_id"] = df["doc_id"]
+        texts = [planted_abbrev_text(int(d)) for d in df["doc_id"]]
+        abbrevs = [detect_abbreviations(t) for t in texts]
+        out["n_abbreviations"] = pd_.Series(
+            [len(a) for a in abbrevs], index=df.index).astype("int64")
+        out["expanded_text"] = [
+            resolve_abbreviations(t, a) for t, a in zip(texts, abbrevs)
+        ]
+        return out
+
+    return rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id"]).map_batches(
+        f, batch_format="pandas")
 
 

@@ -60,6 +60,11 @@ def _pairs():
     "events_sessionize", "events_asof_orders", "knn_embeddings",
     "docs_text_features", "revenue_by_nation", "distinct_langs",
     "top_docs_by_length", "jats_extract_text", "pdf_extract_text",
+    # round-2 additions: re-expressed SQL + pinned-golden oracles
+    "docs_langid_quality", "docs_fingerprint", "minhash_dedup_groups",
+    "simhash_dedup_groups", "embed_documents", "llm_demographics",
+    "entity_linking", "abbrev_expand", "abbrev_expand_planted",
+    "knn_ivf", "extract_jats_pages", "multimodal_features",
 ])
 def test_query_matches_oracle(name, ray_session):
     import __ray_entry__ as e
