@@ -35,6 +35,7 @@ from neurostore_text_extraction_ray.pipelines.extras import (  # noqa: E402
     _jats_extract_text,
     _knn_ivf,
     _llm_demographics,
+    _llm_task_metadata,
     _minhash_groups,
     _multimodal_features,
     _pdf_extract_text,
@@ -173,6 +174,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_dedup_groups": _simhash_groups,
         "embed_documents": _embed_documents,
         "llm_demographics": _llm_demographics,
+        "llm_task_metadata": _llm_task_metadata,
         "entity_linking": _entity_linking,
         "abbrev_expand": _abbrev_expand,
         "abbrev_expand_planted": _abbrev_expand_planted,
@@ -355,6 +357,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_dedup_groups": _golden_sql("simhash_dedup_groups"),
         "embed_documents": _golden_sql("embed_documents"),
         "llm_demographics": _golden_sql("llm_demographics"),
+        "llm_task_metadata": _golden_sql("llm_task_metadata"),
         "entity_linking": _golden_sql("entity_linking"),
         "abbrev_expand": _golden_sql("abbrev_expand"),
         "multimodal_features": _golden_sql("multimodal_features", discriminated=False),

@@ -323,6 +323,30 @@ def _extract_jats(sf_dir: str):
     return ds.map_batches(project, batch_format="pyarrow")
 
 
+def _llm_task_metadata(sf_dir: str):
+    """T2 second flagship pipeline: TaskExtractor analog
+    (nv_task/model.py:9-13, schemas.py:6-156) — study modality,
+    objective, exclusion, fMRI/behavioral task metadata, validated
+    against the pydantic mirror (valid column; rows never dropped)."""
+    import ray.data as rd
+
+    from ..stages.task import task_metadata_pipeline
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = task_metadata_pipeline(docs, concurrency=(1, 2))
+
+    def ser(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "study_metadata_json": pa.array(
+                [_canon_json(r) for r in batch["study_metadata"].to_pylist()],
+                pa.string()),
+            "valid": batch["valid"],
+        })
+
+    return ds.map_batches(ser, batch_format="pyarrow")
+
+
 def _multimodal_features(sf_dir: str):
     """Multimodal actor-pool stage over a deterministic synthetic media
     table (decode -> feature extract; stubbed codec, real plumbing)."""

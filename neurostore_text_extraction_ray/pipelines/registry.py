@@ -128,6 +128,8 @@ def _register_builtins():
     register_op("simhash_dedup_groups")(extras._simhash_groups)
     register_op("embed_documents")(extras._embed_documents)
     register_op("llm_demographics")(extras._llm_demographics)
+    register_op("llm_task_metadata", version="1.1.0")(extras._llm_task_metadata)
+    register_op("abbrev_expand_planted")(extras._abbrev_expand_planted)
     register_op("entity_linking")(extras._entity_linking)
     register_op("knn_ivf")(extras._knn_ivf)
     register_op("multimodal_features")(extras._multimodal_features)

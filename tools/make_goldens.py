@@ -33,6 +33,7 @@ SF_QUERIES = [
     "simhash_dedup_groups",
     "embed_documents",
     "llm_demographics",
+    "llm_task_metadata",
     "entity_linking",
     "abbrev_expand",
 ]
