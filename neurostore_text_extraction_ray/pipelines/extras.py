@@ -151,15 +151,12 @@ def _llm_demographics(sf_dir: str):
     import ray.data as rd
 
     from ..stages.llm import (
-        LLMExtractActor, clean_groups_batch, is_patient_study_batch)
+        LLMExtractActor, clean_groups_batch, is_patient_study_batch,
+        raw_iff_different_batch)
 
     import pyarrow as pa_
 
-    from ..stages.llm import GROUPS_TYPE
-
     def keep_raw(batch: pa_.Table) -> pa_.Table:
-        # reference S5 parity: raw_results retained alongside the
-        # post-processed results (utils.py:309-342 writes both)
         return batch.append_column("groups_raw", batch["groups"])
 
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
@@ -167,6 +164,9 @@ def _llm_demographics(sf_dir: str):
         docs.map_batches(LLMExtractActor, batch_format="pyarrow", concurrency=2)
         .map_batches(keep_raw, batch_format="pyarrow")
         .map_batches(clean_groups_batch, batch_format="pyarrow")
+        # S5 parity: raw retained ONLY when the ladder changed it
+        # (utils.py:309-342 writes raw_results iff different)
+        .map_batches(raw_iff_different_batch, batch_format="pyarrow")
         .map_batches(is_patient_study_batch, batch_format="pyarrow")
     )
 

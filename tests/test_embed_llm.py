@@ -73,12 +73,90 @@ def test_fake_llm_extracts_groups():
     groups = out["groups"]
     assert len(groups) == 2
     pat = groups[0]
-    assert pat["count"] == 20 and pat["group_name"] == "patient"
+    assert pat["count"] == 20 and pat["group_name"] == "patients"
     assert pat["diagnosis"] == "major depression"
     ctl = groups[1]
     assert ctl["count"] == 25 and ctl["group_name"] is None
     assert pat["age_mean"] == 34.5
     assert pat["male_count"] == 12 and pat["female_count"] == 8
+    assert pat["imaging_sample"] == "no"  # no imaging vocabulary
+
+
+def test_fake_llm_full_field_set():
+    text = ("We scanned 14 patients with ptsd, aged 18-65, median age of 41, "
+            "mean age of 40.2.")
+    (g,) = FakeLLMClient().extract(text)["groups"]
+    assert g["age_range"] == "18-65"
+    assert g["age_minimum"] == 18.0 and g["age_maximum"] == 65.0
+    assert g["age_median"] == 41.0
+    assert g["imaging_sample"] == "yes"
+    from neurostore_text_extraction_ray.stages.llm import GROUP_FIELDS
+
+    assert list(g.keys()) == [c for c, _ in GROUP_FIELDS]
+
+
+def test_group_field_set_matches_reference_golden():
+    """The 12-field GroupImaging set and its order match the
+    reference's committed golden results.json exactly."""
+    import glob
+    import json
+    import os
+
+    from neurostore_text_extraction_ray.stages.llm import GROUP_FIELDS
+
+    pats = glob.glob(
+        "/root/reference/evaluation/results/*/ParticipantDemographicsExtractor"
+        "/*/*/*/results.json"
+    )
+    if not pats:
+        pytest.skip("reference goldens unavailable")
+    golden = json.load(open(pats[0]))
+    keys = list(golden["groups"][0].keys())
+    assert [c for c, _ in GROUP_FIELDS] == keys
+
+
+def test_pydantic_mirror_validates_golden():
+    """Our BaseDemographicsSchema accepts the reference's own golden
+    output records."""
+    import glob
+    import json
+
+    from neurostore_text_extraction_ray.stages.llm import BaseDemographicsSchema
+
+    pats = sorted(glob.glob(
+        "/root/reference/evaluation/results/*/ParticipantDemographicsExtractor"
+        "/*/*/*/results.json"
+    ))
+    if not pats:
+        pytest.skip("reference goldens unavailable")
+    n = 0
+    for p in pats:
+        rec = json.load(open(p))
+        # the goldens carry the literal string "null" for some
+        # age_range values (an upstream LLM quirk, kept verbatim)
+        BaseDemographicsSchema.model_validate(rec)
+        n += 1
+    assert n >= 1
+
+
+def test_raw_iff_different():
+    from neurostore_text_extraction_ray.stages.llm import (
+        GROUPS_TYPE, raw_iff_different_batch)
+
+    changed = [{"count": 5.0, "diagnosis": None, "group_name": "patients",
+                "subgroup_name": None, "male_count": None, "female_count": None,
+                "age_mean": None, "age_range": None, "age_minimum": None,
+                "age_maximum": None, "age_median": None, "imaging_sample": "no"}]
+    cleaned = [dict(changed[0], group_name="healthy")]
+    batch = pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "groups_raw": pa.array([changed, cleaned], GROUPS_TYPE),
+        "groups": pa.array([cleaned, cleaned], GROUPS_TYPE),
+    })
+    out = raw_iff_different_batch(batch)
+    raws = out["groups_raw"].to_pylist()
+    assert raws[0] is not None  # ladder changed it -> raw kept
+    assert raws[1] is None      # identical -> raw dropped
 
 
 def test_llm_actor_batch():
@@ -95,11 +173,11 @@ def test_llm_actor_batch():
 def test_clean_groups_ladder():
     raw = [
         # null count -> dropped
-        {"count": None, "group_name": "patient", "diagnosis": "MDD"},
-        # patient without diagnosis -> healthy
-        {"count": 10.0, "group_name": "patient", "diagnosis": None},
+        {"count": None, "group_name": "patients", "diagnosis": "MDD"},
+        # patients without diagnosis -> healthy
+        {"count": 10.0, "group_name": "patients", "diagnosis": None},
         # male imputed from count - female, clipped
-        {"count": 20.0, "group_name": "patient", "diagnosis": "MDD",
+        {"count": 20.0, "group_name": "patients", "diagnosis": "MDD",
          "female_count": 8.0},
         # female imputed; negative clip on count
         {"count": -3.0, "group_name": None, "male_count": 2.0},
@@ -125,7 +203,7 @@ def test_patient_predicate_batch():
         "doc_id": pa.array([1, 2], pa.int64()),
         "groups": pa.array(
             [
-                [{"count": 5.0, "diagnosis": "x", "group_name": "patient",
+                [{"count": 5.0, "diagnosis": "x", "group_name": "patients",
                   "subgroup_name": None, "male_count": None,
                   "female_count": None, "age_mean": None}],
                 [],
