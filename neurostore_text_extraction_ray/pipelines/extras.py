@@ -33,7 +33,10 @@ def _flagship(sf_dir: str):
     from . import flagship
     from ..sources import pages as pages_src
 
-    ds = flagship.flagship_dataset(pages_src.read_pages(sf_dir))
+    ds = flagship.flagship_dataset(
+        pages_src.read_pages(sf_dir),
+        winners_ds=pages_src.read_pages_keys(sf_dir),
+    )
 
     def ok_rows(batch: pa.Table) -> pa.Table:
         mask = pc.and_(
@@ -51,7 +54,10 @@ def _flagship_titles(sf_dir: str):
     from . import flagship
     from ..sources import pages as pages_src
 
-    ds = flagship.flagship_dataset(pages_src.read_pages(sf_dir))
+    ds = flagship.flagship_dataset(
+        pages_src.read_pages(sf_dir),
+        winners_ds=pages_src.read_pages_keys(sf_dir),
+    )
 
     def project(batch: pa.Table) -> pa.Table:
         mask = pc.and_(

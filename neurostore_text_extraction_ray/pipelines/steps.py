@@ -79,69 +79,71 @@ def tfidf(sf_dir: str, min_df: int = 2):
     (2) re-tokenize per doc with the broadcast idf map and emit
     normalized scores. Output: (doc_id, term, score) for score > 0."""
     import ray
-    import ray.data as rd
 
     docs = _docs(sf_dir, ["doc_id", "text"])
     n_docs = docs.count()
 
-    def term_rows(batch: pa.Table) -> pa.Table:
-        doc_ids, terms = [], []
-        for did, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
-            for t in set(SK_TOKEN_RE.findall((text or "").lower())):
-                doc_ids.append(did)
-                terms.append(t)
-        return pa.table({"doc_id": pa.array(doc_ids, pa.int64()),
-                         "term": pa.array(terms, pa.string())})
+    def _explode_terms(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].fillna("").str.lower().str.findall(SK_TOKEN_RE)
+        ex = df[["doc_id"]].assign(term=toks).explode("term")
+        return ex.dropna(subset=["term"])
 
-    # document-frequency aggregate: per-batch partial counts (one row
-    # per distinct term per batch) combined in a final small pass —
-    # the A2 partial+final split without a Ray-native shuffle
-    def df_partial(batch: pa.Table) -> pa.Table:
-        from collections import Counter
-
-        c = Counter()
-        for t in batch["term"].to_pylist():
-            c[t] += 1
-        return pa.table({"term": pa.array(list(c.keys()), pa.string()),
-                         "n": pa.array(list(c.values()), pa.int64())})
+    # document-frequency aggregate: vectorized tokenize+explode, one
+    # partial DF-count row per distinct term per batch, one small final
+    # combine — the A2 partial+final split without a Ray-native shuffle
+    def df_partial(df: pd.DataFrame) -> pd.DataFrame:
+        ex = _explode_terms(df).drop_duplicates()
+        c = ex["term"].value_counts()
+        return pd.DataFrame({"term": c.index.to_numpy(dtype=object),
+                             "n": c.to_numpy().astype(np.int64)})
 
     df_counts = (
-        docs.map_batches(term_rows, batch_format="pyarrow")
-        .map_batches(df_partial, batch_format="pyarrow")
+        docs.map_batches(df_partial, batch_format="pandas")
         .to_pandas()
         .groupby("term", sort=False)["n"]
         .sum()
     )
-    df_map = df_counts.to_dict()
-    vocab = sorted(t for t, c in df_map.items() if c >= min_df)
-    idf = {
-        t: np.log((1 + n_docs) / (1 + df_map[t])) + 1.0 for t in vocab
-    }
-    idf_ref = ray.put(idf)
+    vocab = df_counts[df_counts >= min_df]
+    terms_arr = vocab.index.to_numpy(dtype=object)
+    idf_arr = np.log((1 + n_docs) / (1 + vocab.to_numpy())) + 1.0
+    # broadcast as sorted term-HASH + idf arrays (BASELINE.md rule: no
+    # big python dicts). 64-bit term hashes: a collision (p ~ |vocab|^2
+    # / 2^64) could map one out-of-vocab term onto a vocab idf; same
+    # documented bound the flagship url hashing accepts.
+    th = pd.util.hash_array(terms_arr)
+    assert len(np.unique(th)) == len(th), "64-bit vocab hash collision"
+    order = np.argsort(th, kind="stable")
+    idf_ref = ray.put((th[order], idf_arr[order]))
 
-    def score(batch: pa.Table) -> pa.Table:
+    def score(df: pd.DataFrame) -> pd.DataFrame:
         from ..stages.broadcast import get_broadcast
 
-        idf_local = get_broadcast(idf_ref)
-        doc_ids, terms, scores = [], [], []
-        for did, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
-            counts: dict[str, int] = {}
-            for t in SK_TOKEN_RE.findall((text or "").lower()):
-                if t in idf_local:
-                    counts[t] = counts.get(t, 0) + 1
-            if not counts:
-                continue
-            vec = {t: c * idf_local[t] for t, c in counts.items()}
-            norm = np.sqrt(sum(v * v for v in vec.values()))
-            for t in sorted(vec):
-                doc_ids.append(did)
-                terms.append(t)
-                scores.append(vec[t] / norm if norm else 0.0)
-        return pa.table({"doc_id": pa.array(doc_ids, pa.int64()),
-                         "term": pa.array(terms, pa.string()),
-                         "score": pa.array(scores, pa.float64())})
+        th_s, idf_s = get_broadcast(idf_ref)
+        ex = _explode_terms(df)
+        empty = pd.DataFrame({
+            "doc_id": pd.Series(dtype="int64"),
+            "term": pd.Series(dtype=object),
+            "score": pd.Series(dtype="float64"),
+        })
+        if ex.empty or not len(th_s):
+            return empty
+        tf = ex.groupby(["doc_id", "term"], sort=False).size().reset_index(name="tf")
+        h = pd.util.hash_array(tf["term"].to_numpy(dtype=object))
+        j = np.clip(np.searchsorted(th_s, h), 0, len(th_s) - 1)
+        mask = th_s[j] == h
+        tf = tf[mask]
+        if tf.empty:
+            return empty
+        raw = tf["tf"].to_numpy() * idf_s[j[mask]]
+        tf = tf.assign(raw2=raw * raw)
+        nrm = np.sqrt(tf.groupby("doc_id", sort=False)["raw2"].transform("sum").to_numpy())
+        return pd.DataFrame({
+            "doc_id": tf["doc_id"].to_numpy().astype(np.int64),
+            "term": tf["term"].to_numpy(dtype=object),
+            "score": raw / nrm,
+        })
 
-    return docs.map_batches(score, batch_format="pyarrow")
+    return docs.map_batches(score, batch_format="pandas")
 
 
 # -- M11/M16-style filters & projections ------------------------------------
@@ -179,20 +181,26 @@ def docs_join_embeddings(sf_dir: str):
 
     con = duckdb.connect()
     lab = con.execute(
-        f"SELECT vec_id, label FROM read_parquet('{sf_dir}/embeddings.parquet')"
-    ).fetchall()
+        f"SELECT vec_id, label FROM read_parquet('{sf_dir}/embeddings.parquet') "
+        f"ORDER BY vec_id"
+    ).fetchdf()
     con.close()
-    label_map = dict(lab)
-    ref = ray.put(label_map)
+    # sorted id/label arrays + searchsorted (BASELINE.md broadcast rule)
+    ref = ray.put((
+        lab["vec_id"].to_numpy().astype(np.int64),
+        lab["label"].to_numpy().astype(np.int32),
+    ))
 
     def join(df: pd.DataFrame) -> pd.DataFrame:
         from ..stages.broadcast import get_broadcast
 
-        m = get_broadcast(ref)
-        out = df[["doc_id", "lang", "n_chars"]].copy()
-        out["label"] = out["doc_id"].map(m)
-        out = out[out["label"].notna()]
-        out["label"] = out["label"].astype("int32")
+        ids_s, labels_s = get_broadcast(ref)
+        ids = df["doc_id"].to_numpy().astype(np.int64)
+        j = np.clip(np.searchsorted(ids_s, ids), 0, len(ids_s) - 1)
+        hit = len(ids_s) > 0
+        mask = (ids_s[j] == ids) if hit else np.zeros(len(ids), dtype=bool)
+        out = df[["doc_id", "lang", "n_chars"]][mask].copy()
+        out["label"] = labels_s[j[mask]]
         return out
 
     return _docs(sf_dir, ["doc_id", "lang", "n_chars"]).map_batches(
@@ -246,26 +254,22 @@ def dedup_exact(sf_dir: str):
 
     import ray
 
-    def _hashes(df: pd.DataFrame) -> np.ndarray:
-        return np.fromiter(
-            (
-                int.from_bytes(
-                    hashlib.blake2b((t or "").encode(), digest_size=16).digest()[:8],
-                    "little",
-                )
-                ^ int.from_bytes(
-                    hashlib.blake2b((t or "").encode(), digest_size=16).digest()[8:],
-                    "little",
-                )
-                for t in df["text"]
-            ),
-            np.uint64,
-            len(df),
-        )
+    def _hashes(df: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
+        """Full 16-byte blake2b digest as two uint64 columns — one
+        digest computation per row, 128-bit collision resistance
+        (~n^2/2^128), as documented."""
+        h1 = np.empty(len(df), dtype=np.uint64)
+        h2 = np.empty(len(df), dtype=np.uint64)
+        for i, t in enumerate(df["text"]):
+            d = hashlib.blake2b((t or "").encode(), digest_size=16).digest()
+            h1[i] = int.from_bytes(d[:8], "little")
+            h2[i] = int.from_bytes(d[8:], "little")
+        return h1, h2
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        out = pd.DataFrame({"h": _hashes(df), "doc_id": df["doc_id"].to_numpy()})
-        return out.groupby("h", sort=False)["doc_id"].min().reset_index()
+        h1, h2 = _hashes(df)
+        out = pd.DataFrame({"h1": h1, "h2": h2, "doc_id": df["doc_id"].to_numpy()})
+        return out.groupby(["h1", "h2"], sort=False)["doc_id"].min().reset_index()
 
     docs = _docs(sf_dir, ["doc_id", "text", "n_chars"])
     partials = (
@@ -273,7 +277,7 @@ def dedup_exact(sf_dir: str):
         .map_batches(partial, batch_format="pandas")
         .to_pandas()
     )
-    winners = set(partials.groupby("h", sort=False)["doc_id"].min().to_numpy())
+    winners = set(partials.groupby(["h1", "h2"], sort=False)["doc_id"].min().to_numpy())
     ref = ray.put(np.array(sorted(winners), dtype=np.int64))
 
     def filt(df: pd.DataFrame) -> pd.DataFrame:
@@ -430,33 +434,34 @@ def events_asof_orders(sf_dir: str):
         f"GROUP BY o_custkey, o_orderdate ORDER BY o_custkey, o_orderdate"
     ).fetchdf()
     con.close()
-    by_user = {
-        k: (g["o_orderdate"].to_numpy(), g["o_orderkey"].to_numpy())
-        for k, g in orders.groupby("o_custkey", sort=False)
-    }
-    ref = ray.put(by_user)
+    # broadcast THREE flat sorted numpy arrays (BASELINE.md rule: never
+    # big python dicts): a composite (custkey << 21 | order-day) key,
+    # the order keys, and the order dates. Order dates are day-resolution
+    # so `o_orderdate <= ts` is equivalent at day granularity, letting
+    # one vectorized searchsorted per batch answer the whole as-of join.
+    o_days = orders["o_orderdate"].to_numpy().astype("datetime64[D]").astype(np.int64)
+    assert (o_days >= 0).all() and o_days.max() < (1 << 21)
+    o_comp = (orders["o_custkey"].to_numpy().astype(np.int64) << 21) | o_days
+    order_ix = np.argsort(o_comp, kind="stable")
+    ref = ray.put((
+        o_comp[order_ix],
+        orders["o_orderkey"].to_numpy()[order_ix].astype(np.int64),
+        orders["o_orderdate"].to_numpy().astype("datetime64[us]")[order_ix],
+    ))
 
     def asof(df: pd.DataFrame) -> pd.DataFrame:
         from ..stages.broadcast import get_broadcast
 
-        m = get_broadcast(ref)
-        okeys = np.full(len(df), -1, dtype=np.int64)
-        odates = np.full(len(df), np.datetime64("NaT"), dtype="datetime64[us]")
-        tss = df["ts"].to_numpy()
-        users = df["user_id"].to_numpy()
-        for i in range(len(df)):
-            entry = m.get(users[i])
-            if entry is None:
-                continue
-            dates, keys = entry
-            j = np.searchsorted(dates, tss[i], side="right") - 1
-            if j >= 0:
-                okeys[i] = keys[j]
-                odates[i] = dates[j]
+        comp_s, okey_s, odate_s = get_broadcast(ref)
+        users = df["user_id"].to_numpy().astype(np.int64)
+        ts_days = df["ts"].to_numpy().astype("datetime64[D]").astype(np.int64)
+        j = np.searchsorted(comp_s, (users << 21) | ts_days, side="right") - 1
+        jc = np.clip(j, 0, None)
+        hit = (j >= 0) & ((comp_s[jc] >> 21) == users)
         out = df[["event_id", "user_id", "ts"]].copy()
-        out["o_orderkey"] = okeys
-        out["o_orderdate"] = odates
-        out = out[out["o_orderkey"] >= 0]
+        out["o_orderkey"] = np.where(hit, okey_s[jc], -1)
+        out["o_orderdate"] = odate_s[jc]
+        out = out[hit]
         return out
 
     import ray.data as rd
