@@ -40,6 +40,7 @@ from neurostore_text_extraction_ray.pipelines.extras import (  # noqa: E402
     _multimodal_features,
     _pdf_extract_text,
     _simhash_groups,
+    _umls_disease_groups,
 )
 
 _GOLDEN_DIR = os.path.join(
@@ -176,6 +177,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "llm_demographics": _llm_demographics,
         "llm_task_metadata": _llm_task_metadata,
         "entity_linking": _entity_linking,
+        "umls_disease_groups": _umls_disease_groups,
         "abbrev_expand": _abbrev_expand,
         "abbrev_expand_planted": _abbrev_expand_planted,
         "knn_ivf": lambda sf: _round_cols(_knn_ivf(sf), {"score": 4}),
@@ -359,6 +361,7 @@ def oracle_sql() -> dict[str, str]:
         "llm_demographics": _golden_sql("llm_demographics"),
         "llm_task_metadata": _golden_sql("llm_task_metadata"),
         "entity_linking": _golden_sql("entity_linking"),
+        "umls_disease_groups": _golden_sql("umls_disease_groups"),
         "abbrev_expand": _golden_sql("abbrev_expand"),
         "multimodal_features": _golden_sql("multimodal_features", discriminated=False),
         "distinct_langs": "SELECT DISTINCT lang FROM documents",

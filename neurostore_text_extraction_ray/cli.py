@@ -26,6 +26,16 @@ def main(argv=None):
     ap.add_argument("--flagship", action="store_true",
                     help="run the flagship extraction to a resumable sink")
     ap.add_argument("--list", action="store_true", help="list registered operators")
+    # post-processing control (reference cli/run.py:156-176)
+    ap.set_defaults(post_process=True)
+    pp = ap.add_mutually_exclusive_group()
+    pp.add_argument("--no-post-process", action="store_false", dest="post_process",
+                    help="disable post-processing of results")
+    pp.add_argument("--post-process-only", action="store_const", const="only",
+                    dest="post_process",
+                    help="only post-process existing results")
+    ap.add_argument("--overwrite", action="store_true",
+                    help="overwrite existing results")
     args = ap.parse_args(argv)
 
     from .pipelines import registry
@@ -69,22 +79,16 @@ def main(argv=None):
                 "rows": int(summary["rows"].sum()) if len(summary) else 0,
             }))
         if args.config:
-            results = registry.run_config(args.config, args.sf_dir, out_dir)
+            results = registry.run_config(
+                args.config, args.sf_dir, out_dir,
+                post_process=args.post_process, overwrite=args.overwrite,
+            )
             print(json.dumps(results))
         elif args.pipelines:
-            results = {}
-            for name in args.pipelines:
-                import os
-
-                entry = registry._REGISTRY[name]
-                from .functions.hashing import config_hash
-
-                dest = os.path.join(
-                    out_dir, name, entry["version"], config_hash({"name": name})
-                )
-                os.makedirs(dest, exist_ok=True)
-                registry.get_op(name)(args.sf_dir).write_parquet(dest)
-                results[name] = dest
+            results = registry.run_entries(
+                [(name, {}) for name in args.pipelines], args.sf_dir, out_dir,
+                post_process=args.post_process, overwrite=args.overwrite,
+            )
             print(json.dumps(results))
     finally:
         ray.shutdown()

@@ -153,40 +153,134 @@ def _embed_documents(sf_dir: str):
     return ds.map_batches(ser, batch_format="pyarrow")
 
 
-def _llm_demographics(sf_dir: str):
+def planted_demographics_sentence(doc_id: int) -> str:
+    """Deterministic per-doc demographics sentence (the corpus text
+    itself contains no demographic patterns — verified: 0/500 docs
+    match — so without planting, the LLM-pipeline goldens would be
+    all-empty). The doc_id % 4 classes exercise every branch of the
+    cleanup ladder and the abbreviation-aware linker:
+
+    0 -> no demographics (empty-groups path)
+    1 -> patients with an abbreviation-defined diagnosis + controls,
+         both sex counts, mean age, imaging vocabulary
+    2 -> patients with schizophrenia, female count only (male
+         imputation fires), age range + median
+    3 -> controls only (group_name fill -> healthy), male count only
+         (female imputation fires)
+    """
+    did = int(doc_id)
+    k = did % 4
+    if k == 0:
+        return ""
+    if k == 1:
+        return (
+            f" Major depressive disorder (MDD) was the focus. We recruited "
+            f"{10 + did % 50} patients with MDD and {5 + did % 30} healthy "
+            f"controls; mean age of {20 + did % 40}.5 years; {2 + did % 20} "
+            f"males and {1 + did % 15} females underwent fMRI scanning."
+        )
+    if k == 2:
+        return (
+            f" The sample comprised {8 + did % 40} patients with "
+            f"schizophrenia, aged {18 + did % 5}-{60 + did % 10}, median age "
+            f"of {30 + did % 9}, including {3 + did % 12} females."
+        )
+    return (
+        f" We studied {12 + did % 25} controls, including {4 + did % 10} "
+        f"males, in a behavioral session."
+    )
+
+
+def _demo_docs(sf_dir: str):
+    """documents with the planted demographics sentence appended."""
+    import pandas as pd_
+    import ray.data as rd
+
+    def plant(df: pd_.DataFrame) -> pd_.DataFrame:
+        out = df.copy()
+        out["text"] = [
+            (t or "") + planted_demographics_sentence(int(d))
+            for d, t in zip(df["doc_id"], df["text"])
+        ]
+        return out
+
+    return rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(plant, batch_format="pandas")
+
+
+def _llm_demographics(sf_dir: str, post_process=True, prior_dir: str | None = None):
+    """Demographics pipeline with the reference's post-process modes
+    (``base.py:174-215``): ``True`` = extract + cleanup ladder;
+    ``False`` = raw extraction only; ``'only'`` = re-run the cleanup
+    over a PRIOR run's output (raw-results-first, falling back to the
+    cleaned results when no raw was retained) without re-extracting."""
+    import json as _json
+
     import ray.data as rd
 
     from ..stages.llm import (
-        LLMExtractActor, clean_groups_batch, is_patient_study_batch,
-        raw_iff_different_batch)
+        GROUPS_TYPE, LLMExtractActor, clean_groups_batch,
+        is_patient_study_batch, raw_iff_different_batch)
 
     import pyarrow as pa_
+
+    def ser(batch: pa_.Table) -> pa_.Table:
+        # canonical-JSON the nested group structs for the golden oracle
+        return pa_.table({
+            "doc_id": batch["doc_id"],
+            "groups_json": pa_.array(
+                [_canon_json(g) for g in batch["groups"].to_pylist()], pa_.string()),
+            "groups_raw_json": pa_.array(
+                [_canon_json(g) for g in batch["groups_raw"].to_pylist()], pa_.string()),
+            "is_patient_study": batch["is_patient_study"],
+        })
+
+    if post_process == "only":
+        if prior_dir is None:
+            raise ValueError("post_process='only' needs prior_dir")
+        prior = rd.read_parquet(prior_dir)
+
+        def reload_raw(batch: pa_.Table) -> pa_.Table:
+            # raw_results.json first, else results.json (base.py:182-199)
+            raws = []
+            for raw_j, clean_j in zip(batch["groups_raw_json"].to_pylist(),
+                                      batch["groups_json"].to_pylist()):
+                raw = _json.loads(raw_j) if raw_j else None
+                raws.append(raw if raw is not None else _json.loads(clean_j))
+            return pa_.table({
+                "doc_id": batch["doc_id"],
+                "groups": pa_.array(raws, GROUPS_TYPE),
+            })
+
+        ds = prior.map_batches(reload_raw, batch_format="pyarrow")
+    else:
+        # (1,2) autoscaling pool: a fixed pool of 2 pins every CPU of a
+        # 2-CPU cluster and starves the feeding tasks (deadlock)
+        ds = _demo_docs(sf_dir).map_batches(
+            LLMExtractActor, batch_format="pyarrow", concurrency=(1, 2))
 
     def keep_raw(batch: pa_.Table) -> pa_.Table:
         return batch.append_column("groups_raw", batch["groups"])
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    ds = (
-        docs.map_batches(LLMExtractActor, batch_format="pyarrow", concurrency=2)
-        .map_batches(keep_raw, batch_format="pyarrow")
-        .map_batches(clean_groups_batch, batch_format="pyarrow")
-        # S5 parity: raw retained ONLY when the ladder changed it
-        # (utils.py:309-342 writes raw_results iff different)
-        .map_batches(raw_iff_different_batch, batch_format="pyarrow")
-        .map_batches(is_patient_study_batch, batch_format="pyarrow")
-    )
+    ds = ds.map_batches(keep_raw, batch_format="pyarrow")
+    if post_process in (True, "only"):
+        ds = (
+            ds.map_batches(clean_groups_batch, batch_format="pyarrow")
+            # S5 parity: raw retained ONLY when the ladder changed it
+            # (utils.py:309-342 writes raw_results iff different)
+            .map_batches(raw_iff_different_batch, batch_format="pyarrow")
+        )
+    else:
+        # --no-post-process: raw passes through; no duplicate retention
+        def null_raw(batch: pa_.Table) -> pa_.Table:
+            i = batch.column_names.index("groups_raw")
+            return batch.set_column(
+                i, "groups_raw",
+                pa_.array([None] * batch.num_rows, GROUPS_TYPE))
 
-    def ser(batch: pa.Table) -> pa.Table:
-        # canonical-JSON the nested group structs for the golden oracle
-        return pa.table({
-            "doc_id": batch["doc_id"],
-            "groups_json": pa.array(
-                [_canon_json(g) for g in batch["groups"].to_pylist()], pa.string()),
-            "groups_raw_json": pa.array(
-                [_canon_json(g) for g in batch["groups_raw"].to_pylist()], pa.string()),
-            "is_patient_study": batch["is_patient_study"],
-        })
-
+        ds = ds.map_batches(null_raw, batch_format="pyarrow")
+    ds = ds.map_batches(is_patient_study_batch, batch_format="pyarrow")
     return ds.map_batches(ser, batch_format="pyarrow")
 
 
@@ -223,12 +317,12 @@ def _entity_linking(sf_dir: str):
     from ..stages.llm import (
         LLMExtractActor, clean_groups_batch)
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     # autoscaling (1,2) pools: two fixed pools of 2 actors each deadlock
     # a 4-CPU cluster (all CPUs pinned by actors, none left for the
     # read/serialize tasks feeding them)
     ds = (
-        docs.map_batches(LLMExtractActor, batch_format="pyarrow", concurrency=(1, 2))
+        _demo_docs(sf_dir)
+        .map_batches(LLMExtractActor, batch_format="pyarrow", concurrency=(1, 2))
         .map_batches(clean_groups_batch, batch_format="pyarrow")
         .map_batches(LinkActor, batch_format="pyarrow", concurrency=(1, 2))
     )
@@ -329,16 +423,87 @@ def _extract_jats(sf_dir: str):
     return ds.map_batches(project, batch_format="pyarrow")
 
 
+def _umls_disease_groups(sf_dir: str):
+    """UMLS-disease positional pipeline (umls_disease/model.py:289-319):
+    demographics -> abbreviation-aware mention expansion -> candidate
+    linking -> UMLSDiseaseSchema-shaped groups."""
+    import ray.data as rd
+
+    from ..stages.linker import PositionalLinkActor
+    from ..stages.llm import LLMExtractActor, clean_groups_batch
+
+    ds = (
+        _demo_docs(sf_dir).map_batches(
+            LLMExtractActor, fn_constructor_kwargs={"keep_text": True},
+            batch_format="pyarrow", concurrency=(1, 2))
+        .map_batches(clean_groups_batch, batch_format="pyarrow")
+        .map_batches(PositionalLinkActor, batch_format="pyarrow", concurrency=(1, 2))
+    )
+
+    def ser(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "linked_groups_json": pa.array(
+                [_canon_json(v) for v in batch["linked_groups"].to_pylist()],
+                pa.string()),
+        })
+
+    return ds.map_batches(ser, batch_format="pyarrow")
+
+
+def planted_task_sentence(doc_id: int) -> str:
+    """Deterministic per-doc study/task sentence (the corpus text has
+    no task vocabulary, so goldens would otherwise be content-free).
+    doc_id % 5 classes cover the schema surface: none, event-related
+    fMRI task, resting state, meta-analysis + behavioral task, blocked
+    EEG with conditions."""
+    did = int(doc_id)
+    k = did % 5
+    if k == 0:
+        return ""
+    if k == 1:
+        return (
+            f" We investigated response inhibition using the Go/No-Go Task "
+            f"in an event-related fMRI design lasting {5 + did % 20} minutes; "
+            f"accuracy and reaction time were recorded."
+        )
+    if k == 2:
+        return (
+            f" Participants underwent a resting state fMRI scan lasting "
+            f"{4 + did % 12} minutes with eyes closed."
+        )
+    if k == 3:
+        return (
+            " This meta-analysis also summarizes a behavioral task battery "
+            "using the Stroop Task measuring attention."
+        )
+    return (
+        " EEG was recorded during a blocked design; the conditions were "
+        "congruent trials and incongruent trials. The task probed working memory."
+    )
+
+
 def _llm_task_metadata(sf_dir: str):
     """T2 second flagship pipeline: TaskExtractor analog
     (nv_task/model.py:9-13, schemas.py:6-156) — study modality,
     objective, exclusion, fMRI/behavioral task metadata, validated
     against the pydantic mirror (valid column; rows never dropped)."""
+    import pandas as pd_
     import ray.data as rd
 
     from ..stages.task import task_metadata_pipeline
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    def plant(df: pd_.DataFrame) -> pd_.DataFrame:
+        out = df.copy()
+        out["text"] = [
+            (t or "") + planted_task_sentence(int(d))
+            for d, t in zip(df["doc_id"], df["text"])
+        ]
+        return out
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(plant, batch_format="pandas")
     ds = task_metadata_pipeline(docs, concurrency=(1, 2))
 
     def ser(batch: pa.Table) -> pa.Table:

@@ -73,13 +73,29 @@ def load_config(path: str) -> list[tuple[str, dict]]:
     return out
 
 
-def run_config(config_path: str, sf_dir: str, out_dir: str) -> dict[str, str]:
-    """Run every configured pipeline; returns {name: output_dir}.
-    Output layout: <out>/<name>/<version>/<12-hex config hash>/part-*."""
+def run_entries(entries: list[tuple[str, dict]], sf_dir: str, out_dir: str,
+                post_process=True, overwrite: bool = False) -> dict[str, str]:
+    """Run pipelines into the versioned hash-dir layout with the
+    reference's post-process / overwrite interplay
+    (``cli/run.py:156-216``, ``base.py:174-215``):
+
+    - ``post_process=True`` (default): full run; an existing output dir
+      is SKIPPED unless ``overwrite`` (the \"No studies need
+      processing\" short-circuit analog, base.py:157-162).
+    - ``post_process=False``: ops that declare a post-process stage run
+      without it (raw transform output only).
+    - ``post_process='only'``: no re-extraction — ops re-post-process
+      their EXISTING output in place (raw-results-first fallback,
+      base.py:174-215); ops without a post-process stage are skipped.
+
+    Returns {name: output_dir}."""
+    import glob as _glob
+    import inspect
+
     from ..state.manifest import input_fingerprint
 
     results = {}
-    for name, kwargs in load_config(config_path):
+    for name, kwargs in entries:
         entry = _REGISTRY[name]
         hash_input = {"name": name, **kwargs}
         if entry.get("dependent"):
@@ -87,10 +103,43 @@ def run_config(config_path: str, sf_dir: str, out_dir: str) -> dict[str, str]:
         h = config_hash(hash_input)
         dest = os.path.join(out_dir, name, entry["version"], h)
         os.makedirs(dest, exist_ok=True)
-        ds = entry["fn"](sf_dir, **kwargs)
-        ds.write_parquet(dest)
+        existing = sorted(_glob.glob(os.path.join(dest, "*.parquet")))
+        fn = entry["fn"]
+        accepts_pp = "post_process" in inspect.signature(fn).parameters
+        if post_process == "only":
+            if not accepts_pp or not existing:
+                # nothing to post-process (base.py:211-214 warns+returns)
+                results[name] = dest
+                continue
+            ds = fn(sf_dir, **kwargs, post_process="only", prior_dir=dest)
+        else:
+            if existing and not overwrite:
+                results[name] = dest  # idempotent rerun: skip
+                continue
+            call_kwargs = dict(kwargs)
+            if accepts_pp:
+                call_kwargs["post_process"] = post_process
+            ds = fn(sf_dir, **call_kwargs)
+        tmp = dest + ".tmp-run"
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+        ds.write_parquet(tmp)
+        for f in existing:
+            os.remove(f)
+        for f in os.listdir(tmp):
+            os.replace(os.path.join(tmp, f), os.path.join(dest, f))
+        os.rmdir(tmp)
         results[name] = dest
     return results
+
+
+def run_config(config_path: str, sf_dir: str, out_dir: str,
+               post_process=True, overwrite: bool = False) -> dict[str, str]:
+    """Run every configured pipeline; returns {name: output_dir}.
+    Output layout: <out>/<name>/<version>/<12-hex config hash>/part-*."""
+    return run_entries(load_config(config_path), sf_dir, out_dir,
+                       post_process=post_process, overwrite=overwrite)
 
 
 def _register_builtins():
@@ -131,6 +180,7 @@ def _register_builtins():
     register_op("llm_task_metadata", version="1.1.0")(extras._llm_task_metadata)
     register_op("abbrev_expand_planted")(extras._abbrev_expand_planted)
     register_op("entity_linking")(extras._entity_linking)
+    register_op("umls_disease_groups")(extras._umls_disease_groups)
     register_op("knn_ivf")(extras._knn_ivf)
     register_op("multimodal_features")(extras._multimodal_features)
 

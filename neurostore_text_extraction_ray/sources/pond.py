@@ -55,6 +55,21 @@ def scan_pond(root: str) -> list[dict]:
             if os.path.basename(f) != "tables.xml"
         ]
         tables = sorted(glob.glob(os.path.join(d, "source", "pubget", "tables", "table_*.csv")))
+        # CSV-contents + info-JSON pairing by table number
+        # (dataset.py:80-96: stem.split('_')[1] keys the pair dict);
+        # the manifest carries PATHS only — contents load in workers
+        pairs: dict[str, dict] = {}
+        for f in glob.glob(os.path.join(d, "source", "pubget", "tables", "table_*")):
+            base = os.path.basename(f)
+            if base == "tables.xml":
+                continue
+            num = os.path.splitext(base)[0].split("_")[1]
+            slot = pairs.setdefault(num, {"table_number": num,
+                                          "contents": None, "metadata": None})
+            if f.endswith(".json"):
+                slot["metadata"] = f
+            elif f.endswith(".csv"):
+                slot["contents"] = f
         rec = {
             "dbid": entry,
             "pmid": str(ids.get("pmid")) if ids.get("pmid") is not None else None,
@@ -63,6 +78,8 @@ def scan_pond(root: str) -> list[dict]:
             "ace_html_path": ace_html[0] if ace_html else None,
             "pubget_xml_path": pubget_xml[0] if pubget_xml else None,
             "n_tables": len(tables),
+            "tables_manifest": json.dumps(
+                [pairs[k] for k in sorted(pairs)]) if pairs else None,
         }
         for src in SOURCE_PRIORITY:
             base = os.path.join(d, "processed", src)
@@ -118,15 +135,127 @@ def load_study_content_batch(batch: pa.Table) -> pa.Table:
     )
 
 
+# Column set == header of the reference's processed/*/coordinates.csv
+# fixtures; x/y/z are stereotactic floats, the rest ride as strings
+# (the reference loads the CSV to row dicts via pandas,
+# utils.py:185-186 — mixed per-study dtypes, so strings are the stable
+# cross-study Arrow type).
+COORD_COLUMNS = [
+    "table_id", "table_label", "table_caption", "table_number",
+    "x", "y", "z", "p_value", "region", "size", "statistic", "groups",
+]
+COORD_TYPE = pa.list_(pa.struct(
+    [(c, pa.float64() if c in ("x", "y", "z") else pa.string())
+     for c in COORD_COLUMNS]
+))
+
+TABLES_TYPE = pa.list_(pa.struct([
+    ("table_number", pa.string()),
+    ("table_id", pa.string()),
+    ("table_label", pa.string()),
+    ("table_caption", pa.string()),
+    ("table_foot", pa.string()),
+    ("n_header_rows", pa.int32()),
+    ("table_data_file", pa.string()),
+    ("contents_json", pa.large_string()),
+]))
+
+
+def _coord_records(path: str) -> list[dict]:
+    """coordinates.csv -> typed records (x/y/z float, rest string,
+    NaN -> None) — the CSV-to-records load of utils.py:185-186 with a
+    stable Arrow-friendly dtype policy."""
+    import pandas as pd
+
+    try:
+        df = pd.read_csv(path, dtype=str)
+    except pd.errors.EmptyDataError:
+        return []
+    out = []
+    for row in df.to_dict("records"):
+        rec = {}
+        for c in COORD_COLUMNS:
+            v = row.get(c)
+            if v is None or (isinstance(v, float) and math.isnan(v)):
+                rec[c] = None
+            elif c in ("x", "y", "z"):
+                rec[c] = float(v)
+            else:
+                rec[c] = str(v)
+        out.append(rec)
+    return out
+
+
+def load_study_coordinates_batch(batch: pa.Table) -> pa.Table:
+    """Priority-resolved ``coordinates:list<struct>`` column from
+    ``processed/*/coordinates.csv`` (first source in pubget > ace > db
+    order wins, base.py:437-445). Runs in workers."""
+    coords = []
+    for row in batch.to_pylist():
+        recs = None
+        for src in SOURCE_PRIORITY:
+            p = row.get(f"{src}_coordinates_path")
+            if recs is None and p:
+                recs = _coord_records(p)
+        coords.append(recs)
+    return batch.append_column("coordinates", pa.array(coords, COORD_TYPE))
+
+
+def load_study_tables_batch(batch: pa.Table) -> pa.Table:
+    """``tables:list<struct>`` column from the CSV-contents +
+    info-JSON pairs (dataset.py:80-96): info fields typed, contents as
+    canonical-JSON row records (utils.py:185-186). Runs in workers."""
+    import pandas as pd
+
+    tables_col = []
+    for row in batch.to_pylist():
+        manifest = row.get("tables_manifest")
+        if not manifest:
+            tables_col.append(None)
+            continue
+        entries = []
+        for pair in json.loads(manifest):
+            info = {}
+            if pair.get("metadata"):
+                with open(pair["metadata"]) as f:
+                    info = json.load(f)
+            contents_json = None
+            if pair.get("contents"):
+                try:
+                    recs = pd.read_csv(pair["contents"]).to_dict("records")
+                except pd.errors.EmptyDataError:
+                    recs = []
+                contents_json = json.dumps(
+                    recs, sort_keys=True, separators=(",", ":"), default=str)
+            nh = info.get("n_header_rows")
+            entries.append({
+                "table_number": pair["table_number"],
+                "table_id": info.get("table_id"),
+                "table_label": info.get("table_label"),
+                "table_caption": info.get("table_caption"),
+                "table_foot": info.get("table_foot"),
+                "n_header_rows": int(nh) if nh is not None else None,
+                "table_data_file": info.get("table_data_file"),
+                "contents_json": contents_json,
+            })
+        tables_col.append(entries)
+    return batch.append_column("tables", pa.array(tables_col, TABLES_TYPE))
+
+
 def read_pond(root: str):
-    """Pond -> Dataset with loaded text/metadata (priority-resolved)."""
+    """Pond -> Dataset with loaded text/metadata (priority-resolved),
+    coordinates and source-table columns."""
     import ray.data as rd
 
     index = scan_pond(root)
     if not index:
         return rd.from_items([])
     ds = rd.from_arrow(pa.Table.from_pylist(index))
-    return ds.map_batches(load_study_content_batch, batch_format="pyarrow")
+    return (
+        ds.map_batches(load_study_content_batch, batch_format="pyarrow")
+        .map_batches(load_study_coordinates_batch, batch_format="pyarrow")
+        .map_batches(load_study_tables_batch, batch_format="pyarrow")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -133,6 +133,105 @@ ENTITY_TYPE = pa.list_(pa.struct([
 ]))
 
 
+def resolve_mention(target: str, abbreviations: list[dict],
+                    start_char: int | None = None,
+                    end_char: int | None = None) -> str:
+    """Abbreviation-aware mention expansion
+    (``umls_disease/model.py:214-231`` parity): each abbreviation whose
+    short form appears in ``target`` is expanded; when a positional
+    (start_char, end_char) window is given, only abbreviations whose
+    short-form span lies inside the window apply. (The reference reads
+    ``abrv['start_char']`` but its serializer emits ``short_start`` —
+    the window branch is unreachable in its main path — so the span
+    keys here follow the serializer, ``model.py:41-64``.)"""
+    for abrv in abbreviations:
+        if abrv["short_text"] in target:
+            if start_char is not None and end_char is not None:
+                if not (abrv["short_start"] >= start_char
+                        and abrv["short_end"] <= end_char):
+                    continue
+            target = target.replace(abrv["short_text"], abrv["long_text"])
+    return target
+
+
+UMLS_ENTITIES_TYPE = pa.list_(pa.struct([
+    ("umls_cui", pa.string()),
+    ("umls_name", pa.string()),
+    ("umls_prob", pa.float64()),
+]))
+# Mirror of UMLSDiseaseSchema (umls_disease/model.py:16-36): pmid,
+# resolved diagnosis, entities, count, group_ix, start/end char.
+LINKED_GROUPS_TYPE = pa.list_(pa.struct([
+    ("pmid", pa.int64()),
+    ("diagnosis", pa.string()),
+    ("umls_entities", UMLS_ENTITIES_TYPE),
+    ("count", pa.float64()),
+    ("group_ix", pa.int32()),
+    ("start_char", pa.int32()),
+    ("end_char", pa.int32()),
+]))
+
+
+class PositionalLinkActor:
+    """UMLS-disease positional pipeline parity
+    (``umls_disease/model.py:289-319``): per document, detect
+    abbreviations ONCE from the source text, expand each demographics
+    group's diagnosis mention (optionally windowed by positional
+    offsets), link the RESOLVED mention, and emit
+    UMLSDiseaseSchema-shaped rows (groups with no entities are
+    dropped, ``model.py:306-317``)."""
+
+    def __init__(self, kb=None, groups_column: str = "groups",
+                 text_column: str = "text", id_column: str = "doc_id",
+                 max_entities: int = 5):
+        from ..functions.normalize import detect_abbreviations
+
+        self._detect = detect_abbreviations
+        self.index = CandidateIndex(kb)
+        self.groups_column = groups_column
+        self.text_column = text_column
+        self.id_column = id_column
+        self.max_entities = max_entities
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = (
+            batch[self.text_column].to_pylist()
+            if self.text_column in batch.column_names
+            else [None] * batch.num_rows
+        )
+        out = []
+        for groups, text in zip(batch[self.groups_column].to_pylist(), texts):
+            abbrevs = self._detect(text) if text else []
+            rows = []
+            for gix, g in enumerate(groups or []):
+                diag = (g or {}).get("diagnosis")
+                if not diag:
+                    continue
+                start = (g or {}).get("diagnosis_start")
+                end = (g or {}).get("diagnosis_end")
+                resolved = resolve_mention(diag, abbrevs, start, end)
+                ents = self.index.candidates(resolved, max_entities=self.max_entities)
+                if not ents:
+                    continue
+                rows.append({
+                    "pmid": 0,  # model.py:308 — not critical for extraction
+                    "diagnosis": resolved,
+                    "umls_entities": [
+                        {"umls_cui": e["umls_cui"], "umls_name": e["umls_name"],
+                         "umls_prob": e["umls_prob"]} for e in ents
+                    ],
+                    "count": (g or {}).get("count"),
+                    "group_ix": gix,
+                    "start_char": start,
+                    "end_char": end,
+                })
+            out.append(rows)
+        return pa.table({
+            self.id_column: batch[self.id_column],
+            "linked_groups": pa.array(out, LINKED_GROUPS_TYPE),
+        })
+
+
 class LinkActor:
     """map_batches actor: link the ``diagnosis`` of each demographics
     group (upstream-pipeline input, J1) to KB candidates. The index is

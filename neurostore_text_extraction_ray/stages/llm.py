@@ -152,21 +152,28 @@ class LLMExtractActor:
     """map_batches actor holding the (fake or injected) client."""
 
     def __init__(self, text_column: str = "text", id_column: str = "doc_id",
-                 client=None, base_prompt: str = "Extract participant demographics."):
+                 client=None, base_prompt: str = "Extract participant demographics.",
+                 keep_text: bool = False):
         self.text_column = text_column
         self.id_column = id_column
         self.client = client if client is not None else FakeLLMClient()
         self.base_prompt = base_prompt
+        self.keep_text = keep_text
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         groups_col = []
         for text in batch[self.text_column].to_pylist():
             _ = build_prompt(self.base_prompt, text or "")  # parity: prompt built per doc
             groups_col.append(self.client.extract(text or "")["groups"])
-        return pa.table({
+        cols = {
             self.id_column: batch[self.id_column],
             "groups": pa.array(groups_col, GROUPS_TYPE),
-        })
+        }
+        if self.keep_text:
+            # downstream abbreviation-aware linking needs the source
+            # text (umls_disease/model.py:289-299 reads both)
+            cols[self.text_column] = batch[self.text_column]
+        return pa.table(cols)
 
 
 # ---------------------------------------------------------------------------

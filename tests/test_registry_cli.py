@@ -96,3 +96,101 @@ def test_dependent_op_hash_includes_input(tmp_path):
     assert config_hash({"name": "tfidf", "input_fingerprint": f1}) != config_hash(
         {"name": "tfidf", "input_fingerprint": f2}
     )
+
+
+# -- Post-process modes + overwrite interplay (cli/run.py:156-216,
+#    base.py:174-215) --------------------------------------------------------
+
+
+def _read_groups(dest):
+    import glob
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    files = sorted(glob.glob(os.path.join(dest, "*.parquet")))
+    df = pq.ParquetDataset(files).read().to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+def test_post_process_modes(ray_session, tmp_path):
+    """All three modes: full, --no-post-process (raw only), then
+    --post-process-only over the raw output reproduces the full run."""
+    entries = [("llm_demographics", {})]
+    full = registry.run_entries(entries, SF, str(tmp_path / "full"))
+    full_df = _read_groups(full["llm_demographics"])
+
+    raw = registry.run_entries(entries, SF, str(tmp_path / "stage"),
+                               post_process=False)
+    raw_df = _read_groups(raw["llm_demographics"])
+    # raw run: no cleaned/raw split — groups carry the raw extraction
+    assert (raw_df["groups_raw_json"] == "null").all()
+    assert not raw_df["groups_json"].equals(full_df["groups_json"])
+
+    only = registry.run_entries(entries, SF, str(tmp_path / "stage"),
+                                post_process="only")
+    only_df = _read_groups(only["llm_demographics"])
+    # post-process-only over the raw output == the full pipeline
+    assert only_df["groups_json"].equals(full_df["groups_json"])
+    assert only_df["groups_raw_json"].equals(full_df["groups_raw_json"])
+    assert only_df["is_patient_study"].equals(full_df["is_patient_study"])
+
+
+def test_post_process_only_idempotent(ray_session, tmp_path):
+    """post-process-only over already-cleaned output is a no-op (the
+    ladder is idempotent; raw-first-else-results fallback)."""
+    entries = [("llm_demographics", {})]
+    full = registry.run_entries(entries, SF, str(tmp_path))
+    before = _read_groups(full["llm_demographics"])
+    again = registry.run_entries(entries, SF, str(tmp_path), post_process="only")
+    after = _read_groups(again["llm_demographics"])
+    assert before.equals(after)
+
+
+def test_skip_existing_unless_overwrite(ray_session, tmp_path):
+    """Default rerun skips an existing output dir; --overwrite reruns
+    (base.py:157-162 short-circuit analog)."""
+    import glob
+
+    entries = [("word_count", {})]
+    out = registry.run_entries(entries, SF, str(tmp_path))
+    dest = out["word_count"]
+    files1 = {f: os.path.getmtime(f) for f in glob.glob(os.path.join(dest, "*.parquet"))}
+    registry.run_entries(entries, SF, str(tmp_path))  # skip
+    files2 = {f: os.path.getmtime(f) for f in glob.glob(os.path.join(dest, "*.parquet"))}
+    assert files1 == files2
+    registry.run_entries(entries, SF, str(tmp_path), overwrite=True)
+    files3 = set(glob.glob(os.path.join(dest, "*.parquet")))
+    assert files3  # rewritten (fresh part files)
+
+
+def test_post_process_only_without_prior_is_noop(ray_session, tmp_path):
+    """'only' with no existing output: warns and leaves nothing (the
+    reference returns with a warning, base.py:211-214)."""
+    import glob
+
+    out = registry.run_entries([("llm_demographics", {})], SF, str(tmp_path),
+                               post_process="only")
+    assert not glob.glob(os.path.join(out["llm_demographics"], "*.parquet"))
+
+
+def test_cli_post_process_flags(tmp_path):
+    """Subprocess e2e: --no-post-process then --post-process-only on
+    the same output tree."""
+    base_cmd = [sys.executable, "-m", "neurostore_text_extraction_ray.cli",
+                "--sf-dir", SF, "--out", str(tmp_path),
+                "--pipelines", "llm_demographics", "--num-cpus", "4"]
+    out1 = subprocess.run(base_cmd + ["--no-post-process"], capture_output=True,
+                          text=True, cwd="/root/repo", check=True, timeout=300).stdout
+    dest = json.loads(out1.strip().splitlines()[-1])["llm_demographics"]
+    raw_df = _read_groups(dest)
+    assert (raw_df["groups_raw_json"] == "null").all()
+    subprocess.run(base_cmd + ["--post-process-only"], capture_output=True,
+                   text=True, cwd="/root/repo", check=True, timeout=300)
+    pp_df = _read_groups(dest)
+    # cleaned now differs from the raw run wherever the ladder fired
+    assert not pp_df["groups_json"].equals(raw_df["groups_json"])
+    # mutually exclusive flags rejected
+    bad = subprocess.run(base_cmd + ["--no-post-process", "--post-process-only"],
+                         capture_output=True, text=True, cwd="/root/repo")
+    assert bad.returncode != 0

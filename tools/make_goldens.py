@@ -35,6 +35,7 @@ SF_QUERIES = [
     "llm_demographics",
     "llm_task_metadata",
     "entity_linking",
+    "umls_disease_groups",
     "abbrev_expand",
 ]
 # corpus-independent queries (single file)
