@@ -356,15 +356,16 @@ def run_flagship_to_parquet(
             # the same file and dedupe via os.replace, while two distinct
             # batches that happen to carry the same url set but different
             # fetches (the normal case after partial_dedup) NEVER collide.
+            # Built vectorized (one str.cat + one hash update per
+            # fragment, not a Python loop per row).
             tss = sub["warc_ts"].to_numpy(zero_copy_only=False).astype(
                 "datetime64[us]").astype(np.int64)
-            h = hashlib.blake2b(digest_size=10)
-            for u, t in zip(sub["url"].to_pylist(), tss):
-                h.update(u.encode())
-                h.update(b"|")
-                h.update(int(t).to_bytes(8, "little", signed=True))
-                h.update(b"\0")
-            fid = h.hexdigest()
+            blob = (
+                sub["url"].to_pandas()
+                .str.cat(pd.Series(tss).astype(str), sep="|")
+                .str.cat(sep="\0")
+            )
+            fid = hashlib.blake2b(blob.encode(), digest_size=10).hexdigest()
             path = os.path.join(frag_dir, f"{fid}.parquet")
             tmp = path + f".tmp-{os.getpid()}"
             pq.write_table(sub.drop_columns(["part"]), tmp)
