@@ -44,24 +44,72 @@ def _components(pairs: list[tuple[int, int]]) -> dict[int, int]:
     return {x: find(x) for x in parent}
 
 
+# above this many band rows the bucket combine leaves the driver and
+# goes through the filesystem partition exchange (tests patch it down
+# to force the scale path)
+BAND_ROWS_DRIVER_LIMIT = 50_000_000
+
+
+def _bucket_pairs_exchanged(mat, num_parts: int = 64) -> pd.DataFrame:
+    """Scale path for the bucket combine: (band, key)-hash partition
+    exchange through shared storage (stages/exchange.py — Ray-native
+    groupby measured 50x slower here, BASELINE.md), then one parallel
+    task per part emits its buckets' pairs. Every bucket lands wholly
+    in one part, so the result equals the driver-side combine; only
+    the small pair list (bounded downstream by ``max_pairs``) returns
+    to the driver."""
+    import os
+    import shutil
+    import tempfile
+
+    from . import exchange as ex
+
+    stage = tempfile.mkdtemp(
+        prefix="nse_bands_",
+        dir="/dev/shm" if os.path.isdir("/dev/shm") else None,
+    )
+    try:
+        def part_fn(batch: pa.Table) -> np.ndarray:
+            return ex.int_part(
+                [
+                    batch["band"].to_numpy(zero_copy_only=False).astype(np.int64),
+                    batch["key"].to_numpy(zero_copy_only=False),
+                ],
+                num_parts,
+            )
+
+        ex.write_exchange(mat, stage, part_fn)
+        empty = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+
+        def pairs_of_part(table: pa.Table) -> pa.Table:
+            df = table.to_pandas()
+            out = []
+            for _, g in df.groupby(["band", "key"], sort=False):
+                if len(g) >= 2:
+                    out.append(_emit_pairs_from_bucket(g))
+            if not out:
+                return empty.empty_table()
+            res = pd.concat(out, ignore_index=True).drop_duplicates()
+            return pa.Table.from_pandas(res, preserve_index=False)
+
+        pairs = ex.map_parts(stage, num_parts, pairs_of_part, empty).to_pandas()
+        return pairs.drop_duplicates()
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+
+
 def _bucket_pairs(band_rows_ds) -> pd.DataFrame:
     """(doc_id, band, key) rows -> candidate pairs. Band rows are tiny
     (ids + 8-byte keys, never text), so below a size guard they combine
-    on the driver with one vectorized pandas groupby; beyond it, the
-    distributed groupby runs instead. The path decision uses ``count()``
+    on the driver with one vectorized pandas groupby; beyond it they
+    flow through the filesystem partition exchange
+    (``_bucket_pairs_exchanged``). The path decision uses ``count()``
     on the MATERIALIZED band rows — cheap block metadata, taken BEFORE
     any driver-side collection, and the materialized blocks feed
-    whichever path wins so the sketch stage never recomputes. At
-    cluster scale the band rows would instead flow through the
-    partition-exchange pattern (pipelines/flagship.py)."""
+    whichever path wins so the sketch stage never recomputes."""
     mat = band_rows_ds.materialize()
-    if mat.count() > 50_000_000:
-        pairs = (
-            mat.groupby(["band", "key"])
-            .map_groups(_emit_pairs_from_bucket, batch_format="pandas")
-            .to_pandas()
-        )
-        return pairs.drop_duplicates()
+    if mat.count() > BAND_ROWS_DRIVER_LIMIT:
+        return _bucket_pairs_exchanged(mat)
     rows = mat.to_pandas()
     out = []
     for _, g in rows.groupby(["band", "key"], sort=False):
@@ -364,13 +412,7 @@ def embedding_cosine_dup(
             "key": pa.array(bkey, pa.int64()),
         })
 
-    pairs_df = (
-        ds.map_batches(sketch, batch_format="pyarrow")
-        .groupby(["band", "key"])
-        .map_groups(_emit_pairs_from_bucket, batch_format="pandas")
-        .to_pandas()
-        .drop_duplicates()
-    )
+    pairs_df = _bucket_pairs(ds.map_batches(sketch, batch_format="pyarrow"))
     cand_ids = set(pairs_df.get("a", [])).union(pairs_df.get("b", []))
     cand_ref = ray.put(np.array(sorted(cand_ids), dtype=np.int64))
 

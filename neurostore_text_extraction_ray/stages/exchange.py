@@ -1,0 +1,102 @@
+"""Generic filesystem-mediated partition exchange.
+
+Ray Data's native ``groupby``/``sort`` all-to-all measured 46-104 s for
+a 237 MB exchange in this environment (BASELINE.md), so wide operators
+here exchange through shared storage instead: phase A streams the
+input and appends each batch's rows into per-part parquet fragments
+(content-addressed names -> task retries overwrite identical bytes);
+phase B runs one task per part over its fragments. On a cluster this
+is the standard external-shuffle layout — every phase is
+embarrassingly parallel and the exchange is bounded by storage
+bandwidth, not an in-memory all-to-all.
+
+``pipelines/flagship.py`` embeds the same pattern with resume-specific
+extensions (manifests, part anti-join, atomic output); this module is
+the reusable core for other operators (LSH band-row combination,
+key-partitioned group work).
+"""
+
+from __future__ import annotations
+
+import glob
+import hashlib
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+_MIX = np.uint64(0x9E3779B97F4A7C15)  # 64-bit golden-ratio mixer
+
+
+def int_part(cols: list[np.ndarray], num_parts: int) -> np.ndarray:
+    """Deterministic part id from one or more integer key columns
+    (vectorized multiply-xor mix)."""
+    h = np.zeros(len(cols[0]), dtype=np.uint64)
+    for c in cols:
+        with np.errstate(over="ignore"):
+            h = (h ^ c.astype(np.uint64)) * _MIX
+            h ^= h >> np.uint64(29)
+    return (h % np.uint64(num_parts)).astype(np.int64)
+
+
+def write_exchange(ds, stage_dir: str, part_fn, batch_size: int = 8192) -> int:
+    """Phase A: stream ``ds`` into per-part fragment files.
+
+    ``part_fn(batch: pa.Table) -> np.ndarray[int64]`` assigns each row
+    a part id. Fragment names hash the fragment's serialized bytes, so
+    retries are idempotent while distinct batches never collide.
+    Returns the number of rows exchanged."""
+    os.makedirs(stage_dir, exist_ok=True)
+
+    def write_fragments(batch: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        parts_np = np.asarray(part_fn(batch))
+        for part in np.unique(parts_np):
+            sub = batch.filter(pa.array(parts_np == part))
+            frag_dir = os.path.join(stage_dir, f"part={int(part):05d}")
+            os.makedirs(frag_dir, exist_ok=True)
+            sink = pa.BufferOutputStream()
+            pq.write_table(sub, sink)
+            buf = sink.getvalue()
+            fid = hashlib.blake2b(buf, digest_size=10).hexdigest()
+            path = os.path.join(frag_dir, f"{fid}.parquet")
+            tmp = path + f".tmp-{os.getpid()}"
+            with open(tmp, "wb") as f:
+                f.write(buf.to_pybytes())
+            os.replace(tmp, path)
+        return pa.table({"n": pa.array([batch.num_rows], pa.int64())})
+
+    counts = ds.map_batches(
+        write_fragments, batch_format="pyarrow", batch_size=batch_size
+    ).to_pandas()
+    return int(counts["n"].sum()) if len(counts) else 0
+
+
+def map_parts(stage_dir: str, num_parts: int, fn, empty_schema: pa.Schema):
+    """Phase B: one parallel task per part; ``fn(table) -> table`` runs
+    over the part's concatenated fragments. Returns a Dataset of the
+    per-part outputs (empty parts yield ``empty_schema``)."""
+    import ray.data as rd
+
+    def run_part(batch: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        outs = []
+        for p in batch["part"].to_pylist():
+            frag_files = sorted(
+                glob.glob(os.path.join(stage_dir, f"part={int(p):05d}", "*.parquet"))
+            )
+            if not frag_files:
+                continue
+            table = pa.concat_tables([pq.read_table(f) for f in frag_files])
+            outs.append(fn(table))
+        if not outs:
+            return empty_schema.empty_table()
+        return pa.concat_tables(outs, promote_options="default")
+
+    parts = rd.from_arrow(
+        pa.table({"part": pa.array(list(range(num_parts)), pa.int64())})
+    ).repartition(num_parts)
+    return parts.map_batches(run_part, batch_format="pyarrow", batch_size=1)

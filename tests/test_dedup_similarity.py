@@ -126,3 +126,60 @@ def test_knn_ivf_recall(ray_session):
         a = set(approx[approx.query_id == qid].vec_id)
         recalls.append(len(e & a) / len(e))
     assert np.mean(recalls) >= 0.5  # probing half the cells
+
+
+def test_bucket_pairs_exchange_path_equivalence(ray_session, monkeypatch):
+    """Forcing the filesystem partition-exchange path (the >50M-row
+    scale route) produces the SAME near-dup groups as the driver-side
+    combine."""
+    from neurostore_text_extraction_ray.stages import dedup
+
+    texts = [BASE, NEAR, OTHER, BASE + " extra tail", OTHER + " tail"] * 4
+    ds = _docs_ds(ray_session, texts)
+    small = {r["doc_id"]: r["dup_group"]
+             for r in dedup.minhash_near_dup(ds, threshold=0.5, bands=32).iter_rows()}
+    monkeypatch.setattr(dedup, "BAND_ROWS_DRIVER_LIMIT", 0)
+    big = {r["doc_id"]: r["dup_group"]
+           for r in dedup.minhash_near_dup(ds, threshold=0.5, bands=32).iter_rows()}
+    assert small == big
+    sim_small_ds = dedup.simhash_near_dup(ds, hamming_threshold=6)
+    sim_small = {r["doc_id"]: r["dup_group"] for r in sim_small_ds.iter_rows()}
+    monkeypatch.undo()
+    sim_ref = {r["doc_id"]: r["dup_group"]
+               for r in dedup.simhash_near_dup(ds, hamming_threshold=6).iter_rows()}
+    assert sim_small == sim_ref
+
+
+def test_exchange_utility_roundtrip(ray_session, tmp_path):
+    """stages/exchange.py: every row lands in exactly one part and
+    phase-B sees each part's full contents."""
+    import ray.data as rd
+
+    from neurostore_text_extraction_ray.stages import exchange as ex
+
+    n = 5000
+    table = pa.table({
+        "k": pa.array(np.arange(n) % 37, pa.int64()),
+        "v": pa.array(np.arange(n), pa.int64()),
+    })
+    stage = str(tmp_path / "stage")
+    rows = ex.write_exchange(
+        rd.from_arrow(table).repartition(8), stage,
+        lambda b: ex.int_part([b["k"].to_numpy(zero_copy_only=False)], 16),
+    )
+    assert rows == n
+    empty = pa.schema([("k", pa.int64()), ("n", pa.int64()), ("s", pa.int64())])
+
+    def agg(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().groupby("k", sort=False)["v"].agg(["count", "sum"]).reset_index()
+        return pa.table({
+            "k": pa.array(df["k"], pa.int64()),
+            "n": pa.array(df["count"], pa.int64()),
+            "s": pa.array(df["sum"], pa.int64()),
+        })
+
+    out = ex.map_parts(stage, 16, agg, empty).to_pandas().sort_values("k")
+    # groups never split across parts -> one output row per key
+    assert len(out) == 37
+    assert int(out["n"].sum()) == n
+    assert int(out["s"].sum()) == n * (n - 1) // 2
