@@ -191,6 +191,62 @@ def planted_demographics_sentence(doc_id: int) -> str:
     )
 
 
+def flatten_ground_truth_demo(n_docs: int) -> "pd.DataFrame":
+    """Hand-derived expected CLEANED demographics rows for the planted
+    sentences (independent of the client/ladder code) — evaluation
+    ground truth. The corpus text is inert (0/500 docs match any
+    demographic pattern), so these are exact."""
+    import numpy as np_
+
+    rows = []
+    for did in range(n_docs):
+        k = did % 4
+        if k == 0:
+            continue
+        if k == 1:
+            male = float(2 + did % 20)
+            female = float(1 + did % 15)
+            age = (20 + did % 40) + 0.5
+            rows.append(dict(doc_id=did, group_ix=0, count=float(10 + did % 50),
+                             diagnosis="MDD", group_name="patients",
+                             male_count=male, female_count=female, age_mean=age))
+            rows.append(dict(doc_id=did, group_ix=1, count=float(5 + did % 30),
+                             diagnosis=None, group_name="healthy",
+                             male_count=male, female_count=female, age_mean=age))
+        elif k == 2:
+            cnt = float(8 + did % 40)
+            fem = float(3 + did % 12)
+            rows.append(dict(doc_id=did, group_ix=0, count=cnt,
+                             diagnosis="schizophrenia", group_name="patients",
+                             male_count=cnt - fem, female_count=fem,
+                             age_mean=np_.nan))
+        else:
+            cnt = float(12 + did % 25)
+            male = float(4 + did % 10)
+            rows.append(dict(doc_id=did, group_ix=0, count=cnt, diagnosis=None,
+                             group_name="healthy", male_count=male,
+                             female_count=cnt - male, age_mean=np_.nan))
+    return pd.DataFrame(rows)
+
+
+def flatten_ground_truth_tasks(n_docs: int) -> "pd.DataFrame":
+    """Expected fMRI-task rows for the planted task sentences."""
+    rows = []
+    for did in range(n_docs):
+        k = did % 5
+        if k == 1:
+            rows.append(dict(doc_id=did, task_ix=0, TaskName="Go/No-Go Task",
+                             RestingState=False,
+                             TaskDuration=f"{5 + did % 20} minutes",
+                             Modality="fMRI-BOLD"))
+        elif k == 2:
+            rows.append(dict(doc_id=did, task_ix=0, TaskName="Resting state",
+                             RestingState=True,
+                             TaskDuration=f"{4 + did % 12} minutes",
+                             Modality="fMRI-BOLD"))
+    return pd.DataFrame(rows)
+
+
 def _demo_docs(sf_dir: str):
     """documents with the planted demographics sentence appended."""
     import pandas as pd_

@@ -34,3 +34,58 @@ def test_field_accuracy():
     assert acc["diagnosis"] == 2 / 3      # normalization matches 1,2; 3 differs
     assert acc["count"] == 1.0            # 20==20; |15-15.5|<=1; NaN==NaN
     assert (out["n"] == 3).all()          # inner join drops gt-only pmcid 4
+
+
+def test_flatten_groups_and_tasks():
+    from neurostore_text_extraction_ray.pipelines.evaluation import (
+        flatten_groups, flatten_tasks)
+
+    df = pd.DataFrame({
+        "doc_id": [1, 2],
+        "groups_json": [
+            '[{"count":5.0,"diagnosis":"mdd"},{"count":3.0,"diagnosis":null}]',
+            "[]",
+        ],
+    })
+    flat = flatten_groups(df)
+    assert len(flat) == 2
+    assert list(flat["group_ix"]) == [0, 1]
+    tdf = pd.DataFrame({
+        "doc_id": [1],
+        "study_metadata_json": [
+            '{"Modality":["fMRI-BOLD"],"StudyObjective":null,"Exclude":null,'
+            '"fMRITasks":[{"TaskName":"Stroop Task","RestingState":false,'
+            '"TaskDuration":"10 minutes"}],"BehavioralTasks":null}'
+        ],
+    })
+    tflat = flatten_tasks(tdf)
+    assert tflat.iloc[0]["TaskName"] == "Stroop Task"
+    assert tflat.iloc[0]["Modality"] == "fMRI-BOLD"
+
+
+def test_run_standard_evaluation(ray_session):
+    """Full §3.3 loop over sf0.001: both standard pipelines, flattened
+    and scored against ground truth derived from the planted sentences
+    — planted fields must score 1.0."""
+    import os
+
+    import pytest as _pytest
+
+    SF = "/root/testdata/sf0.001"
+    if not os.path.isdir(SF):
+        _pytest.skip("testdata unavailable")
+    from neurostore_text_extraction_ray.pipelines.evaluation import (
+        run_standard_evaluation)
+    from neurostore_text_extraction_ray.pipelines.extras import (
+        _llm_demographics, _llm_task_metadata, flatten_ground_truth_demo,
+        flatten_ground_truth_tasks)
+
+    gt_g = flatten_ground_truth_demo(500)
+    gt_t = flatten_ground_truth_tasks(500)
+    out = run_standard_evaluation(SF, gt_g, gt_t)
+    demo = out["demographics"].set_index("field")
+    assert demo.loc["count", "accuracy"] == 1.0
+    assert demo.loc["diagnosis", "accuracy"] == 1.0
+    tasks = out["tasks"].set_index("field")
+    assert tasks.loc["TaskName", "accuracy"] == 1.0
+    assert tasks.loc["RestingState", "accuracy"] == 1.0
