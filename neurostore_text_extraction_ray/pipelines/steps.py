@@ -389,26 +389,62 @@ def events_hourly(sf_dir: str):
 # -- Streaming-shaped: session windows (gap-based) --------------------------
 
 
-def events_sessionize(sf_dir: str, gap_minutes: int = 30):
+def events_sessionize(sf_dir: str, gap_minutes: int = 30, num_parts: int = 32):
     """Per-user session assignment: a new session starts when the gap
-    since the previous event exceeds ``gap_minutes``. groupby(user) +
-    per-group sorted cumulative pass (the guide's pattern for
-    stream-shaped work); output (event_id, user_id, session_id,
+    since the previous event exceeds ``gap_minutes``. The user
+    co-location runs through the filesystem partition exchange
+    (stages/exchange.py — Ray's native groupby measured 50x slower
+    here); each part then sessionizes ALL its users in one vectorized
+    pandas pass (sort + shift/diff + per-user cumsum — no per-user
+    Python loop). Output (event_id, user_id, session_id,
     session_start)."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
     import ray.data as rd
+
+    from ..stages import exchange as ex
 
     ds = rd.read_parquet(
         f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
     )
+    stage = tempfile.mkdtemp(
+        prefix="nse_sessions_",
+        dir="/dev/shm" if os.path.isdir("/dev/shm") else None,
+    )
+    # the returned Dataset is lazy, so the exchange dir must outlive
+    # this call; a sink-owning caller (e.g. run_entries -> write) may
+    # clean earlier, otherwise it is removed at interpreter exit
+    atexit.register(shutil.rmtree, stage, ignore_errors=True)
 
-    def sessionize(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="stable")
-        gap = g["ts"].diff() > pd.Timedelta(minutes=gap_minutes)
-        g["session_id"] = gap.cumsum().astype("int64")
-        g["session_start"] = g.groupby("session_id")["ts"].transform("min")
-        return g[["event_id", "user_id", "session_id", "session_start"]]
+    ex.write_exchange(
+        ds, stage,
+        lambda b: ex.int_part(
+            [b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)],
+            num_parts,
+        ),
+    )
+    empty = pa.schema([
+        ("event_id", pa.int64()), ("user_id", pa.int64()),
+        ("session_id", pa.int64()), ("session_start", pa.timestamp("us")),
+    ])
 
-    return ds.groupby("user_id").map_groups(sessionize, batch_format="pandas")
+    def sessionize_part(table: pa.Table) -> pa.Table:
+        df = table.to_pandas().sort_values(
+            ["user_id", "ts", "event_id"], kind="stable"
+        ).reset_index(drop=True)
+        new_user = df["user_id"].ne(df["user_id"].shift())
+        brk = (df["ts"].diff() > pd.Timedelta(minutes=gap_minutes)) & ~new_user
+        df["session_id"] = brk.groupby(df["user_id"].to_numpy()).cumsum().astype("int64")
+        df["session_start"] = df.groupby(["user_id", "session_id"], sort=False)[
+            "ts"].transform("min")
+        out = df[["event_id", "user_id", "session_id", "session_start"]]
+        return pa.Table.from_pandas(out, preserve_index=False).cast(
+            pa.schema(empty))
+
+    return ex.map_parts(stage, num_parts, sessionize_part, empty)
 
 
 # -- As-of join: each event matched to the user's latest prior order --------
