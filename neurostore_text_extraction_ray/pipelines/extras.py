@@ -295,7 +295,11 @@ def _llm_demographics(sf_dir: str, post_process=True, prior_dir: str | None = No
     if post_process == "only":
         if prior_dir is None:
             raise ValueError("post_process='only' needs prior_dir")
-        prior = rd.read_parquet(prior_dir)
+        import glob as _glob
+        import os as _os
+
+        prior = rd.read_parquet(
+            sorted(_glob.glob(_os.path.join(prior_dir, "*.parquet"))))
 
         def reload_raw(batch: pa_.Table) -> pa_.Table:
             # raw_results.json first, else results.json (base.py:182-199)
@@ -477,6 +481,47 @@ def _extract_jats(sf_dir: str):
         })
 
     return ds.map_batches(project, batch_format="pyarrow")
+
+
+def _entity_linking_chained(sf_dir: str, upstream_dirs: dict[str, str]):
+    """Pipeline-on-pipeline dataflow (reference ``_input_pipelines`` +
+    ``Dataset.add_pipeline``, base.py:94-108, dataset.py:243-382): link
+    diagnoses from the STORED llm_demographics output — resolved to the
+    latest version/config dir by the registry — with no re-extraction.
+    Output matches the inline ``entity_linking`` query exactly."""
+    import glob as _glob
+    import json as _json
+    import os as _os
+
+    import ray.data as rd
+
+    from ..stages.linker import LinkActor
+    from ..stages.llm import GROUPS_TYPE
+
+    files = sorted(_glob.glob(_os.path.join(
+        upstream_dirs["llm_demographics"], "*.parquet")))
+    prior = rd.read_parquet(files)
+
+    def parse(batch: pa.Table) -> pa.Table:
+        groups = [_json.loads(g) for g in batch["groups_json"].to_pylist()]
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "groups": pa.array(groups, GROUPS_TYPE),
+        })
+
+    ds = (
+        prior.map_batches(parse, batch_format="pyarrow")
+        .map_batches(LinkActor, batch_format="pyarrow", concurrency=(1, 2))
+    )
+
+    def ser(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "entities_json": pa.array(
+                [_canon_json(v) for v in batch["entities"].to_pylist()], pa.string()),
+        })
+
+    return ds.map_batches(ser, batch_format="pyarrow")
 
 
 def _umls_disease_groups(sf_dir: str):

@@ -36,15 +36,25 @@ def camel_to_snake(name: str) -> str:
     return re.sub(r"([a-z0-9])([A-Z])", r"\1_\2", s1).lower()
 
 
-def register_op(name: str, version: str = "1.0.0", dependent: bool = False):
+def register_op(name: str, version: str = "1.0.0", dependent: bool = False,
+                input_pipelines: list[str] | None = None):
     """``dependent=True`` marks corpus-global operators (reference
     DependentPipeline, base.py:536-669): their config hash incorporates
     the INPUT IDENTITY (dataset membership analog, base.py:646-669), so
     a changed corpus lands in a fresh hash dir instead of silently
-    reusing stale results."""
+    reusing stale results.
+
+    ``input_pipelines`` declares pipeline-on-pipeline dependencies
+    (reference ``_input_pipelines``, base.py:94-108): at run time each
+    named upstream's latest version/config output dir is resolved
+    (``pond.resolve_pipeline_dir``, the add_pipeline analog) and passed
+    to the op as ``upstream_dirs={name: dir}``."""
 
     def deco(fn: Callable):
-        _REGISTRY[name] = {"fn": fn, "version": version, "dependent": dependent}
+        _REGISTRY[name] = {
+            "fn": fn, "version": version, "dependent": dependent,
+            "input_pipelines": list(input_pipelines or []),
+        }
         return fn
 
     return deco
@@ -100,12 +110,33 @@ def run_entries(entries: list[tuple[str, dict]], sf_dir: str, out_dir: str,
         hash_input = {"name": name, **kwargs}
         if entry.get("dependent"):
             hash_input["input_fingerprint"] = input_fingerprint(sf_dir)
+        # resolve declared upstream-pipeline outputs (J1/S4 analog):
+        # latest version + latest config under the SAME out_dir
+        upstream_dirs = {}
+        missing_upstream = None
+        for up in entry.get("input_pipelines", []):
+            from ..sources.pond import resolve_pipeline_dir
+
+            d = resolve_pipeline_dir(out_dir, up)
+            if d is None:
+                missing_upstream = up
+                break
+            upstream_dirs[up] = d
+        if missing_upstream is not None:
+            # reference tolerates a missing upstream with a warning
+            # (dataset.py:349-382); the dependent op is skipped
+            results[name] = None
+            continue
+        if upstream_dirs:
+            hash_input["upstream_dirs"] = upstream_dirs
         h = config_hash(hash_input)
         dest = os.path.join(out_dir, name, entry["version"], h)
         os.makedirs(dest, exist_ok=True)
         existing = sorted(_glob.glob(os.path.join(dest, "*.parquet")))
         fn = entry["fn"]
         accepts_pp = "post_process" in inspect.signature(fn).parameters
+        if upstream_dirs:
+            kwargs = dict(kwargs, upstream_dirs=upstream_dirs)
         if post_process == "only":
             if not accepts_pp or not existing:
                 # nothing to post-process (base.py:211-214 warns+returns)
@@ -130,6 +161,15 @@ def run_entries(entries: list[tuple[str, dict]], sf_dir: str, out_dir: str,
         for f in os.listdir(tmp):
             os.replace(os.path.join(tmp, f), os.path.join(dest, f))
         os.rmdir(tmp)
+        # run-level manifest (S6) — also what makes this dir resolvable
+        # as an upstream via resolve_pipeline_dir's latest-date rule
+        from ..state.manifest import write_pipeline_info
+
+        write_pipeline_info(dest, {
+            "name": name, "version": entry["version"], "config_hash": h,
+            "kwargs": {k: v for k, v in kwargs.items() if k != "upstream_dirs"},
+            "upstream_dirs": upstream_dirs or None,
+        })
         results[name] = dest
     return results
 
@@ -181,6 +221,8 @@ def _register_builtins():
     register_op("abbrev_expand_planted")(extras._abbrev_expand_planted)
     register_op("entity_linking")(extras._entity_linking)
     register_op("umls_disease_groups")(extras._umls_disease_groups)
+    register_op("entity_linking_chained",
+                input_pipelines=["llm_demographics"])(extras._entity_linking_chained)
     register_op("knn_ivf")(extras._knn_ivf)
     register_op("multimodal_features")(extras._multimodal_features)
 

@@ -194,3 +194,31 @@ def test_cli_post_process_flags(tmp_path):
     bad = subprocess.run(base_cmd + ["--no-post-process", "--post-process-only"],
                          capture_output=True, text=True, cwd="/root/repo")
     assert bad.returncode != 0
+
+
+def test_pipeline_on_pipeline_dependency(ray_session, tmp_path):
+    """Reference _input_pipelines analog: entity_linking_chained reads
+    the STORED llm_demographics output (resolved latest version/config)
+    and reproduces the inline entity_linking query exactly; running it
+    without its upstream is tolerated (skipped with None)."""
+    # missing upstream -> skipped
+    out0 = registry.run_entries([("entity_linking_chained", {})], SF,
+                                str(tmp_path / "solo"))
+    assert out0["entity_linking_chained"] is None
+
+    out = registry.run_entries(
+        [("llm_demographics", {}), ("entity_linking_chained", {})],
+        SF, str(tmp_path / "chain"))
+    assert out["entity_linking_chained"] is not None
+    # upstream dir recorded in the run manifest (S6)
+    info = json.load(open(os.path.join(out["entity_linking_chained"],
+                                       "pipeline_info.json")))
+    assert info["upstream_dirs"]["llm_demographics"] == out["llm_demographics"]
+
+    chained = _read_groups(out["entity_linking_chained"])  # sorted by doc_id
+    from neurostore_text_extraction_ray.pipelines.extras import _entity_linking
+
+    inline = (_entity_linking(SF).to_pandas()
+              .sort_values("doc_id").reset_index(drop=True))
+    assert chained["entities_json"].equals(inline["entities_json"])
+    assert (chained["entities_json"] != "[]").any()  # non-trivial content
