@@ -224,6 +224,11 @@ def run_benchmarks() -> dict:
                     threshold=0.7, bands=16)),
             ("lineitem_agg", steps.lineitem_agg),
             ("events_hourly", steps.events_hourly),
+            ("events_sessionize", steps.events_sessionize),
+            ("events_asof_orders", steps.events_asof_orders),
+            ("llm_demographics", lambda sf: __import__(
+                "neurostore_text_extraction_ray.pipelines.extras",
+                fromlist=["_llm_demographics"])._llm_demographics(sf)),
         ]:
             t0 = time.time()
             fn(SF_DIR).count()

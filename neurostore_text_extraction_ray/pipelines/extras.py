@@ -260,8 +260,11 @@ def _demo_docs(sf_dir: str):
         ]
         return out
 
+    # a single parquet file reads as one block, which would serialize
+    # the whole actor-pool chain; split so the pool can actually scale
     return rd.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
+        override_num_blocks=8,
     ).map_batches(plant, batch_format="pandas")
 
 
@@ -318,7 +321,7 @@ def _llm_demographics(sf_dir: str, post_process=True, prior_dir: str | None = No
         # (1,2) autoscaling pool: a fixed pool of 2 pins every CPU of a
         # 2-CPU cluster and starves the feeding tasks (deadlock)
         ds = _demo_docs(sf_dir).map_batches(
-            LLMExtractActor, batch_format="pyarrow", concurrency=(1, 2))
+            LLMExtractActor, batch_format="pyarrow", concurrency=(1, 8))
 
     def keep_raw(batch: pa_.Table) -> pa_.Table:
         return batch.append_column("groups_raw", batch["groups"])
@@ -382,9 +385,9 @@ def _entity_linking(sf_dir: str):
     # read/serialize tasks feeding them)
     ds = (
         _demo_docs(sf_dir)
-        .map_batches(LLMExtractActor, batch_format="pyarrow", concurrency=(1, 2))
+        .map_batches(LLMExtractActor, batch_format="pyarrow", concurrency=(1, 8))
         .map_batches(clean_groups_batch, batch_format="pyarrow")
-        .map_batches(LinkActor, batch_format="pyarrow", concurrency=(1, 2))
+        .map_batches(LinkActor, batch_format="pyarrow", concurrency=(1, 8))
     )
 
     def ser(batch: pa.Table) -> pa.Table:
@@ -511,7 +514,7 @@ def _entity_linking_chained(sf_dir: str, upstream_dirs: dict[str, str]):
 
     ds = (
         prior.map_batches(parse, batch_format="pyarrow")
-        .map_batches(LinkActor, batch_format="pyarrow", concurrency=(1, 2))
+        .map_batches(LinkActor, batch_format="pyarrow", concurrency=(1, 8))
     )
 
     def ser(batch: pa.Table) -> pa.Table:
@@ -536,9 +539,9 @@ def _umls_disease_groups(sf_dir: str):
     ds = (
         _demo_docs(sf_dir).map_batches(
             LLMExtractActor, fn_constructor_kwargs={"keep_text": True},
-            batch_format="pyarrow", concurrency=(1, 2))
+            batch_format="pyarrow", concurrency=(1, 8))
         .map_batches(clean_groups_batch, batch_format="pyarrow")
-        .map_batches(PositionalLinkActor, batch_format="pyarrow", concurrency=(1, 2))
+        .map_batches(PositionalLinkActor, batch_format="pyarrow", concurrency=(1, 8))
     )
 
     def ser(batch: pa.Table) -> pa.Table:
@@ -605,7 +608,7 @@ def _llm_task_metadata(sf_dir: str):
     docs = rd.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     ).map_batches(plant, batch_format="pandas")
-    ds = task_metadata_pipeline(docs, concurrency=(1, 2))
+    ds = task_metadata_pipeline(docs, concurrency=(1, 8))
 
     def ser(batch: pa.Table) -> pa.Table:
         return pa.table({
