@@ -29,6 +29,7 @@ from neurostore_text_extraction_ray.pipelines.extras import (  # noqa: E402
     _docs_langid_quality,
     _embed_documents,
     _entity_linking,
+    _entity_linking_chained_query,
     _extract_jats,
     _flagship,
     _flagship_titles,
@@ -177,6 +178,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "llm_demographics": _llm_demographics,
         "llm_task_metadata": _llm_task_metadata,
         "entity_linking": _entity_linking,
+        "entity_linking_chained": _entity_linking_chained_query,
         "umls_disease_groups": _umls_disease_groups,
         "abbrev_expand": _abbrev_expand,
         "abbrev_expand_planted": _abbrev_expand_planted,
@@ -361,6 +363,9 @@ def oracle_sql() -> dict[str, str]:
         "llm_demographics": _golden_sql("llm_demographics"),
         "llm_task_metadata": _golden_sql("llm_task_metadata"),
         "entity_linking": _golden_sql("entity_linking"),
+        # chained variant links from STORED upstream output; result is
+        # provably identical to the inline pipeline -> same golden
+        "entity_linking_chained": _golden_sql("entity_linking"),
         "umls_disease_groups": _golden_sql("umls_disease_groups"),
         "abbrev_expand": _golden_sql("abbrev_expand"),
         "multimodal_features": _golden_sql("multimodal_features", discriminated=False),

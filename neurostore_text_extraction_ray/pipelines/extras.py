@@ -247,25 +247,30 @@ def flatten_ground_truth_tasks(n_docs: int) -> "pd.DataFrame":
     return pd.DataFrame(rows)
 
 
-def _demo_docs(sf_dir: str):
-    """documents with the planted demographics sentence appended."""
+def _planted_docs(sf_dir: str, sentence_fn):
+    """documents with a deterministic planted sentence appended per
+    doc. A single parquet file reads as one block, which would
+    serialize a downstream actor-pool chain — split so pools scale."""
     import pandas as pd_
     import ray.data as rd
 
     def plant(df: pd_.DataFrame) -> pd_.DataFrame:
         out = df.copy()
         out["text"] = [
-            (t or "") + planted_demographics_sentence(int(d))
+            (t or "") + sentence_fn(int(d))
             for d, t in zip(df["doc_id"], df["text"])
         ]
         return out
 
-    # a single parquet file reads as one block, which would serialize
-    # the whole actor-pool chain; split so the pool can actually scale
     return rd.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
         override_num_blocks=8,
     ).map_batches(plant, batch_format="pandas")
+
+
+def _demo_docs(sf_dir: str):
+    """documents with the planted demographics sentence appended."""
+    return _planted_docs(sf_dir, planted_demographics_sentence)
 
 
 def _llm_demographics(sf_dir: str, post_process=True, prior_dir: str | None = None):
@@ -527,6 +532,26 @@ def _entity_linking_chained(sf_dir: str, upstream_dirs: dict[str, str]):
     return ds.map_batches(ser, batch_format="pyarrow")
 
 
+def _entity_linking_chained_query(sf_dir: str):
+    """queries() surface for the chained op: run the upstream
+    demographics pipeline to a scratch output tree, then link from its
+    STORED results. Provably equal to the inline ``entity_linking``
+    query, so it shares that pinned-golden oracle."""
+    import shutil
+    import tempfile
+
+    from .registry import run_entries
+
+    tmp = tempfile.mkdtemp(prefix="nse_chain_")
+    try:
+        out = run_entries([("llm_demographics", {})], sf_dir, tmp)
+        return _entity_linking_chained(
+            sf_dir, {"llm_demographics": out["llm_demographics"]}
+        ).materialize()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def _umls_disease_groups(sf_dir: str):
     """UMLS-disease positional pipeline (umls_disease/model.py:289-319):
     demographics -> abbreviation-aware mention expansion -> candidate
@@ -592,23 +617,10 @@ def _llm_task_metadata(sf_dir: str):
     (nv_task/model.py:9-13, schemas.py:6-156) — study modality,
     objective, exclusion, fMRI/behavioral task metadata, validated
     against the pydantic mirror (valid column; rows never dropped)."""
-    import pandas as pd_
-    import ray.data as rd
-
     from ..stages.task import task_metadata_pipeline
 
-    def plant(df: pd_.DataFrame) -> pd_.DataFrame:
-        out = df.copy()
-        out["text"] = [
-            (t or "") + planted_task_sentence(int(d))
-            for d, t in zip(df["doc_id"], df["text"])
-        ]
-        return out
-
-    docs = rd.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
-    ).map_batches(plant, batch_format="pandas")
-    ds = task_metadata_pipeline(docs, concurrency=(1, 8))
+    ds = task_metadata_pipeline(
+        _planted_docs(sf_dir, planted_task_sentence), concurrency=(1, 8))
 
     def ser(batch: pa.Table) -> pa.Table:
         return pa.table({

@@ -106,12 +106,14 @@ def _winner_partials(batch: pa.Table) -> pa.Table:
     """Per-batch combiner for the winners aggregate: (url, max warc_ts).
     Arrow-native hash aggregate (measured 2.3x the pandas groupby on a
     200k-row batch, no pandas conversion)."""
-    return (
+    g = (
         pa.table({"url": batch["url"], "warc_ts": batch["warc_ts"]})
         .group_by("url")
         .aggregate([("warc_ts", "max")])
-        .rename_columns(["url", "warc_ts"])
     )
+    # select BY NAME — key/aggregate column order differs across
+    # pyarrow versions
+    return pa.table({"url": g["url"], "warc_ts": g["warc_ts_max"]})
 
 
 def dedup_pages(ds, winners_ds=None):

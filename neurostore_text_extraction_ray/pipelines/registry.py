@@ -128,23 +128,33 @@ def run_entries(entries: list[tuple[str, dict]], sf_dir: str, out_dir: str,
             results[name] = None
             continue
         if upstream_dirs:
-            hash_input["upstream_dirs"] = upstream_dirs
+            # hash the upstream CONTENT fingerprint, not the path: an
+            # upstream overwritten in place (same dir, new data) must
+            # invalidate this op's cache
+            hash_input["upstream_fingerprints"] = {
+                up: input_fingerprint(d) for up, d in upstream_dirs.items()
+            }
         h = config_hash(hash_input)
         dest = os.path.join(out_dir, name, entry["version"], h)
         os.makedirs(dest, exist_ok=True)
         existing = sorted(_glob.glob(os.path.join(dest, "*.parquet")))
+        # a run is complete only once its pipeline_info.json landed
+        # (written AFTER the data): a partially-moved dir from a killed
+        # run must rerun, never be served as current
+        complete = existing and os.path.exists(
+            os.path.join(dest, "pipeline_info.json"))
         fn = entry["fn"]
         accepts_pp = "post_process" in inspect.signature(fn).parameters
         if upstream_dirs:
             kwargs = dict(kwargs, upstream_dirs=upstream_dirs)
         if post_process == "only":
-            if not accepts_pp or not existing:
+            if not accepts_pp or not complete:
                 # nothing to post-process (base.py:211-214 warns+returns)
                 results[name] = dest
                 continue
             ds = fn(sf_dir, **kwargs, post_process="only", prior_dir=dest)
         else:
-            if existing and not overwrite:
+            if complete and not overwrite:
                 results[name] = dest  # idempotent rerun: skip
                 continue
             call_kwargs = dict(kwargs)
@@ -210,21 +220,25 @@ def _register_builtins():
     register_op("jats_extract_text")(extras._jats_extract_text)
     register_op("pdf_extract_text")(extras._pdf_extract_text)
     register_op("extract_jats_pages")(extras._extract_jats)
-    register_op("docs_langid_quality")(extras._docs_langid_quality)
+    # round-2 version bumps: output schema/semantics changed (hex/json
+    # serialization, planted text, exhaustive-probe knn, rounded
+    # langid) — a new version dir prevents a round-1 cache from being
+    # served as current by the skip-unless-overwrite rule
+    register_op("docs_langid_quality", version="2.0.0")(extras._docs_langid_quality)
     register_op("docs_fingerprint")(extras._docs_fingerprint)
     register_op("abbrev_expand")(extras._abbrev_expand)
     register_op("minhash_dedup_groups")(extras._minhash_groups)
     register_op("simhash_dedup_groups")(extras._simhash_groups)
-    register_op("embed_documents")(extras._embed_documents)
-    register_op("llm_demographics")(extras._llm_demographics)
+    register_op("embed_documents", version="2.0.0")(extras._embed_documents)
+    register_op("llm_demographics", version="2.0.0")(extras._llm_demographics)
     register_op("llm_task_metadata", version="1.1.0")(extras._llm_task_metadata)
     register_op("abbrev_expand_planted")(extras._abbrev_expand_planted)
-    register_op("entity_linking")(extras._entity_linking)
+    register_op("entity_linking", version="2.0.0")(extras._entity_linking)
     register_op("umls_disease_groups")(extras._umls_disease_groups)
     register_op("entity_linking_chained",
                 input_pipelines=["llm_demographics"])(extras._entity_linking_chained)
-    register_op("knn_ivf")(extras._knn_ivf)
-    register_op("multimodal_features")(extras._multimodal_features)
+    register_op("knn_ivf", version="2.0.0")(extras._knn_ivf)
+    register_op("multimodal_features", version="2.0.0")(extras._multimodal_features)
 
 
 _register_builtins()

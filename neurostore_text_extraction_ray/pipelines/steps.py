@@ -414,9 +414,7 @@ def events_sessionize(sf_dir: str, gap_minutes: int = 30, num_parts: int = 32):
         prefix="nse_sessions_",
         dir="/dev/shm" if os.path.isdir("/dev/shm") else None,
     )
-    # the returned Dataset is lazy, so the exchange dir must outlive
-    # this call; a sink-owning caller (e.g. run_entries -> write) may
-    # clean earlier, otherwise it is removed at interpreter exit
+    # safety net only — the happy path removes the stage eagerly below
     atexit.register(shutil.rmtree, stage, ignore_errors=True)
 
     ex.write_exchange(
@@ -444,7 +442,13 @@ def events_sessionize(sf_dir: str, gap_minutes: int = 30, num_parts: int = 32):
         return pa.Table.from_pandas(out, preserve_index=False).cast(
             pa.schema(empty))
 
-    return ex.map_parts(stage, num_parts, sessionize_part, empty)
+    # drain phase B into the object store, then drop the tmpfs stage
+    # eagerly — returning a lazy dataset would pin a full copy of the
+    # events table in /dev/shm (the same tmpfs the object store spills
+    # to) until interpreter exit
+    out = ex.map_parts(stage, num_parts, sessionize_part, empty).materialize()
+    shutil.rmtree(stage, ignore_errors=True)
+    return out
 
 
 # -- As-of join: each event matched to the user's latest prior order --------

@@ -42,6 +42,15 @@ def url_for(doc_id: int) -> str:
     return f"https://corpus.example.org/doc/{doc_id}"
 
 
+def revs_for(doc_id: int) -> tuple[int, ...]:
+    """Fetch revisions synthesized for a doc — the SINGLE source of the
+    duplicate-fetch policy. ``pages_batch`` and ``pages_keys_batch``
+    must agree exactly: the streaming dedup semi-joins the keys
+    projection's winner (url, warc_ts) against the full pages stream,
+    and any divergence silently drops whole urls."""
+    return (0, 1) if doc_id % DUP_MOD == 0 else (0,)
+
+
 def ts_for(doc_id: int, rev: int) -> datetime.datetime:
     return EPOCH + datetime.timedelta(minutes=int(doc_id)) + datetime.timedelta(days=rev)
 
@@ -76,8 +85,7 @@ def pages_batch(batch: pa.Table) -> pa.Table:
     langs = batch["lang"].to_pylist()
     urls, tss, htmls, out_texts, out_langs = [], [], [], [], []
     for did, text, lang in zip(doc_ids, texts, langs):
-        revs = (0, 1) if did % DUP_MOD == 0 else (0,)
-        for rev in revs:
+        for rev in revs_for(did):
             urls.append(url_for(did))
             tss.append(ts_for(did, rev))
             htmls.append(html_for(did, text or "", rev))
@@ -110,8 +118,7 @@ def pages_keys_batch(batch: pa.Table) -> pa.Table:
     doc_ids = batch["doc_id"].to_pylist()
     urls, tss = [], []
     for did in doc_ids:
-        revs = (0, 1) if did % DUP_MOD == 0 else (0,)
-        for rev in revs:
+        for rev in revs_for(did):
             urls.append(url_for(did))
             tss.append(ts_for(did, rev))
     return pa.table({

@@ -44,9 +44,15 @@ def write_exchange(ds, stage_dir: str, part_fn, batch_size: int = 8192) -> int:
     """Phase A: stream ``ds`` into per-part fragment files.
 
     ``part_fn(batch: pa.Table) -> np.ndarray[int64]`` assigns each row
-    a part id. Fragment names hash the fragment's serialized bytes, so
-    retries are idempotent while distinct batches never collide.
-    Returns the number of rows exchanged."""
+    a part id. Fragment names hash the fragment's serialized bytes:
+    task RETRIES rewrite identical bytes (exactly-once), and batches
+    with distinct content never collide. CONTRACT: two byte-identical
+    batches also collapse to one fragment — a retry is
+    indistinguishable from a genuine duplicate — so callers must
+    ensure row multisets are keyed (a unique id column per row, as
+    band rows/events are) or that downstream consumption is
+    dedup-idempotent. Returns the number of rows exchanged (counts
+    collapsed duplicates)."""
     os.makedirs(stage_dir, exist_ok=True)
 
     def write_fragments(batch: pa.Table) -> pa.Table:

@@ -149,13 +149,15 @@ CONCEPT_DOMAIN = {
     "motor control": "Action",
 }
 
+# word-bounded: bare substring matching put 'pet' inside 'competition'
+# and 'meg' inside 'omega'
 MODALITY_KEYWORDS = [
-    ("diffusion", "DiffusionMRI"),
-    ("structural mri", "StructuralMRI"),
-    ("fmri", "fMRI-BOLD"),
-    ("meg", "MEG"),
-    ("eeg", "EEG"),
-    ("pet", "PET FDG"),
+    (re.compile(r"\bdiffusion\b"), "DiffusionMRI"),
+    (re.compile(r"\bstructural mri\b"), "StructuralMRI"),
+    (re.compile(r"\bfmri\b"), "fMRI-BOLD"),
+    (re.compile(r"\bmeg\b"), "MEG"),
+    (re.compile(r"\beeg\b"), "EEG"),
+    (re.compile(r"\bpet\b"), "PET FDG"),
 ]
 
 METRIC_KEYWORDS = ["accuracy", "reaction time", "bold response", "ratings"]
@@ -176,7 +178,7 @@ class FakeTaskClient:
     def extract(self, text: str) -> dict:
         t = text or ""
         low = t.lower()
-        modality = [m for kw, m in MODALITY_KEYWORDS if kw in low]
+        modality = [m for pat, m in MODALITY_KEYWORDS if pat.search(low)]
         # preserve enum order, dedupe
         modality = [m for m in MODALITIES if m in modality] or ["Other"]
 

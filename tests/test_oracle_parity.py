@@ -63,8 +63,8 @@ def _pairs():
     # round-2 additions: re-expressed SQL + pinned-golden oracles
     "docs_langid_quality", "docs_fingerprint", "minhash_dedup_groups",
     "simhash_dedup_groups", "embed_documents", "llm_demographics",
-    "llm_task_metadata", "entity_linking", "umls_disease_groups",
-    "abbrev_expand", "abbrev_expand_planted",
+    "llm_task_metadata", "entity_linking", "entity_linking_chained",
+    "umls_disease_groups", "abbrev_expand", "abbrev_expand_planted",
     "knn_ivf", "extract_jats_pages", "multimodal_features",
 ])
 def test_query_matches_oracle(name, ray_session):

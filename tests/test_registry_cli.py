@@ -222,3 +222,39 @@ def test_pipeline_on_pipeline_dependency(ray_session, tmp_path):
               .sort_values("doc_id").reset_index(drop=True))
     assert chained["entities_json"].equals(inline["entities_json"])
     assert (chained["entities_json"] != "[]").any()  # non-trivial content
+
+
+def test_incomplete_output_dir_reruns(ray_session, tmp_path):
+    """A dest with parquet files but no pipeline_info.json (a run
+    killed mid-move) must rerun, never be served as complete."""
+    import glob
+
+    entries = [("word_count", {})]
+    out = registry.run_entries(entries, SF, str(tmp_path))
+    dest = out["word_count"]
+    os.remove(os.path.join(dest, "pipeline_info.json"))
+    victim = sorted(glob.glob(os.path.join(dest, "*.parquet")))[0]
+    os.remove(victim)  # simulate partial move
+    registry.run_entries(entries, SF, str(tmp_path))  # no overwrite flag
+    assert os.path.exists(os.path.join(dest, "pipeline_info.json"))
+    import pyarrow.parquet as pq
+
+    files = sorted(glob.glob(os.path.join(dest, "*.parquet")))
+    assert pq.ParquetDataset(files).read().num_rows == 500  # complete again
+
+
+def test_chained_invalidates_on_upstream_overwrite(ray_session, tmp_path):
+    """The chained op hashes the upstream CONTENT fingerprint: after
+    the upstream is overwritten in place, a rerun lands in a fresh
+    hash dir instead of serving stale linked entities."""
+    import time
+
+    entries = [("llm_demographics", {}), ("entity_linking_chained", {})]
+    out1 = registry.run_entries(entries, SF, str(tmp_path))
+    d1 = out1["entity_linking_chained"]
+    time.sleep(0.02)  # ensure distinct mtime_ns on rewrite
+    registry.run_entries([("llm_demographics", {})], SF, str(tmp_path),
+                         overwrite=True)
+    out2 = registry.run_entries([("entity_linking_chained", {})], SF,
+                                str(tmp_path))
+    assert out2["entity_linking_chained"] != d1  # fresh hash dir
