@@ -119,3 +119,57 @@ def test_pdf_roundtrip_property(texts):
     for compress in (True, False):
         got = pdf_extract_blocks(synthesize_pdf(blocks, compress=compress))
         assert [b["text"] for b in got] == [b["text"] for b in blocks]
+
+
+_group_strat = st.fixed_dictionaries({
+    "count": st.one_of(st.none(), st.floats(-50, 500, allow_nan=False)),
+    "diagnosis": st.one_of(st.none(), st.text(max_size=20)),
+    "group_name": st.one_of(st.none(), st.sampled_from(["healthy", "patients"])),
+    "subgroup_name": st.one_of(st.none(), st.text(max_size=10)),
+    "male_count": st.one_of(st.none(), st.floats(-10, 300, allow_nan=False)),
+    "female_count": st.one_of(st.none(), st.floats(-10, 300, allow_nan=False)),
+    "age_mean": st.one_of(st.none(), st.floats(0, 120, allow_nan=False)),
+    "age_range": st.one_of(st.none(), st.text(max_size=8)),
+    "age_minimum": st.one_of(st.none(), st.floats(0, 120, allow_nan=False)),
+    "age_maximum": st.one_of(st.none(), st.floats(0, 120, allow_nan=False)),
+    "age_median": st.one_of(st.none(), st.floats(0, 120, allow_nan=False)),
+    "imaging_sample": st.one_of(st.none(), st.sampled_from(["yes", "no"])),
+})
+
+
+@given(st.lists(_group_strat, max_size=6))
+@settings(max_examples=60, deadline=None)
+def test_clean_groups_idempotent_and_invariant(groups):
+    """The cleanup ladder is IDEMPOTENT (post-process-only mode re-runs
+    it over already-cleaned output and must be a no-op) and enforces
+    its invariants: counts clipped >= 0, group_name always set, a
+    non-healthy group always carries a diagnosis."""
+    from neurostore_text_extraction_ray.stages.llm import clean_groups
+
+    once = clean_groups(groups)
+    twice = clean_groups(once)
+    assert once == twice
+    for g in once:
+        assert g["count"] is not None and g["count"] >= 0
+        assert g["group_name"] in ("healthy", "patients")
+        if g["group_name"] != "healthy":
+            assert g["diagnosis"] is not None
+        for c in ("male_count", "female_count"):
+            assert g[c] is None or g[c] >= 0
+
+
+@given(st.lists(st.integers(min_value=-2**62, max_value=2**62), min_size=1,
+                max_size=200), st.integers(min_value=1, max_value=64))
+@settings(max_examples=50, deadline=None)
+def test_exchange_partition_total_and_stable(keys, num_parts):
+    """int_part is total, in-range, and deterministic (the exchange
+    relies on identical assignment across retries and processes)."""
+    import numpy as np
+
+    from neurostore_text_extraction_ray.stages.exchange import int_part
+
+    arr = np.array(keys, dtype=np.int64)
+    p1 = int_part([arr], num_parts)
+    p2 = int_part([arr.copy()], num_parts)
+    assert (p1 == p2).all()
+    assert ((p1 >= 0) & (p1 < num_parts)).all()
