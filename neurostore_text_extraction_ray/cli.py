@@ -22,7 +22,10 @@ def main(argv=None):
     ap.add_argument("--out", default=None)
     ap.add_argument("--pipelines", nargs="*", default=None)
     ap.add_argument("--config", default=None)
-    ap.add_argument("--num-cpus", type=int, default=8)
+    # --num-workers is the reference's flag name (cli/run.py:149-154);
+    # both map to the Ray session's CPU budget here
+    ap.add_argument("--num-cpus", "--num-workers", dest="num_cpus",
+                    type=int, default=8)
     ap.add_argument("--flagship", action="store_true",
                     help="run the flagship extraction to a resumable sink")
     ap.add_argument("--list", action="store_true", help="list registered operators")

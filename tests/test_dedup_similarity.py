@@ -183,3 +183,25 @@ def test_exchange_utility_roundtrip(ray_session, tmp_path):
     assert len(out) == 37
     assert int(out["n"].sum()) == n
     assert int(out["s"].sum()) == n * (n - 1) // 2
+
+
+def test_exchange_idempotent_rewrite(ray_session, tmp_path):
+    """A retried phase A (same rows, same batching) rewrites identical
+    content-addressed fragments — no duplicate rows reach phase B."""
+    import ray.data as rd
+
+    from neurostore_text_extraction_ray.stages import exchange as ex
+
+    table = pa.table({
+        "k": pa.array(np.arange(1000) % 7, pa.int64()),
+        "v": pa.array(np.arange(1000), pa.int64()),
+    })
+    stage = str(tmp_path / "stage")
+    part_fn = lambda b: ex.int_part([b["k"].to_numpy(zero_copy_only=False)], 4)
+    ex.write_exchange(rd.from_arrow(table), stage, part_fn)
+    ex.write_exchange(rd.from_arrow(table), stage, part_fn)  # retry
+    empty = pa.schema([("n", pa.int64())])
+    out = ex.map_parts(
+        stage, 4, lambda t: pa.table({"n": pa.array([t.num_rows], pa.int64())}),
+        empty).to_pandas()
+    assert int(out["n"].sum()) == 1000  # not 2000
