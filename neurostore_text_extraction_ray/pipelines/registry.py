@@ -104,8 +104,15 @@ def run_entries(entries: list[tuple[str, dict]], sf_dir: str, out_dir: str,
 
     from ..state.manifest import input_fingerprint
 
+    from ..exceptions import ConfigurationError
+
     results = {}
     for name, kwargs in entries:
+        if name not in _REGISTRY:
+            raise ConfigurationError(
+                f"unknown pipeline '{name}' (registered: "
+                f"{', '.join(sorted(_REGISTRY))})"
+            )
         entry = _REGISTRY[name]
         hash_input = {"name": name, **kwargs}
         if entry.get("dependent"):

@@ -258,3 +258,13 @@ def test_chained_invalidates_on_upstream_overwrite(ray_session, tmp_path):
     out2 = registry.run_entries([("entity_linking_chained", {})], SF,
                                 str(tmp_path))
     assert out2["entity_linking_chained"] != d1  # fresh hash dir
+
+
+def test_unknown_pipeline_raises_configuration_error(tmp_path):
+    from neurostore_text_extraction_ray.exceptions import (
+        ConfigurationError, PipelineError)
+
+    with pytest.raises(ConfigurationError) as ei:
+        registry.run_entries([("no_such_op", {})], SF, str(tmp_path))
+    assert isinstance(ei.value, PipelineError)  # reference hierarchy
+    assert "no_such_op" in str(ei.value)
