@@ -52,7 +52,14 @@ def revs_for(doc_id: int) -> tuple[int, ...]:
 
 
 def ts_for(doc_id: int, rev: int) -> datetime.datetime:
-    return EPOCH + datetime.timedelta(minutes=int(doc_id)) + datetime.timedelta(days=rev)
+    """Fetch timestamp: unique per (url, rev) — the only property dedup
+    needs. Minutes wrap at ~95 years so arbitrarily large synthetic
+    doc_ids (the bench replicator strides ids by 10M per replica) never
+    overflow datetime's year 9999; timestamp collisions ACROSS urls are
+    harmless."""
+    return (EPOCH
+            + datetime.timedelta(minutes=int(doc_id) % 50_000_000)
+            + datetime.timedelta(days=rev))
 
 
 def html_for(doc_id: int, text: str, rev: int) -> bytes:
