@@ -27,6 +27,7 @@ from neurostore_text_extraction_ray.pipelines.extras import (  # noqa: E402
     _abbrev_expand_planted,
     _docs_fingerprint,
     _docs_langid_quality,
+    _docs_token_count,
     _embed_documents,
     _entity_linking,
     _entity_linking_chained_query,
@@ -172,6 +173,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _docs_langid_quality(sf), {"lang_conf": 6, "quality_score": 6}
         ),
         "docs_fingerprint": _docs_fingerprint,
+        "docs_token_count": _docs_token_count,
         "minhash_dedup_groups": _minhash_groups,
         "simhash_dedup_groups": _simhash_groups,
         "embed_documents": _embed_documents,
@@ -357,6 +359,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         # pinned-golden oracles (regenerate: python tools/make_goldens.py)
         "docs_fingerprint": _golden_sql("docs_fingerprint"),
+        "docs_token_count": _golden_sql("docs_token_count"),
         "minhash_dedup_groups": _golden_sql("minhash_dedup_groups"),
         "simhash_dedup_groups": _golden_sql("simhash_dedup_groups"),
         "embed_documents": _golden_sql("embed_documents"),

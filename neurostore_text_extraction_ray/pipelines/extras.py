@@ -113,6 +113,27 @@ def _docs_fingerprint(sf_dir: str):
         f, batch_format="pandas")
 
 
+def _docs_token_count(sf_dir: str):
+    """BPE-ish token counting (GPT-2 pre-tokenizer regex) per document.
+    Golden-oracled: the pattern uses a lookahead RE2/DuckDB doesn't
+    support, so it is not SQL-expressible."""
+    import pandas as pd_
+    import ray.data as rd
+
+    from ..functions.textstats import token_count, word_count
+
+    def f(df: pd_.DataFrame) -> pd_.DataFrame:
+        out = pd_.DataFrame()
+        out["doc_id"] = df["doc_id"]
+        out["n_tokens"] = df["text"].map(token_count).astype("int64")
+        out["n_words"] = df["text"].map(word_count).astype("int64")
+        return out
+
+    return rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"]).map_batches(
+        f, batch_format="pandas")
+
+
 def _minhash_groups(sf_dir: str):
     import ray.data as rd
 

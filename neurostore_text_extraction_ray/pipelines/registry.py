@@ -233,6 +233,7 @@ def _register_builtins():
     # served as current by the skip-unless-overwrite rule
     register_op("docs_langid_quality", version="2.0.0")(extras._docs_langid_quality)
     register_op("docs_fingerprint")(extras._docs_fingerprint)
+    register_op("docs_token_count")(extras._docs_token_count)
     register_op("abbrev_expand")(extras._abbrev_expand)
     register_op("minhash_dedup_groups")(extras._minhash_groups)
     register_op("simhash_dedup_groups")(extras._simhash_groups)

@@ -29,6 +29,7 @@ GOLDEN_DIR = os.path.join(REPO, "tests", "goldens")
 # queries whose golden depends on the corpus (one file per sf dir)
 SF_QUERIES = [
     "docs_fingerprint",
+    "docs_token_count",
     "minhash_dedup_groups",
     "simhash_dedup_groups",
     "embed_documents",
