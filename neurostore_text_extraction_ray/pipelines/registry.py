@@ -248,5 +248,16 @@ def _register_builtins():
     register_op("knn_ivf", version="2.0.0")(extras._knn_ivf)
     register_op("multimodal_features", version="2.0.0")(extras._multimodal_features)
 
+    # Reference pipeline-name aliases (snake-cased extractor class
+    # names a reference user types at the CLI, cli/run.py:13-33):
+    # ParticipantDemographicsExtractor 1.1.0, TaskExtractor 1.1.0,
+    # GeneralAPIEmbeddingExtractor 1.0.0, UMLSDiseaseExtractor,
+    # TFIDFExtractor, WordCountExtractor map onto the engine ops.
+    register_op("participant_demographics", version="1.1.0")(extras._llm_demographics)
+    register_op("task", version="1.1.0")(extras._llm_task_metadata)
+    register_op("general_api_embedding", version="1.0.0")(extras._embed_documents)
+    register_op("semantic_embeddings", version="1.0.0")(extras._embed_documents)
+    register_op("umls_disease", version="1.0.0")(extras._umls_disease_groups)
+
 
 _register_builtins()

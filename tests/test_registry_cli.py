@@ -268,3 +268,18 @@ def test_unknown_pipeline_raises_configuration_error(tmp_path):
         registry.run_entries([("no_such_op", {})], SF, str(tmp_path))
     assert isinstance(ei.value, PipelineError)  # reference hierarchy
     assert "no_such_op" in str(ei.value)
+
+
+def test_reference_pipeline_name_aliases(ray_session, tmp_path):
+    """A reference user's pipeline names work at the CLI/registry
+    (cli/run.py:13-33 name map): participant_demographics, task,
+    semantic_embeddings, umls_disease run the engine ops."""
+    ops = registry.list_ops()
+    for name, version in [("participant_demographics", "1.1.0"),
+                          ("task", "1.1.0"), ("semantic_embeddings", "1.0.0"),
+                          ("umls_disease", "1.0.0")]:
+        assert ops[name] == version
+    out = registry.run_entries([("participant_demographics", {})], SF,
+                               str(tmp_path))
+    df = _read_groups(out["participant_demographics"])
+    assert len(df) == 500 and "groups_json" in df.columns
