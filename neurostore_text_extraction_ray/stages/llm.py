@@ -193,7 +193,11 @@ def clean_groups(groups: list[dict]) -> list[dict]:
     for col, _ in GROUP_FIELDS:
         if col not in df.columns:
             df[col] = np.nan
-    df = df.fillna(value=np.nan).infer_objects(copy=False)
+    # the reference guards the same fillna with this option context
+    # (participant_demographics/model.py:40-52); also silences the
+    # per-batch FutureWarning about silent downcasting
+    with pd.option_context("future.no_silent_downcasting", True):
+        df = df.fillna(value=np.nan).infer_objects(copy=False)
     df["group_name"] = df["group_name"].fillna("healthy")
     df = df[~pd.isna(df["count"])]
     df.loc[
