@@ -29,6 +29,7 @@ from neurostore_text_extraction_ray.pipelines.extras import (  # noqa: E402
     _docs_langid_quality,
     _docs_token_count,
     _embed_documents,
+    _embedding_cosine_dups,
     _entity_linking,
     _entity_linking_chained_query,
     _extract_jats,
@@ -40,6 +41,7 @@ from neurostore_text_extraction_ray.pipelines.extras import (  # noqa: E402
     _llm_task_metadata,
     _minhash_groups,
     _multimodal_features,
+    _ngram_jaccard_dups,
     _pdf_extract_text,
     _simhash_groups,
     _umls_disease_groups,
@@ -176,6 +178,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_token_count": _docs_token_count,
         "minhash_dedup_groups": _minhash_groups,
         "simhash_dedup_groups": _simhash_groups,
+        "ngram_jaccard_dups": _ngram_jaccard_dups,
+        "embedding_cosine_dups": _embedding_cosine_dups,
         "embed_documents": _embed_documents,
         "llm_demographics": _llm_demographics,
         "llm_task_metadata": _llm_task_metadata,
@@ -362,6 +366,8 @@ def oracle_sql() -> dict[str, str]:
         "docs_token_count": _golden_sql("docs_token_count"),
         "minhash_dedup_groups": _golden_sql("minhash_dedup_groups"),
         "simhash_dedup_groups": _golden_sql("simhash_dedup_groups"),
+        "ngram_jaccard_dups": _golden_sql("ngram_jaccard_dups"),
+        "embedding_cosine_dups": _golden_sql("embedding_cosine_dups"),
         "embed_documents": _golden_sql("embed_documents"),
         "llm_demographics": _golden_sql("llm_demographics"),
         "llm_task_metadata": _golden_sql("llm_task_metadata"),

@@ -152,6 +152,51 @@ def _simhash_groups(sf_dir: str):
     return simhash_near_dup(docs, hamming_threshold=3)
 
 
+def _ngram_jaccard_dups(sf_dir: str):
+    """Exact n-gram Jaccard verification over MinHash-LSH candidates:
+    (a, b, jaccard) pairs at >= 0.5 similarity (golden-oracled)."""
+    import ray.data as rd
+
+    from ..stages.dedup import ngram_jaccard_pairs
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = ngram_jaccard_pairs(docs, k_shingle=3, threshold=0.5)
+
+    def r(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["jaccard"] = df["jaccard"].round(6)
+        return df
+
+    return ds.map_batches(r, batch_format="pandas")
+
+
+def _embedding_cosine_dups(sf_dir: str):
+    """Embedding-cosine near-dup via sign-LSH buckets + exact cosine
+    verify: (vec_id, dup_group) (golden-oracled). The stored vectors
+    are random (no natural near-dups at 0.99 cosine), so the first 20
+    are re-planted under vec_id+100000 — those MUST collapse onto
+    their originals, exercising the positive path in the gate."""
+    import duckdb
+    import ray.data as rd
+
+    from ..stages.dedup import embedding_cosine_dup
+
+    con = duckdb.connect()
+    head = con.execute(
+        f"SELECT vec_id, embedding FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet') "
+        f"WHERE vec_id < 20 ORDER BY vec_id").fetchall()
+    con.close()
+    dup = pa.table({
+        "vec_id": pa.array([int(v) + 100000 for v, _ in head], pa.int64()),
+        # match the parquet's list<float> so the union needs no promotion
+        "embedding": pa.array([e for _, e in head], pa.list_(pa.float32())),
+    })
+    vecs = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                           columns=["vec_id", "embedding"])
+    return embedding_cosine_dup(vecs.union(rd.from_arrow(dup)), threshold=0.99)
+
+
 def _embed_documents(sf_dir: str):
     import ray.data as rd
 

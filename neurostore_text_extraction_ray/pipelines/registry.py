@@ -237,6 +237,8 @@ def _register_builtins():
     register_op("abbrev_expand")(extras._abbrev_expand)
     register_op("minhash_dedup_groups")(extras._minhash_groups)
     register_op("simhash_dedup_groups")(extras._simhash_groups)
+    register_op("ngram_jaccard_dups")(extras._ngram_jaccard_dups)
+    register_op("embedding_cosine_dups")(extras._embedding_cosine_dups)
     register_op("embed_documents", version="2.0.0")(extras._embed_documents)
     register_op("llm_demographics", version="2.0.0")(extras._llm_demographics)
     register_op("llm_task_metadata", version="1.1.0")(extras._llm_task_metadata)

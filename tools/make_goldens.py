@@ -32,6 +32,8 @@ SF_QUERIES = [
     "docs_token_count",
     "minhash_dedup_groups",
     "simhash_dedup_groups",
+    "ngram_jaccard_dups",
+    "embedding_cosine_dups",
     "embed_documents",
     "llm_demographics",
     "llm_task_metadata",
