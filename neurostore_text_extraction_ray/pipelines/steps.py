@@ -399,9 +399,7 @@ def events_sessionize(sf_dir: str, gap_minutes: int = 30, num_parts: int = 32):
     Python loop). Output (event_id, user_id, session_id,
     session_start)."""
     import atexit
-    import os
     import shutil
-    import tempfile
 
     import ray.data as rd
 
@@ -410,10 +408,7 @@ def events_sessionize(sf_dir: str, gap_minutes: int = 30, num_parts: int = 32):
     ds = rd.read_parquet(
         f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
     )
-    stage = tempfile.mkdtemp(
-        prefix="nse_sessions_",
-        dir="/dev/shm" if os.path.isdir("/dev/shm") else None,
-    )
+    stage = ex.make_stage("nse_sessions_")
     # safety net only — the happy path removes the stage eagerly below
     atexit.register(shutil.rmtree, stage, ignore_errors=True)
 

@@ -21,12 +21,44 @@ from __future__ import annotations
 import glob
 import hashlib
 import os
+import tempfile
 
 import numpy as np
 import pandas as pd
 import pyarrow as pa
 
 _MIX = np.uint64(0x9E3779B97F4A7C15)  # 64-bit golden-ratio mixer
+
+
+def exchange_root() -> str:
+    """Directory under which exchange stages are created.
+
+    Phase-A workers write fragments here and phase-B workers on ANY
+    node must be able to read them, so on a multi-node cluster this
+    must be shared storage — set ``NSE_EXCHANGE_ROOT`` (e.g. an NFS /
+    object-store mount). The default is node-local tmpfs, which is only
+    correct on a single-node cluster; that precondition is ASSERTED
+    rather than silently dropping rows."""
+    root = os.environ.get("NSE_EXCHANGE_ROOT")
+    if root:
+        os.makedirs(root, exist_ok=True)
+        return root
+    import ray
+
+    if ray.is_initialized():
+        alive = [n for n in ray.nodes() if n.get("Alive")]
+        if len(alive) > 1:
+            raise RuntimeError(
+                "filesystem exchange on a multi-node cluster needs shared "
+                "storage: set NSE_EXCHANGE_ROOT to a path visible to every "
+                "node (local tmpfs would silently drop other nodes' rows)"
+            )
+    return "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
+
+
+def make_stage(prefix: str) -> str:
+    """Create a fresh exchange stage directory under ``exchange_root``."""
+    return tempfile.mkdtemp(prefix=prefix, dir=exchange_root())
 
 
 def int_part(cols: list[np.ndarray], num_parts: int) -> np.ndarray:
@@ -80,24 +112,47 @@ def write_exchange(ds, stage_dir: str, part_fn, batch_size: int = 8192) -> int:
     return int(counts["n"].sum()) if len(counts) else 0
 
 
-def map_parts(stage_dir: str, num_parts: int, fn, empty_schema: pa.Schema):
+def map_parts(stage_dir, num_parts: int, fn, empty_schema: pa.Schema,
+              in_schemas: list[pa.Schema] | None = None):
     """Phase B: one parallel task per part; ``fn(table) -> table`` runs
     over the part's concatenated fragments. Returns a Dataset of the
-    per-part outputs (empty parts yield ``empty_schema``)."""
+    per-part outputs (empty parts yield ``empty_schema``).
+
+    ``stage_dir`` may also be a LIST of stage dirs partitioned with the
+    same ``num_parts``/key space (a co-partitioned join): the task for
+    part ``p`` then calls ``fn(t0, t1, ...)`` with part ``p``'s table
+    from each dir. ``in_schemas`` (required in list mode) supplies the
+    empty table for a dir with no fragments in that part."""
     import ray.data as rd
 
-    def run_part(batch: pa.Table) -> pa.Table:
+    multi = isinstance(stage_dir, (list, tuple))
+    dirs = list(stage_dir) if multi else [stage_dir]
+    if multi and (in_schemas is None or len(in_schemas) != len(dirs)):
+        raise ValueError("list-mode map_parts needs one in_schema per stage dir")
+
+    def _read_part(d: str, p: int, schema: pa.Schema | None):
         import pyarrow.parquet as pq
 
+        frag_files = sorted(
+            glob.glob(os.path.join(d, f"part={int(p):05d}", "*.parquet"))
+        )
+        if not frag_files:
+            return schema.empty_table() if schema is not None else None
+        return pa.concat_tables([pq.read_table(f) for f in frag_files])
+
+    def run_part(batch: pa.Table) -> pa.Table:
         outs = []
         for p in batch["part"].to_pylist():
-            frag_files = sorted(
-                glob.glob(os.path.join(stage_dir, f"part={int(p):05d}", "*.parquet"))
-            )
-            if not frag_files:
-                continue
-            table = pa.concat_tables([pq.read_table(f) for f in frag_files])
-            outs.append(fn(table))
+            if multi:
+                tables = [_read_part(d, p, s) for d, s in zip(dirs, in_schemas)]
+                if all(t.num_rows == 0 for t in tables):
+                    continue
+                outs.append(fn(*tables))
+            else:
+                table = _read_part(dirs[0], p, None)
+                if table is None:
+                    continue
+                outs.append(fn(table))
         if not outs:
             return empty_schema.empty_table()
         return pa.concat_tables(outs, promote_options="default")
