@@ -242,52 +242,113 @@ def filter_unprocessed(sf_dir: str):
 
 # -- D1: exact dedup by content ---------------------------------------------
 
+# above this many partial (hash, min-id) rows the winner combine leaves
+# the driver for the content-hash partition exchange (tests patch to 0)
+DEDUP_WINNERS_DRIVER_LIMIT = 5_000_000
+
 
 def dedup_exact(sf_dir: str):
     """Exact dedup on text content: keep the lowest doc_id per distinct
-    text (SURVEY D1). Same aggregate+broadcast-semijoin shape as the
-    flagship dedup — a per-batch partial (min doc_id per 16-byte
-    content hash), a small combine, and a broadcast winner-id filter —
-    so document text never enters a shuffle. 128-bit content hashing
-    stands in for byte equality (collision probability ~ n^2 / 2^128)."""
+    text (SURVEY D1). A per-batch partial (min doc_id per 16-byte
+    content hash) always runs first, so document text never enters any
+    exchange. Below ``DEDUP_WINNERS_DRIVER_LIMIT`` partial rows, the
+    combine is driver-side and the winner ids broadcast (the
+    aggregate+broadcast-semijoin shape); beyond it, partials
+    hash-partition on the content hash through the filesystem exchange
+    (per-part min) and the winner filter is a co-partitioned semi-join
+    on doc_id — the driver only ever sees block counts (VERDICT r02
+    next-round #3). 128-bit content hashing stands in for byte
+    equality (collision probability ~ n^2 / 2^128)."""
     import hashlib
 
     import ray
 
-    def _hashes(df: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
+    def _hashes(texts: list) -> tuple[np.ndarray, np.ndarray]:
         """Full 16-byte blake2b digest as two uint64 columns — one
-        digest computation per row, 128-bit collision resistance
-        (~n^2/2^128), as documented."""
-        h1 = np.empty(len(df), dtype=np.uint64)
-        h2 = np.empty(len(df), dtype=np.uint64)
-        for i, t in enumerate(df["text"]):
+        digest computation per row over a plain list (not pandas
+        iteration), 128-bit collision resistance as documented."""
+        h1 = np.empty(len(texts), dtype=np.uint64)
+        h2 = np.empty(len(texts), dtype=np.uint64)
+        for i, t in enumerate(texts):
             d = hashlib.blake2b((t or "").encode(), digest_size=16).digest()
             h1[i] = int.from_bytes(d[:8], "little")
             h2[i] = int.from_bytes(d[8:], "little")
         return h1, h2
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        h1, h2 = _hashes(df)
+        h1, h2 = _hashes(df["text"].tolist())
         out = pd.DataFrame({"h1": h1, "h2": h2, "doc_id": df["doc_id"].to_numpy()})
         return out.groupby(["h1", "h2"], sort=False)["doc_id"].min().reset_index()
 
     docs = _docs(sf_dir, ["doc_id", "text", "n_chars"])
-    partials = (
+    partials_ds = (
         _docs(sf_dir, ["doc_id", "text"])
         .map_batches(partial, batch_format="pandas")
-        .to_pandas()
+        .materialize()
     )
-    winners = set(partials.groupby(["h1", "h2"], sort=False)["doc_id"].min().to_numpy())
-    ref = ray.put(np.array(sorted(winners), dtype=np.int64))
+    if partials_ds.count() <= DEDUP_WINNERS_DRIVER_LIMIT:
+        partials = partials_ds.to_pandas()
+        winners = partials.groupby(["h1", "h2"], sort=False)["doc_id"].min()
+        ref = ray.put(np.sort(winners.to_numpy().astype(np.int64)))
 
-    def filt(df: pd.DataFrame) -> pd.DataFrame:
-        from ..stages.broadcast import get_broadcast
+        def filt(df: pd.DataFrame) -> pd.DataFrame:
+            from ..stages.broadcast import get_broadcast
 
-        keep = get_broadcast(ref)
-        sub = df[np.isin(df["doc_id"].to_numpy(), keep)]
-        return sub[["doc_id", "n_chars"]]
+            keep = get_broadcast(ref)
+            sub = df[np.isin(df["doc_id"].to_numpy(), keep)]
+            return sub[["doc_id", "n_chars"]]
 
-    return docs.map_batches(filt, batch_format="pandas")
+        return docs.map_batches(filt, batch_format="pandas")
+    return _dedup_exact_exchanged(docs, partials_ds)
+
+
+def _dedup_exact_exchanged(docs, partials_ds, num_parts: int = 32):
+    """Scale path: content-hash partition exchange for the winner
+    combine, doc_id partition exchange for the semi-join filter."""
+    import shutil
+
+    from ..stages import exchange as ex
+
+    hash_stage = ex.make_stage("nse_dx_hash_")
+    win_stage = ex.make_stage("nse_dx_win_")
+    docs_stage = ex.make_stage("nse_dx_docs_")
+    win_schema = pa.schema([("doc_id", pa.int64())])
+    docs_schema = pa.schema([("doc_id", pa.int64()), ("n_chars", pa.int64())])
+    out_schema = docs_schema
+    try:
+        ex.write_exchange(
+            partials_ds, hash_stage,
+            lambda b: ex.int_part([
+                b["h1"].to_numpy(zero_copy_only=False),
+                b["h2"].to_numpy(zero_copy_only=False),
+            ], num_parts))
+
+        def winners_of_part(t: pa.Table) -> pa.Table:
+            g = t.to_pandas().groupby(["h1", "h2"], sort=False)["doc_id"].min()
+            return pa.table({"doc_id": pa.array(
+                g.to_numpy().astype(np.int64), pa.int64())})
+
+        winners_ds = ex.map_parts(hash_stage, num_parts, winners_of_part,
+                                  win_schema)
+        by_id = lambda b: ex.int_part(  # noqa: E731
+            [b["doc_id"].to_numpy(zero_copy_only=False)], num_parts)
+        ex.write_exchange(winners_ds, win_stage, by_id)
+        ex.write_exchange(
+            docs.map_batches(lambda b: b.select(["doc_id", "n_chars"]),
+                             batch_format="pyarrow"),
+            docs_stage, by_id)
+
+        def semi_join(docs_t: pa.Table, win_t: pa.Table) -> pa.Table:
+            keep = np.sort(win_t["doc_id"].to_numpy(zero_copy_only=False))
+            ids = docs_t["doc_id"].to_numpy(zero_copy_only=False)
+            return docs_t.filter(pa.array(np.isin(ids, keep)))
+
+        return ex.map_parts([docs_stage, win_stage], num_parts, semi_join,
+                            out_schema,
+                            in_schemas=[docs_schema, win_schema]).materialize()
+    finally:
+        for s in (hash_stage, win_stage, docs_stage):
+            shutil.rmtree(s, ignore_errors=True)
 
 
 # -- M6: string normalization over a table column ---------------------------
@@ -449,61 +510,148 @@ def events_sessionize(sf_dir: str, gap_minutes: int = 30, num_parts: int = 32):
 # -- As-of join: each event matched to the user's latest prior order --------
 
 
-def events_asof_orders(sf_dir: str):
-    """Backward as-of join events -> orders on (user_id = o_custkey,
-    o_orderdate <= ts). The orders side is bucketed per user and the
-    join is a per-group ``pd.merge_asof`` after sorting — the composition
-    the Dataset API lacks natively (custom operator per SURVEY guidance).
-    Orders are small relative to events -> broadcast per-user sorted
-    arrays; at larger scale both sides hash-bucket on the key.
-    Output: (event_id, user_id, ts, o_orderkey, o_orderdate)."""
-    import duckdb
-    import ray
+# above this many order rows the orders side stops broadcasting and
+# both sides hash-bucket on the user key (tests patch to 0)
+ORDERS_BROADCAST_LIMIT = 5_000_000
 
-    con = duckdb.connect()
-    # one order per (custkey, date): max orderkey wins, making the
-    # as-of tie-break well-defined on both sides of the oracle
-    orders = con.execute(
-        f"SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey FROM "
-        f"read_parquet('{sf_dir}/orders.parquet') "
-        f"GROUP BY o_custkey, o_orderdate ORDER BY o_custkey, o_orderdate"
-    ).fetchdf()
-    con.close()
-    # broadcast THREE flat sorted numpy arrays (BASELINE.md rule: never
-    # big python dicts): a composite (custkey << 21 | order-day) key,
-    # the order keys, and the order dates. Order dates are day-resolution
-    # so `o_orderdate <= ts` is equivalent at day granularity, letting
-    # one vectorized searchsorted per batch answer the whole as-of join.
+
+def _orders_asof_arrays(orders: pd.DataFrame):
+    """Deduped orders frame -> three flat sorted numpy arrays
+    (BASELINE.md rule: never big python dicts): a composite
+    (custkey << 21 | order-day) key, the order keys, and the order
+    dates. Order dates are day-resolution so ``o_orderdate <= ts`` is
+    equivalent at day granularity, letting one vectorized searchsorted
+    answer the whole as-of join."""
     o_days = orders["o_orderdate"].to_numpy().astype("datetime64[D]").astype(np.int64)
-    assert (o_days >= 0).all() and o_days.max() < (1 << 21)
+    assert (o_days >= 0).all() and (len(o_days) == 0 or o_days.max() < (1 << 21))
     o_comp = (orders["o_custkey"].to_numpy().astype(np.int64) << 21) | o_days
     order_ix = np.argsort(o_comp, kind="stable")
-    ref = ray.put((
+    return (
         o_comp[order_ix],
         orders["o_orderkey"].to_numpy()[order_ix].astype(np.int64),
         orders["o_orderdate"].to_numpy().astype("datetime64[us]")[order_ix],
-    ))
+    )
 
-    def asof(df: pd.DataFrame) -> pd.DataFrame:
-        from ..stages.broadcast import get_broadcast
 
-        comp_s, okey_s, odate_s = get_broadcast(ref)
-        users = df["user_id"].to_numpy().astype(np.int64)
-        ts_days = df["ts"].to_numpy().astype("datetime64[D]").astype(np.int64)
-        j = np.searchsorted(comp_s, (users << 21) | ts_days, side="right") - 1
-        jc = np.clip(j, 0, None)
-        hit = (j >= 0) & ((comp_s[jc] >> 21) == users)
-        out = df[["event_id", "user_id", "ts"]].copy()
-        out["o_orderkey"] = np.where(hit, okey_s[jc], -1)
-        out["o_orderdate"] = odate_s[jc]
-        out = out[hit]
-        return out
+def _asof_lookup(df: pd.DataFrame, comp_s, okey_s, odate_s) -> pd.DataFrame:
+    """Vectorized backward-as-of lookup of an events frame against the
+    sorted composite order arrays (shared by both join paths)."""
+    if not len(comp_s):
+        return df[["event_id", "user_id", "ts"]].iloc[:0].assign(
+            o_orderkey=pd.Series(dtype="int64"),
+            o_orderdate=pd.Series(dtype="datetime64[us]"))
+    users = df["user_id"].to_numpy().astype(np.int64)
+    ts_days = df["ts"].to_numpy().astype("datetime64[D]").astype(np.int64)
+    j = np.searchsorted(comp_s, (users << 21) | ts_days, side="right") - 1
+    jc = np.clip(j, 0, None)
+    hit = (j >= 0) & ((comp_s[jc] >> 21) == users)
+    out = df[["event_id", "user_id", "ts"]].copy()
+    out["o_orderkey"] = np.where(hit, okey_s[jc], -1)
+    out["o_orderdate"] = odate_s[jc]
+    return out[hit]
+
+
+def events_asof_orders(sf_dir: str, num_parts: int = 32):
+    """Backward as-of join events -> orders on (user_id = o_custkey,
+    o_orderdate <= ts) — the composition the Dataset API lacks natively
+    (custom operator per SURVEY guidance). One order per (custkey,
+    date) — max orderkey wins — makes the as-of tie-break well-defined
+    on both sides of the oracle.
+
+    Below ``ORDERS_BROADCAST_LIMIT`` order rows the orders side is
+    broadcast as sorted composite arrays and events stream with no
+    shuffle; beyond it BOTH sides hash-bucket on the user key through
+    the filesystem exchange and the identical vectorized lookup runs
+    per part (VERDICT r02 next-round #4 — sessionize already proved
+    the shape). Output: (event_id, user_id, ts, o_orderkey,
+    o_orderdate)."""
+    import duckdb
+    import ray
+    import ray.data as rd
+
+    con = duckdb.connect()
+    n_orders = con.execute(
+        f"SELECT count(*) FROM read_parquet('{sf_dir}/orders.parquet')"
+    ).fetchone()[0]
+    if n_orders <= ORDERS_BROADCAST_LIMIT:
+        orders = con.execute(
+            f"SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey FROM "
+            f"read_parquet('{sf_dir}/orders.parquet') "
+            f"GROUP BY o_custkey, o_orderdate ORDER BY o_custkey, o_orderdate"
+        ).fetchdf()
+        con.close()
+        ref = ray.put(_orders_asof_arrays(orders))
+
+        def asof(df: pd.DataFrame) -> pd.DataFrame:
+            from ..stages.broadcast import get_broadcast
+
+            comp_s, okey_s, odate_s = get_broadcast(ref)
+            return _asof_lookup(df, comp_s, okey_s, odate_s)
+
+        return rd.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+        ).map_batches(asof, batch_format="pandas")
+    con.close()
+    return _events_asof_exchanged(sf_dir, num_parts)
+
+
+def _events_asof_exchanged(sf_dir: str, num_parts: int):
+    """Scale path: co-partition events by hash(user_id) and orders by
+    hash(o_custkey); the per-(custkey, date) max-orderkey pre-aggregate
+    and the vectorized as-of lookup both run inside each part (keys
+    co-locate, so per-part results equal the global ones)."""
+    import shutil
 
     import ray.data as rd
 
-    return rd.read_parquet(
-        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
-    ).map_batches(asof, batch_format="pandas")
+    from ..stages import exchange as ex
+
+    ev_stage = ex.make_stage("nse_asof_ev_")
+    ord_stage = ex.make_stage("nse_asof_ord_")
+    ev_schema = pa.schema([
+        ("event_id", pa.int64()), ("user_id", pa.int64()),
+        ("ts", pa.timestamp("us")),
+    ])
+    ord_schema = pa.schema([
+        ("o_orderkey", pa.int64()), ("o_custkey", pa.int64()),
+        ("o_orderdate", pa.timestamp("us")),
+    ])
+    out_schema = pa.schema([
+        ("event_id", pa.int64()), ("user_id", pa.int64()),
+        ("ts", pa.timestamp("us")), ("o_orderkey", pa.int64()),
+        ("o_orderdate", pa.timestamp("us")),
+    ])
+    try:
+        ex.write_exchange(
+            rd.read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "user_id", "ts"])
+            .map_batches(lambda b: b.cast(ev_schema), batch_format="pyarrow"),
+            ev_stage,
+            lambda b: ex.int_part(
+                [b["user_id"].to_numpy(zero_copy_only=False)], num_parts))
+        ex.write_exchange(
+            rd.read_parquet(f"{sf_dir}/orders.parquet",
+                            columns=["o_orderkey", "o_custkey", "o_orderdate"])
+            .map_batches(lambda b: b.cast(ord_schema), batch_format="pyarrow"),
+            ord_stage,
+            lambda b: ex.int_part(
+                [b["o_custkey"].to_numpy(zero_copy_only=False)], num_parts))
+
+        def asof_part(ev_t: pa.Table, ord_t: pa.Table) -> pa.Table:
+            orders = (
+                ord_t.to_pandas()
+                .groupby(["o_custkey", "o_orderdate"], sort=False)["o_orderkey"]
+                .max().reset_index()
+            )
+            out = _asof_lookup(ev_t.to_pandas(), *_orders_asof_arrays(orders))
+            return pa.Table.from_pandas(out, preserve_index=False).cast(out_schema)
+
+        return ex.map_parts([ev_stage, ord_stage], num_parts, asof_part,
+                            out_schema,
+                            in_schemas=[ev_schema, ord_schema]).materialize()
+    finally:
+        for s in (ev_stage, ord_stage):
+            shutil.rmtree(s, ignore_errors=True)
 
 
 # -- Similarity search over the embeddings table ----------------------------
@@ -555,39 +703,55 @@ def docs_text_features(sf_dir: str):
 
 def revenue_by_nation(sf_dir: str):
     """orders ⋈ customer ⋈ nation ⋈ region -> revenue per nation.
-    Dimension tables (customer/nation/region) are broadcast once and
-    applied as vectorized pandas maps per batch; the per-batch partial
-    aggregate is combined in one tiny final pass (25 nations), so the
-    fact table streams with NO shuffle."""
+    Dimension tables (customer/nation/region) are broadcast once as
+    sorted numpy arrays and applied with one searchsorted + fancy-index
+    pass per batch; the per-batch partial aggregate is combined in one
+    tiny final pass (25 nations), so the fact table streams with NO
+    shuffle."""
     import duckdb
     import ray
     import ray.data as rd
 
     con = duckdb.connect()
-    cust = dict(con.execute(
-        f"SELECT c_custkey, c_nationkey FROM read_parquet('{sf_dir}/customer.parquet')"
-    ).fetchall())
-    nation = {
-        k: (n, r) for k, n, r in con.execute(
-            f"SELECT n_nationkey, n_name, n_regionkey FROM read_parquet('{sf_dir}/nation.parquet')"
-        ).fetchall()
-    }
-    region = dict(con.execute(
-        f"SELECT r_regionkey, r_name FROM read_parquet('{sf_dir}/region.parquet')"
-    ).fetchall())
+    cust = con.execute(
+        f"SELECT c_custkey, c_nationkey FROM "
+        f"read_parquet('{sf_dir}/customer.parquet') ORDER BY c_custkey"
+    ).fetchdf()
+    nation = con.execute(
+        f"SELECT n_nationkey, n_name, r_name FROM "
+        f"read_parquet('{sf_dir}/nation.parquet') n JOIN "
+        f"read_parquet('{sf_dir}/region.parquet') r "
+        f"ON n.n_regionkey = r.r_regionkey"
+    ).fetchdf()
     con.close()
-    ref = ray.put((cust, nation, region))
+    # broadcast the customer dimension as SORTED custkey/nationkey
+    # numpy arrays (searchsorted lookup; BASELINE.md rule — a python
+    # dict here cost ~1 s deserialize per worker and scales with SF)
+    # plus tiny nationkey-indexed name arrays (25 rows)
+    n_slots = int(nation["n_nationkey"].max()) + 1
+    n_name_by_key = np.empty(n_slots, dtype=object)
+    r_name_by_key = np.empty(n_slots, dtype=object)
+    n_name_by_key[nation["n_nationkey"].to_numpy()] = nation["n_name"].to_numpy()
+    r_name_by_key[nation["n_nationkey"].to_numpy()] = nation["r_name"].to_numpy()
+    ref = ray.put((
+        cust["c_custkey"].to_numpy().astype(np.int64),
+        cust["c_nationkey"].to_numpy().astype(np.int64),
+        n_name_by_key, r_name_by_key,
+    ))
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         from ..stages.broadcast import get_broadcast
 
-        cust_m, nation_m, region_m = get_broadcast(ref)
-        nk = df["o_custkey"].map(cust_m)
-        names = nk.map(lambda k: nation_m[k][0] if k in nation_m else None)
-        regs = nk.map(lambda k: region_m[nation_m[k][1]] if k in nation_m else None)
+        ck_s, cnat_s, n_names, r_names = get_broadcast(ref)
+        custs = df["o_custkey"].to_numpy().astype(np.int64)
+        j = np.clip(np.searchsorted(ck_s, custs), 0, len(ck_s) - 1)
+        hit = len(ck_s) > 0
+        mask = (ck_s[j] == custs) if hit else np.zeros(len(custs), dtype=bool)
+        nk = cnat_s[j[mask]]
         out = pd.DataFrame({
-            "n_name": names, "r_name": regs, "o_totalprice": df["o_totalprice"],
-        }).dropna(subset=["n_name"])
+            "n_name": n_names[nk], "r_name": r_names[nk],
+            "o_totalprice": df["o_totalprice"].to_numpy()[mask],
+        })
         g = out.groupby(["n_name", "r_name"], sort=False)["o_totalprice"].agg(
             ["sum", "count"]).reset_index()
         g.columns = ["n_name", "r_name", "s", "c"]
