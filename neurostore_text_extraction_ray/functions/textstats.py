@@ -102,6 +102,109 @@ def quality_features(text: str | None) -> dict:
     }
 
 
+# -- batch-vectorized variants (VERDICT r02 next-round #9) -------------------
+#
+# Exact-equality contracts with the scalar kernels above are pinned by
+# tests/test_textstats.py::test_batch_kernels_match_scalar over the
+# real corpora — any drift breaks the SQL oracles and goldens.
+
+_STRIP_CHARS = ".,;:!?()\"'"
+_LANGS = list(_STOPWORDS)  # iteration order = tie-break order
+
+
+def word_count_batch(texts) -> np.ndarray:
+    """Vectorized ``len(text.split())`` over a pandas Series."""
+    import pandas as pd
+
+    s = pd.Series(texts).fillna("").astype(str)
+    return s.str.count(r"\S+").to_numpy(dtype=np.int64)
+
+
+def token_count_batch(texts) -> np.ndarray:
+    """Vectorized BPE-ish token estimate (one regex count per row at
+    the C level; no per-row findall list materialization)."""
+    import pandas as pd
+
+    s = pd.Series(texts).fillna("").astype(str)
+    return s.str.count(BPEISH_RE).to_numpy(dtype=np.int64)
+
+
+def lang_id_batch(texts) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized ``lang_id``: one findall+explode, then per-language
+    ``isin`` + groupby-sum instead of a Python loop per word. Returns
+    (langs object array, confidence float array)."""
+    import pandas as pd
+
+    s = pd.Series(texts).fillna("").astype(str).reset_index(drop=True)
+    words = s.str.slice(0, 4000).str.findall(WORD_RE)
+    n_words = words.str.len().to_numpy(dtype=np.int64)
+    ex = words.explode().dropna().str.lower()
+    hits = np.zeros((len(s), len(_LANGS)), dtype=np.int64)
+    if len(ex):
+        for k, lang in enumerate(_LANGS):
+            h = ex.isin(_STOPWORDS[lang]).groupby(level=0).sum()
+            hits[h.index.to_numpy(), k] = h.to_numpy()
+    best_k = hits.argmax(axis=1)  # first max wins — scalar's strict `>`
+    best_hits = hits[np.arange(len(s)), best_k]
+    langs = np.where(best_hits > 0,
+                     np.array(_LANGS, dtype=object)[best_k], "und")
+    conf = np.where(
+        best_hits > 0,
+        np.minimum(1.0, best_hits / np.maximum(1, n_words)), 0.0)
+    return langs.astype(object), conf
+
+
+def quality_features_batch(texts) -> "pd.DataFrame":
+    """Vectorized ``quality_features`` over a Series -> DataFrame with
+    the same columns/values (empty/None rows all-zero, like the
+    scalar's early return)."""
+    import pandas as pd
+
+    s = pd.Series(texts).fillna("").astype(str).reset_index(drop=True)
+    n_chars = s.str.len().to_numpy(dtype=np.int64)
+    n_words = s.str.count(r"\S+").to_numpy(dtype=np.int64)
+    nonspace = s.str.count(r"\S").to_numpy(dtype=np.int64)
+    # char classes mirroring the scalar's isalpha / (not isalnum and
+    # not isspace): exact for ASCII (python re \w == isalnum()+
+    # underscore, \s == isspace); rows with non-ASCII chars fall back
+    # to the scalar kernel below (regex classes diverge from
+    # str.isalpha on numeric-but-not-\d codepoints like '½')
+    alpha = s.str.count(r"[A-Za-z]").to_numpy(dtype=np.int64)
+    punct = s.str.count(r"[^\w\s]|_").to_numpy(dtype=np.int64)
+    wex = s.str.split().explode().dropna().str.lower().str.strip(_STRIP_CHARS)
+    stop_hits = np.zeros(len(s), dtype=np.int64)
+    if len(wex):
+        h = wex.isin(_STOPWORDS["en"]).groupby(level=0).sum()
+        stop_hits[h.index.to_numpy()] = h.to_numpy()
+    den_words = np.maximum(1, n_words)
+    den_chars = np.maximum(1, n_chars)
+    stop_ratio = stop_hits / den_words
+    mean_word_len = nonspace / den_words
+    alpha_ratio = alpha / den_chars
+    punct_ratio = punct / den_chars
+    score = (
+        np.minimum(1.0, n_words / 50.0) * 0.3
+        + np.minimum(1.0, stop_ratio / 0.3) * 0.3
+        + alpha_ratio * 0.3
+        + (1.0 - np.minimum(1.0, punct_ratio / 0.3)) * 0.1
+    )
+    empty = n_chars == 0
+    out = pd.DataFrame({
+        "n_chars": n_chars, "n_words": np.where(empty, 0, n_words),
+        "mean_word_len": np.where(empty, 0.0, mean_word_len),
+        "stop_ratio": np.where(empty, 0.0, stop_ratio),
+        "alpha_ratio": np.where(empty, 0.0, alpha_ratio),
+        "punct_ratio": np.where(empty, 0.0, punct_ratio),
+        "quality_score": np.where(empty, 0.0, score),
+    })
+    non_ascii = np.flatnonzero(~s.map(str.isascii).to_numpy())
+    for i in non_ascii:
+        row = quality_features(s.iloc[i])
+        for col, v in row.items():
+            out.at[i, col] = v
+    return out
+
+
 _FP_BASE = np.uint64(1099511628211)
 _FP_OFF = np.uint64(14695981039346656037)
 

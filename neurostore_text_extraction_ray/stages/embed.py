@@ -44,6 +44,7 @@ def chunk_text(text: str, max_tokens: int = MAX_TOKENS,
         if n <= max_tokens:
             chunks.append(paragraph)
             continue
+        packed: list[str] = []
         current = ""
         for sent in _SENT_RE.split(paragraph):
             test = current + " " + sent if current else sent
@@ -51,11 +52,14 @@ def chunk_text(text: str, max_tokens: int = MAX_TOKENS,
                 current = test
             else:
                 if current:
-                    chunks.append(current.strip())
+                    packed.append(current.strip())
                 current = sent
         if current:
-            chunks.append(current.strip())
-        chunks = [c for c in chunks if _ntokens(c) >= min_tokens]
+            packed.append(current.strip())
+        # min-token filter applies to the freshly packed chunks only —
+        # earlier chunks already satisfy it by construction (re-scanning
+        # the whole accumulator here was O(n^2) in paragraphs-per-doc)
+        chunks += [c for c in packed if _ntokens(c) >= min_tokens]
     return chunks
 
 

@@ -102,3 +102,35 @@ def test_simhash_near_duplicates_close():
 def test_jaccard():
     assert jaccard(set(), set()) == 1.0
     assert jaccard({1, 2}, {2, 3}) == 1 / 3
+
+
+def test_batch_kernels_match_scalar():
+    """Exact-equality contract for the vectorized batch kernels
+    (SQL oracles / goldens depend on it): real corpus + edge cases."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from neurostore_text_extraction_ray.functions.textstats import (
+        lang_id, lang_id_batch, quality_features, quality_features_batch,
+        token_count, token_count_batch, word_count, word_count_batch)
+
+    texts = pq.read_table(
+        "/root/testdata/sf0.001/documents.parquet")["text"].to_pylist()
+    texts = texts[:200] + [
+        None, "", "   ", "a", "the the the", "½ Ω_ß ’quoted’ __x__",
+        "der die das und in den von zu", "¡Hola! ¿qué tal?",
+        "word nbsp\ttab\nnewline", "123 456 ...!!!",
+    ]
+    s = pd.Series(texts)
+    assert word_count_batch(s).tolist() == [word_count(t) for t in texts]
+    assert token_count_batch(s).tolist() == [token_count(t) for t in texts]
+    langs, confs = lang_id_batch(s)
+    expect = [lang_id(t) for t in texts]
+    assert langs.tolist() == [e[0] for e in expect]
+    assert confs.tolist() == [e[1] for e in expect]
+    qb = quality_features_batch(s)
+    qs = pd.DataFrame([quality_features(t) for t in texts])
+    for col in qs.columns:
+        np.testing.assert_array_equal(
+            qb[col].to_numpy(), qs[col].to_numpy(), err_msg=col)
