@@ -91,6 +91,11 @@ def flatten_groups(df: pd.DataFrame, json_col: str = "groups_json",
     for k, gj in zip(df[key], df[json_col]):
         for ix, g in enumerate(json.loads(gj) or []):
             rows.append({key: k, "group_ix": ix, **g})
+    if not rows:
+        # explicit key columns so an empty pipeline output flows
+        # through the downstream key build instead of KeyError
+        # (ADVICE r02 #4)
+        return pd.DataFrame(columns=[key, "group_ix"])
     return pd.DataFrame(rows)
 
 
@@ -120,6 +125,11 @@ def flatten_tasks(df: pd.DataFrame, json_col: str = "study_metadata_json",
                 "RestingState": t.get("RestingState"),
                 "TaskDuration": t.get("TaskDuration"),
             })
+    if not rows:
+        return pd.DataFrame(columns=[
+            key, "Modality", "StudyObjective", "Exclude", "task_ix",
+            "TaskName", "RestingState", "TaskDuration",
+        ])
     return pd.DataFrame(rows)
 
 

@@ -144,14 +144,27 @@ def run_entries(entries: list[tuple[str, dict]], sf_dir: str, out_dir: str,
         h = config_hash(hash_input)
         dest = os.path.join(out_dir, name, entry["version"], h)
         os.makedirs(dest, exist_ok=True)
+        info_path = os.path.join(dest, "pipeline_info.json")
         existing = sorted(_glob.glob(os.path.join(dest, "*.parquet")))
         # a run is complete only once its pipeline_info.json landed
         # (written AFTER the data): a partially-moved dir from a killed
         # run must rerun, never be served as current
-        complete = existing and os.path.exists(
-            os.path.join(dest, "pipeline_info.json"))
+        complete = existing and os.path.exists(info_path)
         fn = entry["fn"]
         accepts_pp = "post_process" in inspect.signature(fn).parameters
+        # post-process mode is NOT in the config hash (reference layout
+        # parity), so the manifest records the output's post-processed
+        # state and a complete dir whose state differs from the request
+        # is RERUN, never served as current (ADVICE r02 #2)
+        effective_pp = (post_process in (True, "only")) if accepts_pp else None
+        pp_matches = True
+        if complete and accepts_pp:
+            import json as _json
+
+            with open(info_path) as fh:
+                stored_pp = _json.load(fh).get("post_processed")
+            if stored_pp is not None and stored_pp != effective_pp:
+                pp_matches = False
         if upstream_dirs:
             kwargs = dict(kwargs, upstream_dirs=upstream_dirs)
         if post_process == "only":
@@ -161,7 +174,7 @@ def run_entries(entries: list[tuple[str, dict]], sf_dir: str, out_dir: str,
                 continue
             ds = fn(sf_dir, **kwargs, post_process="only", prior_dir=dest)
         else:
-            if complete and not overwrite:
+            if complete and pp_matches and not overwrite:
                 results[name] = dest  # idempotent rerun: skip
                 continue
             call_kwargs = dict(kwargs)
@@ -173,6 +186,12 @@ def run_entries(entries: list[tuple[str, dict]], sf_dir: str, out_dir: str,
 
         shutil.rmtree(tmp, ignore_errors=True)
         ds.write_parquet(tmp)
+        # promotion order (ADVICE r02 #1): retract the completeness
+        # marker FIRST, then replace data — any crash in the window
+        # leaves the dir incomplete (no pipeline_info.json), forcing a
+        # rerun instead of serving a mixed old/new dir as current
+        if os.path.exists(info_path):
+            os.remove(info_path)
         for f in existing:
             os.remove(f)
         for f in os.listdir(tmp):
@@ -186,6 +205,7 @@ def run_entries(entries: list[tuple[str, dict]], sf_dir: str, out_dir: str,
             "name": name, "version": entry["version"], "config_hash": h,
             "kwargs": {k: v for k, v in kwargs.items() if k != "upstream_dirs"},
             "upstream_dirs": upstream_dirs or None,
+            "post_processed": effective_pp,
         })
         results[name] = dest
     return results

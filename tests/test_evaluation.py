@@ -89,3 +89,22 @@ def test_run_standard_evaluation(ray_session):
     tasks = out["tasks"].set_index("field")
     assert tasks.loc["TaskName", "accuracy"] == 1.0
     assert tasks.loc["RestingState", "accuracy"] == 1.0
+
+
+def test_flatten_empty_outputs_keep_columns():
+    """Empty pipeline outputs flatten to key-columned frames and score
+    as empty accuracy, not KeyError (ADVICE r02 #4)."""
+    import pandas as pd
+
+    from neurostore_text_extraction_ray.pipelines.evaluation import (
+        field_accuracy, flatten_groups, flatten_tasks)
+
+    demo = flatten_groups(pd.DataFrame({"doc_id": [], "groups_json": []}))
+    assert list(demo.columns) == ["doc_id", "group_ix"]
+    task = flatten_tasks(pd.DataFrame({"doc_id": [],
+                                       "study_metadata_json": []}))
+    assert "task_ix" in task.columns
+    demo["key"] = demo["doc_id"].astype(str) + ":" + demo["group_ix"].astype(str)
+    gt = pd.DataFrame({"key": ["0:0"], "count": [1.0]})
+    acc = field_accuracy(demo, gt, "key", ["count"])
+    assert acc.loc[0, "n"] == 0

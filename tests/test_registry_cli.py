@@ -283,3 +283,51 @@ def test_reference_pipeline_name_aliases(ray_session, tmp_path):
                                str(tmp_path))
     df = _read_groups(out["participant_demographics"])
     assert len(df) == 500 and "groups_json" in df.columns
+
+
+def test_post_process_mode_mismatch_reruns(ray_session, tmp_path):
+    """A complete --no-post-process dir must NOT be served as current
+    by a default (post-processed) rerun (ADVICE r02 #2): the stored
+    post_processed state gates the skip."""
+    entries = [("llm_demographics", {})]
+    raw = registry.run_entries(entries, SF, str(tmp_path), post_process=False)
+    raw_df = _read_groups(raw["llm_demographics"])
+    assert (raw_df["groups_raw_json"] == "null").all()
+    # old behavior: skip-unless-overwrite served the raw output here
+    full = registry.run_entries(entries, SF, str(tmp_path))
+    full_df = _read_groups(full["llm_demographics"])
+    assert not full_df["groups_json"].equals(raw_df["groups_json"])
+    assert not (full_df["groups_raw_json"] == "null").all()
+    import json
+
+    with open(os.path.join(full["llm_demographics"], "pipeline_info.json")) as f:
+        assert json.load(f)["post_processed"] is True
+
+
+def test_promotion_crash_window_leaves_incomplete(ray_session, tmp_path,
+                                                  monkeypatch):
+    """A crash between data promotion and the manifest write leaves the
+    dir WITHOUT pipeline_info.json (ADVICE r02 #1: the marker is
+    retracted before data is replaced), so the next run reruns instead
+    of serving a mixed dir."""
+    from neurostore_text_extraction_ray.state import manifest as mf
+
+    entries = [("word_count", {})]
+    out = registry.run_entries(entries, SF, str(tmp_path))
+    dest = out["word_count"]
+    assert os.path.exists(os.path.join(dest, "pipeline_info.json"))
+
+    def boom(*a, **k):
+        raise RuntimeError("simulated crash before manifest write")
+
+    monkeypatch.setattr(mf, "write_pipeline_info", boom)
+    try:
+        registry.run_entries(entries, SF, str(tmp_path), overwrite=True)
+    except RuntimeError:
+        pass
+    # marker retracted -> dir reads as incomplete
+    assert not os.path.exists(os.path.join(dest, "pipeline_info.json"))
+    monkeypatch.undo()
+    again = registry.run_entries(entries, SF, str(tmp_path))  # no overwrite
+    assert os.path.exists(os.path.join(again["word_count"],
+                                       "pipeline_info.json"))
