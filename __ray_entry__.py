@@ -127,6 +127,15 @@ def _langid_quality_sql() -> str:
     )
 
 
+# fixed custom vocabulary for the tfidf_vocab query (reference
+# custom_terms option, tfidf/model.py:29-79); 'zzzyx' is deliberately
+# absent from the corpus to exercise the no-rows vocab-term path
+TFIDF_VOCAB_TERMS = [
+    "the", "and", "data", "with", "for", "study", "results", "analysis",
+    "of", "zzzyx",
+]
+
+
 def _round_cols(ds, spec: dict[str, int]):
     def r(df: pd.DataFrame) -> pd.DataFrame:
         for col, nd in spec.items():
@@ -150,6 +159,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "word_count": steps.word_count,
         "word_deviance": steps.word_deviance,
         "tfidf": lambda sf: _round_cols(steps.tfidf(sf), {"score": 6}),
+        "tfidf_vocab": lambda sf: _round_cols(
+            steps.tfidf(sf, custom_terms=TFIDF_VOCAB_TERMS, text_type="both"),
+            {"score": 6},
+        ),
         "docs_en_quality": steps.docs_en_quality,
         "docs_join_embeddings": steps.docs_join_embeddings,
         "filter_unprocessed": steps.filter_unprocessed,
@@ -266,6 +279,28 @@ def oracle_sql() -> dict[str, str]:
             "scored AS (SELECT t.doc_id, t.term, t.tf * i.idf AS raw "
             "           FROM tok t JOIN idf i USING (term)), "
             "nrm AS (SELECT doc_id, sqrt(sum(raw*raw)) AS nrm FROM scored GROUP BY doc_id) "
+            "SELECT s.doc_id, s.term, round(s.raw / nr.nrm, 6) AS score "
+            "FROM scored s JOIN nrm nr USING (doc_id)"
+        ),
+        "tfidf_vocab": (
+            "WITH vocab(term) AS (VALUES "
+            + ", ".join(f"('{t}')" for t in TFIDF_VOCAB_TERMS)
+            + "), docs AS ("
+            "  SELECT doc_id, substr(coalesce(text,''), 1, 200) || chr(10) "
+            "         || coalesce(text,'') AS content FROM documents"
+            "), tok AS ("
+            "  SELECT doc_id, t AS term, count(*) AS tf FROM ("
+            "    SELECT doc_id, unnest(regexp_extract_all(lower(content), "
+            "'\\w\\w+')) AS t FROM docs) "
+            "  WHERE t IN (SELECT term FROM vocab) GROUP BY doc_id, t"
+            "), df AS (SELECT term, count(*) AS df FROM tok GROUP BY term), "
+            "n AS (SELECT count(*) AS n FROM documents), "
+            "idf AS (SELECT term, ln((1 + n.n) / (1 + df.df)) + 1.0 AS idf "
+            "        FROM df, n), "
+            "scored AS (SELECT t.doc_id, t.term, t.tf * i.idf AS raw "
+            "           FROM tok t JOIN idf i USING (term)), "
+            "nrm AS (SELECT doc_id, sqrt(sum(raw*raw)) AS nrm FROM scored "
+            "        GROUP BY doc_id) "
             "SELECT s.doc_id, s.term, round(s.raw / nr.nrm, 6) AS score "
             "FROM scored s JOIN nrm nr USING (doc_id)"
         ),

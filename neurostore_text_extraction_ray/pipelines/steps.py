@@ -70,23 +70,56 @@ def word_deviance(sf_dir: str):
 # -- A2: TF-IDF (document-frequency aggregate + broadcast scoring) ----------
 
 
-def tfidf(sf_dir: str, min_df: int = 2):
+def tfidf(sf_dir: str, min_df: int = 2, vocabulary: dict | None = None,
+          custom_terms: list[str] | None = None,
+          text_type: str = "full_text"):
     """sklearn-equivalent TF-IDF (TfidfVectorizer(min_df=2) defaults:
     lowercase, token r'\\b\\w\\w+\\b', smooth idf ln((1+n)/(1+df))+1, l2
     doc norm), as a two-stage Ray pipeline (tfidf/model.py:29-129):
     (1) tokenize -> per-(doc,term) tf rows -> groupby(term) df counts
     (the only shuffle, over term-count rows, not text);
     (2) re-tokenize per doc with the broadcast idf map and emit
-    normalized scores. Output: (doc_id, term, score) for score > 0."""
+    normalized scores. Output: (doc_id, term, score) for score > 0.
+
+    Reference options (tfidf/model.py:29-79):
+    - ``vocabulary`` ({term: index}) or ``custom_terms`` (list; converted
+      exactly as model.py:56-58): restrict terms to the given vocabulary;
+      ``min_df`` is NOT applied (sklearn vocabulary semantics) and the
+      DF pass prunes to vocab terms early (the small vocab rides into
+      the tasks by closure, not an exchange).
+    - ``text_type``: 'full_text' | 'abstract' | 'both' — the M11
+      text-source projection (model.py:62-79). The documents corpus has
+      no stored abstract, so 'abstract' is DEFINED as the first 200
+      characters (deterministic, SQL-expressible analog of
+      metadata['abstract']); 'both' is abstract + '\\n' + full text,
+      mirroring the reference's f-string concatenation."""
     import ray
+
+    if text_type not in ("full_text", "abstract", "both"):
+        raise ValueError(f"unknown text_type {text_type!r}")
+    if custom_terms is not None:
+        vocabulary = {term: idx for idx, term in enumerate(custom_terms)}
+    vocab_set = frozenset(vocabulary) if vocabulary is not None else None
 
     docs = _docs(sf_dir, ["doc_id", "text"])
     n_docs = docs.count()
 
+    def _content(df: pd.DataFrame) -> pd.Series:
+        text = df["text"].fillna("")
+        if text_type == "full_text":
+            return text
+        abstract = text.str.slice(0, 200)
+        if text_type == "abstract":
+            return abstract
+        return abstract + "\n" + text
+
     def _explode_terms(df: pd.DataFrame) -> pd.DataFrame:
-        toks = df["text"].fillna("").str.lower().str.findall(SK_TOKEN_RE)
+        toks = _content(df).str.lower().str.findall(SK_TOKEN_RE)
         ex = df[["doc_id"]].assign(term=toks).explode("term")
-        return ex.dropna(subset=["term"])
+        ex = ex.dropna(subset=["term"])
+        if vocab_set is not None:
+            ex = ex[ex["term"].isin(vocab_set)]
+        return ex
 
     # document-frequency aggregate: vectorized tokenize+explode, one
     # partial DF-count row per distinct term per batch, one small final
@@ -97,13 +130,16 @@ def tfidf(sf_dir: str, min_df: int = 2):
         return pd.DataFrame({"term": c.index.to_numpy(dtype=object),
                              "n": c.to_numpy().astype(np.int64)})
 
-    df_counts = (
-        docs.map_batches(df_partial, batch_format="pandas")
-        .to_pandas()
-        .groupby("term", sort=False)["n"]
-        .sum()
-    )
-    vocab = df_counts[df_counts >= min_df]
+    partials = docs.map_batches(df_partial, batch_format="pandas").to_pandas()
+    if partials.empty:
+        # an all-empty partial stream (e.g. a vocabulary disjoint from
+        # the corpus) loses its columns through to_pandas
+        partials = pd.DataFrame({"term": pd.Series(dtype=object),
+                                 "n": pd.Series(dtype="int64")})
+    df_counts = partials.groupby("term", sort=False)["n"].sum()
+    # min_df applies only without an explicit vocabulary (sklearn
+    # TfidfVectorizer ignores min_df when vocabulary is given)
+    vocab = df_counts if vocab_set is not None else df_counts[df_counts >= min_df]
     terms_arr = vocab.index.to_numpy(dtype=object)
     idf_arr = np.log((1 + n_docs) / (1 + vocab.to_numpy())) + 1.0
     # broadcast as sorted term-HASH + idf arrays (BASELINE.md rule: no

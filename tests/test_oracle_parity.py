@@ -55,6 +55,7 @@ def _pairs():
 
 @pytest.mark.parametrize("name", [
     "flagship_extract", "flagship_titles", "word_count", "word_deviance", "tfidf",
+    "tfidf_vocab",
     "docs_en_quality", "docs_join_embeddings", "filter_unprocessed",
     "dedup_exact", "normalize_part_names", "lineitem_agg", "events_hourly",
     "events_sessionize", "events_asof_orders", "knn_embeddings",
@@ -97,3 +98,29 @@ def test_entry_smoke(ray_session):
     df = _to_pandas(ds)
     assert len(df) > 0
     assert set(df.columns) == {"url", "extracted_text"}
+
+
+def test_tfidf_options(ray_session):
+    """Reference tfidf options (tfidf/model.py:29-79): custom_terms
+    restricts the vocabulary WITHOUT min_df; text_type='abstract'
+    scores only the abstract projection."""
+    from neurostore_text_extraction_ray.pipelines import steps
+
+    # 'zzzyx' never occurs; 'the' has df >> 2; a vocab ignores min_df
+    vocab = steps.tfidf(SF, min_df=10**9,
+                        custom_terms=["the", "zzzyx"]).to_pandas()
+    assert set(vocab["term"]) == {"the"}  # min_df NOT applied to vocab
+    assert (vocab["score"] > 0).all()
+    # a vocabulary fully disjoint from the corpus yields empty, not an error
+    assert len(steps.tfidf(SF, custom_terms=["zzzyx"]).to_pandas()) == 0
+    # vocabulary dict form == custom_terms form
+    vocab2 = steps.tfidf(SF, vocabulary={"the": 0, "zzzyx": 1}).to_pandas()
+    pd.testing.assert_frame_equal(
+        vocab.sort_values(["doc_id", "term"]).reset_index(drop=True),
+        vocab2.sort_values(["doc_id", "term"]).reset_index(drop=True))
+    # abstract projection scores a subset of the full-text corpus terms
+    ab = steps.tfidf(SF, text_type="abstract", min_df=2).to_pandas()
+    full = steps.tfidf(SF, min_df=2).to_pandas()
+    assert 0 < len(ab) < len(full)
+    with pytest.raises(ValueError):
+        steps.tfidf(SF, text_type="nope")
