@@ -167,6 +167,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_join_embeddings": steps.docs_join_embeddings,
         "filter_unprocessed": steps.filter_unprocessed,
         "dedup_exact": steps.dedup_exact,
+        "docs_slice": steps.docs_slice,
         "normalize_part_names": steps.normalize_part_names,
         "lineitem_agg": lambda sf: _round_cols(
             steps.lineitem_agg(sf), {"sum_qty": 4, "sum_revenue": 4, "avg_disc": 6}
@@ -321,6 +322,10 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": (
             "SELECT min(doc_id) AS doc_id, min(n_chars) AS n_chars "
             "FROM documents GROUP BY text"
+        ),
+        "docs_slice": (
+            "SELECT doc_id, lang, n_chars FROM documents "
+            "WHERE doc_id % 7 = 0 AND doc_id < 500"
         ),
         "normalize_part_names": (
             "SELECT p_partkey, array_to_string(list_transform("

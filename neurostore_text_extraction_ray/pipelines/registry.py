@@ -229,6 +229,7 @@ def _register_builtins():
     register_op("docs_join_embeddings")(steps.docs_join_embeddings)
     register_op("filter_unprocessed")(steps.filter_unprocessed)
     register_op("dedup_exact")(steps.dedup_exact)
+    register_op("docs_slice")(steps.docs_slice)
     register_op("normalize_part_names")(steps.normalize_part_names)
     register_op("lineitem_agg")(steps.lineitem_agg)
     register_op("events_hourly")(steps.events_hourly)

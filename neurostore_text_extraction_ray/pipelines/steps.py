@@ -387,6 +387,21 @@ def _dedup_exact_exchanged(docs, partials_ds, num_parts: int = 32):
             shutil.rmtree(s, ignore_errors=True)
 
 
+# -- Dataset.slice(ids) analog ----------------------------------------------
+
+
+def docs_slice(sf_dir: str, ids=None):
+    """Explicit id-subset operator over documents — the reference's
+    ``Dataset.slice(ids)`` (dataset.py:207-211) via the broadcast
+    ``pc.is_in`` filter in ``sources/pond.slice_studies``. Default id
+    set: every 7th doc_id below 500 (matches the SQL oracle)."""
+    from ..sources.pond import slice_studies
+
+    ids = list(range(0, 500, 7)) if ids is None else list(ids)
+    return slice_studies(_docs(sf_dir, ["doc_id", "lang", "n_chars"]), ids,
+                         id_col="doc_id")
+
+
 # -- M6: string normalization over a table column ---------------------------
 
 

@@ -70,6 +70,7 @@ def scan_pond(root: str) -> list[dict]:
                 slot["metadata"] = f
             elif f.endswith(".csv"):
                 slot["contents"] = f
+        tables_xml = os.path.join(d, "source", "pubget", "tables", "tables.xml")
         rec = {
             "dbid": entry,
             "pmid": str(ids.get("pmid")) if ids.get("pmid") is not None else None,
@@ -77,6 +78,10 @@ def scan_pond(root: str) -> list[dict]:
             "doi": ids.get("doi"),
             "ace_html_path": ace_html[0] if ace_html else None,
             "pubget_xml_path": pubget_xml[0] if pubget_xml else None,
+            # the tables_xml input slot (dataset.py:22,153-155): exposed
+            # as a path column for downstream table-XML consumers; the
+            # per-table scan above still excludes it from the pairs
+            "tables_xml_path": tables_xml if os.path.exists(tables_xml) else None,
             "n_tables": len(tables),
             "tables_manifest": json.dumps(
                 [pairs[k] for k in sorted(pairs)]) if pairs else None,
@@ -256,6 +261,28 @@ def read_pond(root: str):
         .map_batches(load_study_coordinates_batch, batch_format="pyarrow")
         .map_batches(load_study_tables_batch, batch_format="pyarrow")
     )
+
+
+def slice_studies(ds, ids, id_col: str = "dbid"):
+    """``Dataset.slice(ids)`` analog (dataset.py:207-211): keep only
+    rows whose id is in ``ids`` — the id set broadcast once (``ray.put``)
+    and applied as a vectorized ``pc.is_in`` filter per batch (the
+    resume anti-join shape with the polarity flipped). Works for any
+    id column type."""
+    import ray
+
+    value_set = pa.array(sorted(set(ids)))
+    ref = ray.put(value_set)
+
+    def f(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        from ..stages.broadcast import get_broadcast
+
+        return batch.filter(pc.is_in(batch[id_col],
+                                     value_set=get_broadcast(ref)))
+
+    return ds.map_batches(f, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------

@@ -152,3 +152,27 @@ def test_eval_corpus_pond():
     idx = scan_pond(eval_pond)
     assert len(idx) == 14
     assert all(r["pubget_xml_path"] or r["ace_html_path"] for r in idx)
+
+
+def test_tables_xml_column():
+    """The tables_xml input slot (dataset.py:22,153-155) is exposed as
+    a path column on pubget studies that ship tables.xml."""
+    idx = {r["dbid"]: r for r in scan_pond(POND)}
+    rec = idx["3qT3nzK9bLZ7"]
+    assert rec["tables_xml_path"] is not None
+    assert rec["tables_xml_path"].endswith("source/pubget/tables/tables.xml")
+    assert os.path.exists(rec["tables_xml_path"])
+    # studies without pubget tables expose None, not a missing key
+    assert all("tables_xml_path" in r for r in idx.values())
+
+
+def test_slice_studies(ray_session):
+    """Dataset.slice(ids) analog: subset by dbid."""
+    from neurostore_text_extraction_ray.sources.pond import (
+        read_pond, slice_studies)
+
+    all_ids = {r["dbid"] for r in scan_pond(POND)}
+    keep = sorted(all_ids)[:2]
+    out = {r["dbid"] for r in
+           slice_studies(read_pond(POND), keep).iter_rows()}
+    assert out == set(keep)
