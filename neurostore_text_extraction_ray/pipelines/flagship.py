@@ -240,6 +240,23 @@ def flagship_dataset(pages_ds, mode: str = "auto", payload_column: str = "html",
 # ---------------------------------------------------------------------------
 
 
+def _input_sidecar_table(deduped: pa.Table, payload_column: str) -> pa.Table:
+    """(url, warc_ts, content_md5) of the part's winning fetches — the
+    per-url analog of the reference's ``{input_path: md5}`` study map
+    (``utils.py:302``). md5 for reference parity."""
+    md5s = [
+        hashlib.md5(p if p is not None else b"").hexdigest()
+        for p in deduped[payload_column].to_pylist()
+    ]
+    tss = deduped["warc_ts"].to_numpy(zero_copy_only=False).astype(
+        "datetime64[us]").astype(np.int64)
+    return pa.table({
+        "url": deduped["url"],
+        "warc_ts": pa.array(tss, pa.int64()),
+        "content_md5": pa.array(md5s, pa.string()),
+    })
+
+
 def _process_part(
     part: int,
     stage_dir: str,
@@ -247,10 +264,23 @@ def _process_part(
     input_path: str,
     payload_column: str,
     mode: str,
+    incremental: bool = False,
 ):
     """Phase B: read one part's fragments, dedup, extract, write the
-    final part file + manifest atomically. Returns a summary dict."""
+    final part file + manifest atomically. Returns a summary dict.
+
+    ``incremental``: per-url change detection (reference
+    ``base.py:372-411`` at url granularity) — compare the part's
+    winning (url, warc_ts, content_md5) rows against the prior run's
+    sidecar; a CLEAN part is left untouched (not rewritten), a dirty
+    part re-extracts ONLY its changed/new urls and merges the rest
+    from the prior part file. Crash safety mirrors the registry
+    promotion rule: the manifest (completeness marker) is retracted
+    before any of sidecar/data are replaced, so a crash mid-window
+    forces a full re-extract of that part instead of serving a mixed
+    state."""
     import glob as _glob
+    import json as _json
 
     import pyarrow.parquet as pq
 
@@ -259,6 +289,8 @@ def _process_part(
         group = None
     else:
         group = pa.concat_tables([pq.read_table(f) for f in frag_files])
+    data_path, man_path = mf.part_paths(run_dir, part)
+    side_path = mf.inputs_sidecar_path(run_dir, part)
     if group is None or group.num_rows == 0:
         # still write an (empty, full-schema) part + manifest so resume
         # marks the part done and readers can glob all parts uniformly
@@ -269,26 +301,81 @@ def _process_part(
         })
         empty_out = extract_batch(empty_pages, payload_column=payload_column,
                                   mode=mode, keep_columns=("url", "warc_ts"))
+        if os.path.exists(man_path):
+            os.remove(man_path)
+        mf.write_inputs_sidecar(
+            run_dir, part, _input_sidecar_table(empty_pages, payload_column))
         mf.write_part(
             run_dir, part, empty_out,
             {"input_file": input_path, "url_range": None, "input_rows": 0,
              "parser_version": PARSER_VERSION, "n_ok": 0,
-             "n_parse_failed": 0, "n_empty": 0},
+             "n_parse_failed": 0, "n_empty": 0,
+             "n_extracted": 0, "n_reused": 0},
         )
-        return {"partition_id": part, "rows": 0, "n_parse_failed": 0, "n_empty": 0}
+        return {"partition_id": part, "rows": 0, "n_parse_failed": 0,
+                "n_empty": 0, "n_extracted": 0, "n_reused": 0}
     urls_np = group["url"].to_pandas().to_numpy(dtype=object)
     keep = _latest_per_url_indices(
         urls_np, group["warc_ts"].to_numpy(zero_copy_only=False)
     )
     keep = keep[np.argsort(urls_np[keep], kind="stable")]
     deduped = group.take(pa.array(keep))
-    out = extract_batch(
-        deduped, payload_column=payload_column, mode=mode,
-        keep_columns=("url", "warc_ts"),
+    sidecar = _input_sidecar_table(deduped, payload_column)
+    n_reused = 0
+    prior_ok = (
+        incremental and os.path.exists(man_path)
+        and os.path.exists(data_path) and os.path.exists(side_path)
     )
+    if prior_ok:
+        cur = sidecar.to_pandas()
+        prior = pq.read_table(side_path).to_pandas()
+        m = cur.merge(prior, on="url", how="left", suffixes=("", "_prior"))
+        unchanged = (
+            (m["warc_ts_prior"] == m["warc_ts"])
+            & (m["content_md5_prior"] == m["content_md5"])
+        ).fillna(False).to_numpy(dtype=bool)
+        any_removed = bool((~prior["url"].isin(cur["url"])).any())
+        if unchanged.all() and not any_removed:
+            # clean part: keep data/manifest byte-for-byte untouched
+            with open(man_path) as fh:
+                pm = _json.load(fh)
+            return {
+                "partition_id": part, "rows": pm["rows"],
+                "n_parse_failed": pm.get("n_parse_failed", 0),
+                "n_empty": pm.get("n_empty", 0),
+                "n_extracted": 0, "n_reused": pm["rows"],
+            }
+        out_new = extract_batch(
+            deduped.filter(pa.array(~unchanged)),
+            payload_column=payload_column, mode=mode,
+            keep_columns=("url", "warc_ts"),
+        )
+        keep_urls = pa.array(sorted(m["url"][unchanged].tolist()))
+        reused_tbl = pq.read_table(data_path)
+        reused_tbl = reused_tbl.filter(
+            pc.is_in(reused_tbl["url"], value_set=keep_urls))
+        # reused rows come back from parquet with the list child field
+        # renamed (item -> element); cast to the extractor's schema so
+        # a merged part serializes BYTE-identically to a from-scratch
+        # part (combine_chunks gives the same row-group layout)
+        comb = pa.concat_tables([reused_tbl.cast(out_new.schema), out_new])
+        order = np.argsort(
+            comb["url"].to_pandas().to_numpy(dtype=object), kind="stable")
+        out = comb.take(pa.array(order)).combine_chunks()
+        n_extracted = out_new.num_rows
+        n_reused = reused_tbl.num_rows
+    else:
+        out = extract_batch(
+            deduped, payload_column=payload_column, mode=mode,
+            keep_columns=("url", "warc_ts"),
+        )
+        n_extracted = out.num_rows
     n_fail = pc.sum(pc.cast(out["parse_failed"], pa.int64())).as_py() or 0
     n_empty = pc.sum(pc.cast(out["empty"], pa.int64())).as_py() or 0
     urls = out["url"].to_pylist()
+    if os.path.exists(man_path):
+        os.remove(man_path)  # retract completeness before replacing state
+    mf.write_inputs_sidecar(run_dir, part, sidecar)
     manifest = mf.write_part(
         run_dir, part, out,
         {
@@ -299,6 +386,8 @@ def _process_part(
             "n_ok": out.num_rows - n_fail - n_empty,
             "n_parse_failed": n_fail,
             "n_empty": n_empty,
+            "n_extracted": n_extracted,
+            "n_reused": n_reused,
         },
     )
     return {
@@ -306,6 +395,8 @@ def _process_part(
         "rows": manifest["rows"],
         "n_parse_failed": n_fail,
         "n_empty": n_empty,
+        "n_extracted": n_extracted,
+        "n_reused": n_reused,
     }
 
 
@@ -317,6 +408,7 @@ def run_flagship_to_parquet(
     mode: str = "auto",
     input_path: str = "<inline>",
     config: dict | None = None,
+    incremental: bool = False,
 ):
     """Resumable run: write <out>/<config-hash>/parts/part-*.parquet +
     manifests. Returns (run_dir, per-part summary DataFrame).
@@ -340,11 +432,23 @@ def run_flagship_to_parquet(
     config.setdefault("parser_version", PARSER_VERSION)
     config.setdefault("mode", mode)
     config.setdefault("input", input_path)
-    config.setdefault("input_fingerprint", mf.input_fingerprint(input_path))
+    if incremental:
+        # incremental runs target a STABLE run dir across input edits
+        # (the per-part input sidecars carry change detection instead
+        # of the whole-input fingerprint in the run id); the manifest
+        # still records the fingerprint of what was last seen
+        config.setdefault("incremental", True)
+    else:
+        config.setdefault("input_fingerprint", mf.input_fingerprint(input_path))
     run_id = config_hash(config)
     run_dir = os.path.join(out_dir, run_id)
-    mf.write_pipeline_info(run_dir, {"config": config, "run_id": run_id})
-    done = mf.completed_parts(run_dir)
+    mf.write_pipeline_info(run_dir, {
+        "config": config, "run_id": run_id,
+        "input_fingerprint": mf.input_fingerprint(input_path),
+    })
+    # incremental: every part is re-CHECKED (cheap when clean); the
+    # part-skip anti-join is only for crash resume within one input
+    done = set() if incremental else mf.completed_parts(run_dir)
 
     ds = pages_ds.map_batches(
         lambda b: b.append_column("part", _url_hash_mod(b["url"], num_parts)),
@@ -360,6 +464,12 @@ def run_flagship_to_parquet(
         )
     # phase A: partition fragments to disk (streaming, parallel)
     stage_dir = os.path.join(run_dir, "stage")
+    if incremental:
+        # fragments from a PRIOR input version must not mix with the
+        # new ones (same stage dir, latest-wins ties would be ambiguous)
+        import shutil
+
+        shutil.rmtree(stage_dir, ignore_errors=True)
 
     def write_fragments(batch: pa.Table) -> pa.Table:
         import pyarrow.parquet as pq
@@ -406,13 +516,15 @@ def run_flagship_to_parquet(
         for p in batch["part"].to_pylist():
             rows.append(
                 _process_part(int(p), stage_dir, run_dir, input_path,
-                              payload_column, mode)
+                              payload_column, mode, incremental=incremental)
             )
         return pa.table({
             "partition_id": pa.array([r["partition_id"] for r in rows], pa.int64()),
             "rows": pa.array([r["rows"] for r in rows], pa.int64()),
             "n_parse_failed": pa.array([r["n_parse_failed"] for r in rows], pa.int64()),
             "n_empty": pa.array([r["n_empty"] for r in rows], pa.int64()),
+            "n_extracted": pa.array([r.get("n_extracted", r["rows"]) for r in rows], pa.int64()),
+            "n_reused": pa.array([r.get("n_reused", 0) for r in rows], pa.int64()),
         })
 
     if todo:
@@ -424,7 +536,8 @@ def run_flagship_to_parquet(
         sdf = summary.to_pandas()
     else:
         sdf = pd.DataFrame(
-            columns=["partition_id", "rows", "n_parse_failed", "n_empty"]
+            columns=["partition_id", "rows", "n_parse_failed", "n_empty",
+                     "n_extracted", "n_reused"]
         )
     # drop the exchange fragments once every part has a manifest
     if len(mf.completed_parts(run_dir)) >= num_parts:

@@ -70,6 +70,25 @@ def write_part(run_dir: str, part: int, table, manifest_extra: dict) -> dict:
     return manifest
 
 
+def inputs_sidecar_path(run_dir: str, part: int) -> str:
+    """Per-part input-identity sidecar: (url, warc_ts, content_md5) of
+    the part's winning fetches — the reference's per-study
+    ``{input_path: md5}`` change-detection map (``utils.py:302``,
+    ``base.py:372-411``) at url granularity, stored as parquet so a
+    part with millions of urls never rides inside a JSON manifest."""
+    return os.path.join(run_dir, "manifests", f"inputs-part-{part:05d}.parquet")
+
+
+def write_inputs_sidecar(run_dir: str, part: int, table) -> None:
+    import pyarrow.parquet as pq
+
+    path = inputs_sidecar_path(run_dir, part)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + ".tmp"
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)
+
+
 def write_pipeline_info(run_dir: str, info: dict) -> None:
     """Run-level manifest (reference: ``pipeline_info.json``,
     utils.py:242-284): date, version, config hash, kwargs."""

@@ -265,3 +265,71 @@ def test_partitioned_dedup_matches_broadcast(ray_session):
     assert len(a) == len(b) == 500
     assert (a["url"] == b["url"]).all()
     assert (a["warc_ts"] == b["warc_ts"]).all()
+
+
+def _inline_pages(texts):
+    import pyarrow as pa
+    import ray.data as rd
+
+    n = len(texts)
+    return rd.from_arrow(pa.table({
+        "url": pa.array([pages_src.url_for(i) for i in range(n)], pa.string()),
+        "warc_ts": pa.array([pages_src.ts_for(i, 0) for i in range(n)],
+                            pa.timestamp("us")),
+        "html": pa.array([pages_src.html_for(i, texts[i], 0) for i in range(n)],
+                         pa.binary()),
+    }))
+
+
+def test_incremental_reprocesses_only_changed_urls(ray_session, tmp_path):
+    """Per-document change detection (reference base.py:372-411 /
+    test_example_extractor.py:262-392 at url granularity): editing ONE
+    document rewrites exactly one part and re-extracts only that url;
+    an unchanged rerun rewrites nothing."""
+    n = 40
+    texts = [f"stable content number {i} with several words" for i in range(n)]
+    run_dir, s1 = flagship.run_flagship_to_parquet(
+        _inline_pages(texts), str(tmp_path), num_parts=4, incremental=True)
+    assert int(s1["n_extracted"].sum()) == n
+    part_files = sorted(glob.glob(os.path.join(run_dir, "parts", "*.parquet")))
+    sidecars = sorted(glob.glob(os.path.join(run_dir, "manifests",
+                                             "inputs-part-*.parquet")))
+    assert len(sidecars) == 4
+    before = {f: os.stat(f).st_mtime_ns for f in part_files}
+    out1 = {r["url"]: r["extracted_text"]
+            for r in _read_all(run_dir).to_pylist()}
+
+    # unchanged rerun: every part clean, zero extractions, zero rewrites
+    run_dir2, s2 = flagship.run_flagship_to_parquet(
+        _inline_pages(texts), str(tmp_path), num_parts=4, incremental=True)
+    assert run_dir2 == run_dir  # stable run id across reruns
+    assert int(s2["n_extracted"].sum()) == 0
+    assert int(s2["n_reused"].sum()) == n
+    assert {f: os.stat(f).st_mtime_ns for f in part_files} == before
+
+    # edit exactly one document
+    texts2 = list(texts)
+    texts2[7] = "edited content for document seven entirely new words"
+    run_dir3, s3 = flagship.run_flagship_to_parquet(
+        _inline_pages(texts2), str(tmp_path), num_parts=4, incremental=True)
+    assert run_dir3 == run_dir
+    assert int(s3["n_extracted"].sum()) == 1
+    after = {f: os.stat(f).st_mtime_ns for f in part_files}
+    rewritten = [f for f in part_files if after[f] != before[f]]
+    assert len(rewritten) == 1  # exactly one part rewritten
+    out3 = {r["url"]: r["extracted_text"]
+            for r in _read_all(run_dir).to_pylist()}
+    url7 = pages_src.url_for(7)
+    assert out3[url7] != out1[url7]
+    assert out3[url7] == pages_src.expected_text(7, texts2[7], 0)
+    for u, t in out1.items():
+        if u != url7:
+            assert out3[u] == t
+
+    # a dirty part's merged file equals what a from-scratch run writes
+    fresh_dir, _ = flagship.run_flagship_to_parquet(
+        _inline_pages(texts2), str(tmp_path / "fresh"), num_parts=4,
+        incremental=True)
+    for f in part_files:
+        fresh = os.path.join(fresh_dir, "parts", os.path.basename(f))
+        assert open(f, "rb").read() == open(fresh, "rb").read()
