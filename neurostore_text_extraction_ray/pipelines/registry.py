@@ -163,7 +163,10 @@ def run_entries(entries: list[tuple[str, dict]], sf_dir: str, out_dir: str,
 
             with open(info_path) as fh:
                 stored_pp = _json.load(fh).get("post_processed")
-            if stored_pp is not None and stored_pp != effective_pp:
+            # a manifest WITHOUT the key (pre-upgrade dir) is unknown
+            # state: rerun rather than risk serving raw output as
+            # cleaned — the exact bug this check exists to close
+            if stored_pp != effective_pp:
                 pp_matches = False
         if upstream_dirs:
             kwargs = dict(kwargs, upstream_dirs=upstream_dirs)

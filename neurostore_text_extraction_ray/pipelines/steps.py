@@ -316,7 +316,9 @@ def dedup_exact(sf_dir: str):
         out = pd.DataFrame({"h1": h1, "h2": h2, "doc_id": df["doc_id"].to_numpy()})
         return out.groupby(["h1", "h2"], sort=False)["doc_id"].min().reset_index()
 
-    docs = _docs(sf_dir, ["doc_id", "text", "n_chars"])
+    # the winner-filter stream needs only (doc_id, n_chars) — the text
+    # column is read exactly once, by the hashing pass below
+    docs = _docs(sf_dir, ["doc_id", "n_chars"])
     partials_ds = (
         _docs(sf_dir, ["doc_id", "text"])
         .map_batches(partial, batch_format="pandas")
@@ -799,9 +801,16 @@ def revenue_by_nation(sf_dir: str):
         hit = len(ck_s) > 0
         mask = (ck_s[j] == custs) if hit else np.zeros(len(custs), dtype=bool)
         nk = cnat_s[j[mask]]
+        # inner-join semantics (oracle parity): drop rows whose
+        # nationkey is outside or a gap of the nation dimension instead
+        # of IndexError / None-named groups
+        in_range = (nk >= 0) & (nk < len(n_names))
+        nk_c = np.clip(nk, 0, max(0, len(n_names) - 1))
+        names = n_names[nk_c]
+        ok = in_range & pd.notna(names)
         out = pd.DataFrame({
-            "n_name": n_names[nk], "r_name": r_names[nk],
-            "o_totalprice": df["o_totalprice"].to_numpy()[mask],
+            "n_name": names[ok], "r_name": r_names[nk_c][ok],
+            "o_totalprice": df["o_totalprice"].to_numpy()[mask][ok],
         })
         g = out.groupby(["n_name", "r_name"], sort=False)["o_totalprice"].agg(
             ["sum", "count"]).reset_index()

@@ -118,7 +118,7 @@ def _label_edges(ds, id_col: str, out_id_name: str, edges, max_pairs: int,
 BAND_ROWS_DRIVER_LIMIT = 50_000_000
 
 
-def _bucket_pairs_exchanged(mat, num_parts: int = 64):
+def _bucket_pairs_exchanged(mat, num_parts: int):
     """Scale path for the bucket combine: (band, key)-hash partition
     exchange through shared storage (stages/exchange.py — Ray-native
     groupby measured 50x slower here, BASELINE.md), then one parallel
@@ -163,7 +163,7 @@ def _bucket_pairs_exchanged(mat, num_parts: int = 64):
         shutil.rmtree(stage, ignore_errors=True)
 
 
-def _bucket_pairs(band_rows_ds):
+def _bucket_pairs(band_rows_ds, num_parts: int = 64):
     """(doc_id, band, key) rows -> candidate pairs. Band rows are tiny
     (ids + 8-byte keys, never text), so below a size guard they combine
     on the driver with one vectorized pandas groupby (returning a
@@ -175,7 +175,7 @@ def _bucket_pairs(band_rows_ds):
     the sketch stage never recomputes."""
     mat = band_rows_ds.materialize()
     if mat.count() > BAND_ROWS_DRIVER_LIMIT:
-        return _bucket_pairs_exchanged(mat)
+        return _bucket_pairs_exchanged(mat, num_parts)
     rows = mat.to_pandas()
     out = []
     for _, g in rows.groupby(["band", "key"], sort=False):
@@ -255,7 +255,7 @@ def minhash_near_dup(
         })
 
     band_rows = ds.map_batches(sketch, batch_format="pyarrow")
-    pairs = _bucket_pairs(band_rows)
+    pairs = _bucket_pairs(band_rows, max(num_parts, 64))
     n_pairs = _pairs_count(pairs)
     if n_pairs == 0:
         return _identity_labels(ds, id_col, "doc_id")
@@ -351,7 +351,7 @@ def simhash_near_dup(
         })
 
     band_rows = ds.map_batches(sketch, batch_format="pyarrow")
-    pairs = _bucket_pairs(band_rows)
+    pairs = _bucket_pairs(band_rows, max(num_parts, 64))
     n_pairs = _pairs_count(pairs)
     if n_pairs == 0:
         return _identity_labels(ds, id_col, "doc_id")
@@ -452,7 +452,8 @@ def ngram_jaccard_pairs(
     out_schema = pa.schema([
         ("a", pa.int64()), ("b", pa.int64()), ("jaccard", pa.float64()),
     ])
-    pairs = _bucket_pairs(ds.map_batches(sketch, batch_format="pyarrow"))
+    pairs = _bucket_pairs(ds.map_batches(sketch, batch_format="pyarrow"),
+                          max(num_parts, 64))
     if _pairs_count(pairs) == 0:
         import ray.data as rd
 
@@ -532,7 +533,8 @@ def embedding_cosine_dup(
             "key": pa.array(bkey, pa.int64()),
         })
 
-    pairs = _bucket_pairs(ds.map_batches(sketch, batch_format="pyarrow"))
+    pairs = _bucket_pairs(ds.map_batches(sketch, batch_format="pyarrow"),
+                          max(num_parts, 64))
     if _pairs_count(pairs) == 0:
         return _identity_labels(ds, id_col, "vec_id")
 

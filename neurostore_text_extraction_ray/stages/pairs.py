@@ -42,10 +42,11 @@ PAIR_SCHEMA = pa.schema([("a", pa.int64()), ("b", pa.int64())])
 PAYLOAD_SCHEMA = pa.schema([("id", pa.int64()), ("payload", pa.binary())])
 LABEL_SCHEMA = pa.schema([("node", pa.int64()), ("label", pa.int64())])
 
-# min-label propagation needs <= diameter rounds; near-dup components
-# (unions of LSH-bucket cliques) have tiny diameters, so a deep cap is
-# purely a runaway guard
-MAX_LABEL_ITERS = 64
+# min-label propagation needs <= component-diameter rounds; near-dup
+# components (unions of LSH-bucket cliques) have tiny diameters, but a
+# gradual-drift chain can be arbitrarily deep, so the loop runs to
+# CONVERGENCE — the cap below is only a bug backstop, set to the node
+# count (propagation provably converges within diameter < n rounds)
 
 
 def _by(col: str, num_parts: int):
@@ -161,7 +162,10 @@ def label_components_exchanged(edges_ds, num_parts: int = 32):
             ex.map_parts(edges_stage, num_parts, init_labels, LABEL_SCHEMA),
             labels_stage, _by("node", num_parts))
 
-        for _ in range(MAX_LABEL_ITERS):
+        n_nodes = None  # learned after the first round; bounds the loop
+        it = 0
+        while True:
+            it += 1
             msg_stage = ex.make_stage("nse_cc_msg_")
             next_stage = ex.make_stage("nse_cc_lab_")
             stages += [msg_stage, next_stage]
@@ -183,17 +187,33 @@ def label_components_exchanged(edges_ds, num_parts: int = 32):
             ex.write_exchange(msgs, msg_stage, _by("node", num_parts))
 
             def update(labels_t: pa.Table, msg_t: pa.Table) -> pa.Table:
-                lab = labels_t.to_pandas()
+                # pure-int64 join (a pandas left merge would go through
+                # float64 NaN and silently round labels above 2^53 —
+                # web-scale ids are 64-bit hashes)
+                nodes = labels_t["node"].to_numpy(zero_copy_only=False)
+                labels = labels_t["label"].to_numpy(
+                    zero_copy_only=False).copy()
+                order = np.argsort(nodes, kind="stable")
+                nodes_s, labels_s = nodes[order], labels[order]
                 m = (msg_t.to_pandas().groupby("node", sort=False)["cand"]
                      .min().reset_index())
-                j = lab.merge(m, on="node", how="left")
-                new = np.fmin(j["label"].to_numpy(dtype=np.int64),
-                              j["cand"].fillna(j["label"]).to_numpy(dtype=np.int64))
-                changed = (new < j["label"].to_numpy(dtype=np.int64))
+                m_nodes = m["node"].to_numpy(dtype=np.int64)
+                m_cands = m["cand"].to_numpy(dtype=np.int64)
+                pos = np.clip(np.searchsorted(nodes_s, m_nodes), 0,
+                              max(0, len(nodes_s) - 1))
+                # every message target is a node of this part by
+                # construction (directed edges partition by src); the
+                # hit mask guards minimum.at against corrupting a
+                # neighbor slot if that invariant is ever violated
+                hit = len(nodes_s) > 0
+                ok = (nodes_s[pos] == m_nodes) if hit else np.zeros(
+                    len(m_nodes), dtype=bool)
+                labels_new = labels_s.copy()
+                np.minimum.at(labels_new, pos[ok], m_cands[ok])
+                changed = labels_new < labels_s
                 return pa.table({
-                    "node": pa.array(j["node"].to_numpy(dtype=np.int64),
-                                     pa.int64()),
-                    "label": pa.array(new, pa.int64()),
+                    "node": pa.array(nodes_s, pa.int64()),
+                    "label": pa.array(labels_new, pa.int64()),
                     "changed": pa.array(changed.astype(np.int64), pa.int64()),
                 })
 
@@ -201,7 +221,8 @@ def label_components_exchanged(edges_ds, num_parts: int = 32):
                                upd_schema,
                                in_schemas=[LABEL_SCHEMA, msg_schema]
                                ).materialize()
-            n_changed = upd.sum("changed") if upd.count() else 0
+            n_nodes = upd.count()
+            n_changed = upd.sum("changed") if n_nodes else 0
             ex.write_exchange(
                 upd.map_batches(lambda b: b.drop_columns(["changed"]),
                                 batch_format="pyarrow"),
@@ -211,10 +232,10 @@ def label_components_exchanged(edges_ds, num_parts: int = 32):
             labels_stage = next_stage
             if not n_changed:
                 break
-        else:
-            raise RuntimeError(
-                f"component labeling did not converge in {MAX_LABEL_ITERS} "
-                "iterations (pathological chain component?)")
+            if it > n_nodes + 1:
+                raise RuntimeError(
+                    "component labeling exceeded the provable convergence "
+                    f"bound ({n_nodes} nodes, {it} rounds) — exchange bug")
 
         return ex.map_parts(labels_stage, num_parts, lambda t: t,
                             LABEL_SCHEMA).materialize()
@@ -240,12 +261,20 @@ def label_ids(ids_ds, labels_ds, id_col: str, out_id_name: str,
         ex.write_exchange(labels_ds, lab_stage, _by("node", num_parts))
 
         def join(ids_t: pa.Table, lab_t: pa.Table) -> pa.Table:
-            ids = ids_t.to_pandas()
-            lab = lab_t.to_pandas().rename(columns={"node": id_col})
-            j = ids.merge(lab, on=id_col, how="left")
-            idv = j[id_col].to_numpy(dtype=np.int64)
-            out = j["label"].fillna(pd.Series(idv, index=j.index)).to_numpy(
-                dtype=np.int64)
+            # pure-int64 searchsorted join with identity fallback — a
+            # pandas left merge would round labels above 2^53 through
+            # its float64 NaN path
+            idv = ids_t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            nodes = lab_t["node"].to_numpy(zero_copy_only=False)
+            labels = lab_t["label"].to_numpy(zero_copy_only=False)
+            order = np.argsort(nodes, kind="stable")
+            nodes_s, labels_s = nodes[order], labels[order]
+            out = idv.copy()
+            if len(nodes_s):
+                pos = np.clip(np.searchsorted(nodes_s, idv), 0,
+                              len(nodes_s) - 1)
+                hit = nodes_s[pos] == idv
+                out[hit] = labels_s[pos[hit]]
             return pa.table({
                 out_id_name: pa.array(idv, pa.int64()),
                 label_name: pa.array(out, pa.int64()),

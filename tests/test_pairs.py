@@ -152,3 +152,30 @@ def test_verify_pairs_missing_payload_rows_drop(ray_session):
     out = P.verify_pairs(pairs, payload, eq_verify, P.PAIR_SCHEMA,
                          num_parts=4).to_pandas()
     assert list(map(tuple, out.to_numpy())) == [(1, 2)]
+
+
+def test_label_components_large_ids_exact(ray_session):
+    """Labels above 2^53 survive the exchange path exactly (a float64
+    round-trip would corrupt them — code-review r03 finding)."""
+    from neurostore_text_extraction_ray.stages import pairs as P
+    from neurostore_text_extraction_ray.stages.dedup import _components
+
+    big = 2**53
+    edges = [(big + 1, big + 3), (big + 3, big + 5), (7, big + 9)]
+    comp = _components(edges)
+    edges_ds = P.pairs_to_ds(pd.DataFrame(edges, columns=["a", "b"]))
+    lab = {r["node"]: r["label"]
+           for r in P.label_components_exchanged(edges_ds,
+                                                 num_parts=4).iter_rows()}
+    assert lab == comp
+    import ray.data as rd
+    import pyarrow as pa_
+
+    ids = rd.from_arrow(pa_.table({
+        "doc_id": pa_.array([big + 1, big + 5, big + 11], pa_.int64())}))
+    out = {r["doc_id"]: r["dup_group"] for r in P.label_ids(
+        ids, rd.from_arrow(pa_.table({
+            "node": pa_.array([big + 5], pa_.int64()),
+            "label": pa_.array([big + 1], pa_.int64())})),
+        "doc_id", "doc_id", num_parts=4).iter_rows()}
+    assert out == {big + 1: big + 1, big + 5: big + 1, big + 11: big + 11}
