@@ -42,6 +42,10 @@ PAIR_SCHEMA = pa.schema([("a", pa.int64()), ("b", pa.int64())])
 PAYLOAD_SCHEMA = pa.schema([("id", pa.int64()), ("payload", pa.binary())])
 LABEL_SCHEMA = pa.schema([("node", pa.int64()), ("label", pa.int64())])
 
+# rounds taken by the last label_components_exchanged call (observability
+# + the pointer-jumping O(log n) convergence test)
+LAST_LABEL_ROUNDS = 0
+
 # min-label propagation needs <= component-diameter rounds; near-dup
 # components (unions of LSH-bucket cliques) have tiny diameters, but a
 # gradual-drift chain can be arbitrarily deep, so the loop runs to
@@ -186,6 +190,40 @@ def label_components_exchanged(edges_ds, num_parts: int = 32):
                                 msg_schema, in_schemas=[LABEL_SCHEMA, dir_schema])
             ex.write_exchange(msgs, msg_stage, _by("node", num_parts))
 
+            # pointer-jumping shortcut: also message label[label[n]] to
+            # n, giving O(log n) rounds on chain components instead of
+            # O(diameter). Labels re-partitioned by hash(label) land in
+            # the part that holds the label node's own label row; the
+            # propagated value is always a label within the same
+            # component, so correctness (monotone min) is unchanged.
+            bylab_stage = ex.make_stage("nse_cc_bylab_")
+            stages.append(bylab_stage)
+            ex.write_exchange(
+                ex.map_parts(labels_stage, num_parts, lambda t: t,
+                             LABEL_SCHEMA),
+                bylab_stage, _by("label", num_parts))
+
+            def shortcut(bylab_t: pa.Table, labels_t: pa.Table) -> pa.Table:
+                a = bylab_t.to_pandas()  # (node, label) by hash(label)
+                b = labels_t.to_pandas().rename(
+                    columns={"node": "label", "label": "label2"})
+                m = a.merge(b, on="label", how="inner")  # int64 inner: no NaN
+                g = m.groupby("node", sort=False)["label2"].min().reset_index()
+                return pa.table({
+                    "node": pa.array(g["node"].to_numpy(dtype=np.int64),
+                                     pa.int64()),
+                    "cand": pa.array(g["label2"].to_numpy(dtype=np.int64),
+                                     pa.int64()),
+                })
+
+            sc = ex.map_parts([bylab_stage, labels_stage], num_parts,
+                              shortcut, msg_schema,
+                              in_schemas=[LABEL_SCHEMA, LABEL_SCHEMA])
+            # same msg stage: update() min-combines edge + shortcut
+            # candidates in one pass
+            ex.write_exchange(sc, msg_stage, _by("node", num_parts))
+            shutil.rmtree(bylab_stage, ignore_errors=True)
+
             def update(labels_t: pa.Table, msg_t: pa.Table) -> pa.Table:
                 # pure-int64 join (a pandas left merge would go through
                 # float64 NaN and silently round labels above 2^53 —
@@ -236,6 +274,8 @@ def label_components_exchanged(edges_ds, num_parts: int = 32):
                 raise RuntimeError(
                     "component labeling exceeded the provable convergence "
                     f"bound ({n_nodes} nodes, {it} rounds) — exchange bug")
+        global LAST_LABEL_ROUNDS
+        LAST_LABEL_ROUNDS = it
 
         return ex.map_parts(labels_stage, num_parts, lambda t: t,
                             LABEL_SCHEMA).materialize()

@@ -179,3 +179,18 @@ def test_label_components_large_ids_exact(ray_session):
             "label": pa_.array([big + 1], pa_.int64())})),
         "doc_id", "doc_id", num_parts=4).iter_rows()}
     assert out == {big + 1: big + 1, big + 5: big + 1, big + 11: big + 11}
+
+
+def test_pointer_jumping_logarithmic_convergence(ray_session):
+    """A 100-node chain labels correctly in O(log n) rounds (pointer
+    jumping), not O(n)."""
+    from neurostore_text_extraction_ray.stages import pairs as P
+
+    n = 100
+    edges = [(i, i + 1) for i in range(n - 1)]
+    edges_ds = P.pairs_to_ds(pd.DataFrame(edges, columns=["a", "b"]))
+    lab = {r["node"]: r["label"]
+           for r in P.label_components_exchanged(edges_ds,
+                                                 num_parts=8).iter_rows()}
+    assert lab == {i: 0 for i in range(n)}
+    assert P.LAST_LABEL_ROUNDS <= 12  # log2(100) ~ 7 + slack, not 100
