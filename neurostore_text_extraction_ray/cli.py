@@ -28,6 +28,10 @@ def main(argv=None):
                     type=int, default=8)
     ap.add_argument("--flagship", action="store_true",
                     help="run the flagship extraction to a resumable sink")
+    ap.add_argument("--incremental", action="store_true",
+                    help="flagship: per-url change detection — stable run "
+                         "dir, only changed urls re-extract (dirty parts "
+                         "merge, clean parts untouched)")
     ap.add_argument("--list", action="store_true", help="list registered operators")
     # post-processing control (reference cli/run.py:156-176)
     ap.set_defaults(post_process=True)
@@ -75,11 +79,14 @@ def main(argv=None):
             run_dir, summary = flagship.run_flagship_to_parquet(
                 pages_src.read_pages(args.sf_dir), out_dir,
                 input_path=f"{args.sf_dir}/documents.parquet",
+                incremental=args.incremental,
             )
             print(json.dumps({
                 "run_dir": run_dir,
                 "parts": len(summary),
                 "rows": int(summary["rows"].sum()) if len(summary) else 0,
+                "extracted": int(summary["n_extracted"].sum()) if len(summary) else 0,
+                "reused": int(summary["n_reused"].sum()) if len(summary) else 0,
             }))
         if args.config:
             results = registry.run_config(

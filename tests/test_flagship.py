@@ -333,3 +333,50 @@ def test_incremental_reprocesses_only_changed_urls(ray_session, tmp_path):
     for f in part_files:
         fresh = os.path.join(fresh_dir, "parts", os.path.basename(f))
         assert open(f, "rb").read() == open(fresh, "rb").read()
+
+
+def test_incremental_url_removal(ray_session, tmp_path):
+    """A url REMOVED from the input makes its part dirty: the part is
+    rewritten without that url (stale rows never linger)."""
+    n = 24
+    texts = [f"doc number {i} original body words" for i in range(n)]
+    run_dir, _ = flagship.run_flagship_to_parquet(
+        _inline_pages(texts), str(tmp_path), num_parts=4, incremental=True)
+    gone = pages_src.url_for(5)
+    assert gone in {r["url"] for r in _read_all(run_dir).to_pylist()}
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    keep = [i for i in range(n) if i != 5]
+    pages2 = rd.from_arrow(pa.table({
+        "url": pa.array([pages_src.url_for(i) for i in keep], pa.string()),
+        "warc_ts": pa.array([pages_src.ts_for(i, 0) for i in keep],
+                            pa.timestamp("us")),
+        "html": pa.array([pages_src.html_for(i, texts[i], 0) for i in keep],
+                         pa.binary()),
+    }))
+    _, s2 = flagship.run_flagship_to_parquet(
+        pages2, str(tmp_path), num_parts=4, incremental=True)
+    urls = {r["url"] for r in _read_all(run_dir).to_pylist()}
+    assert gone not in urls
+    assert len(urls) == n - 1
+    assert int(s2["n_extracted"].sum()) == 0  # nothing changed content
+
+
+def test_incremental_crash_resume_re_extracts_part(ray_session, tmp_path):
+    """Deleting a part's manifest (= crash before the completeness
+    marker landed) forces a FULL re-extract of that part on the next
+    incremental run, never a mixed merge against unknown state."""
+    n = 24
+    texts = [f"doc number {i} body" for i in range(n)]
+    run_dir, _ = flagship.run_flagship_to_parquet(
+        _inline_pages(texts), str(tmp_path), num_parts=4, incremental=True)
+    man = sorted(glob.glob(os.path.join(run_dir, "manifests", "part-*.json")))[1]
+    part_rows = json.load(open(man))["rows"]
+    os.remove(man)
+    _, s2 = flagship.run_flagship_to_parquet(
+        _inline_pages(texts), str(tmp_path), num_parts=4, incremental=True)
+    # the marker-less part re-extracted fully; the other three are clean
+    assert int(s2["n_extracted"].sum()) == part_rows
+    assert os.path.exists(man)
