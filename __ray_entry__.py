@@ -168,6 +168,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "filter_unprocessed": steps.filter_unprocessed,
         "dedup_exact": steps.dedup_exact,
         "docs_slice": steps.docs_slice,
+        "docs_sample_hash": steps.docs_sample_hash,
+        "top_docs_per_lang": steps.top_docs_per_lang,
         "normalize_part_names": steps.normalize_part_names,
         "lineitem_agg": lambda sf: _round_cols(
             steps.lineitem_agg(sf), {"sum_qty": 4, "sum_revenue": 4, "avg_disc": 6}
@@ -326,6 +328,16 @@ def oracle_sql() -> dict[str, str]:
         "docs_slice": (
             "SELECT doc_id, lang, n_chars FROM documents "
             "WHERE doc_id % 7 = 0 AND doc_id < 500"
+        ),
+        "docs_sample_hash": (
+            "SELECT doc_id, lang, n_chars FROM documents "
+            "WHERE ((doc_id * 2654435761) % 2147483648) % 100 < 30"
+        ),
+        "top_docs_per_lang": (
+            "SELECT doc_id, lang, n_chars FROM ("
+            "  SELECT doc_id, lang, n_chars, row_number() OVER ("
+            "    PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rn"
+            "  FROM documents) WHERE rn <= 3"
         ),
         "normalize_part_names": (
             "SELECT p_partkey, array_to_string(list_transform("

@@ -233,6 +233,8 @@ def _register_builtins():
     register_op("filter_unprocessed")(steps.filter_unprocessed)
     register_op("dedup_exact")(steps.dedup_exact)
     register_op("docs_slice")(steps.docs_slice)
+    register_op("docs_sample_hash")(steps.docs_sample_hash)
+    register_op("top_docs_per_lang")(steps.top_docs_per_lang)
     register_op("normalize_part_names")(steps.normalize_part_names)
     register_op("lineitem_agg")(steps.lineitem_agg)
     register_op("events_hourly")(steps.events_hourly)

@@ -404,6 +404,60 @@ def docs_slice(sf_dir: str, ids=None):
                          id_col="doc_id")
 
 
+# -- Deterministic hash sampling (training-data mix building) ---------------
+
+
+def docs_sample_hash(sf_dir: str, pct: int = 30):
+    """Deterministic Bernoulli sample: keep a doc iff
+    ``((doc_id * 2654435761) % 2^31) % 100 < pct``. Hash-based sampling
+    is THE scale-safe pattern for training-data subsetting — no
+    coordination, no RNG state, stable across reruns/partitioning, and
+    exactly re-expressible in SQL (the Knuth multiplicative constant
+    with no 64-bit overflow for doc_id < 2^31, asserted)."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        assert len(ids) == 0 or (ids >= 0).all() and ids.max() < (1 << 31)
+        h = (ids * 2654435761) % (1 << 31)
+        return batch.filter(pa.array((h % 100) < pct))
+
+    return _docs(sf_dir, ["doc_id", "lang", "n_chars"]).map_batches(
+        f, batch_format="pyarrow")
+
+
+# -- Per-group top-k (window-function analog) -------------------------------
+
+
+def top_docs_per_lang(sf_dir: str, k: int = 3):
+    """Top-``k`` docs per language by (n_chars desc, doc_id asc) — the
+    ``row_number() OVER (PARTITION BY lang ORDER BY ...)`` analog as a
+    per-batch partial top-k per group + one tiny driver combine
+    (group-cardinality × k rows; no shuffle, no window sort)."""
+    import ray.data as rd
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.sort_values(["n_chars", "doc_id"], ascending=[False, True])
+            .groupby("lang", sort=False)
+            .head(k)
+        )
+
+    partials = (
+        _docs(sf_dir, ["doc_id", "lang", "n_chars"])
+        .map_batches(partial, batch_format="pandas")
+        .to_pandas()
+    )
+    final = (
+        partials.sort_values(["n_chars", "doc_id"], ascending=[False, True])
+        .groupby("lang", sort=False)
+        .head(k)
+        .sort_values(["lang", "n_chars", "doc_id"],
+                     ascending=[True, False, True])
+        .reset_index(drop=True)
+    )
+    return rd.from_pandas(final)
+
+
 # -- M6: string normalization over a table column ---------------------------
 
 

@@ -57,8 +57,8 @@ def _pairs():
     "flagship_extract", "flagship_titles", "word_count", "word_deviance", "tfidf",
     "tfidf_vocab",
     "docs_en_quality", "docs_join_embeddings", "filter_unprocessed",
-    "dedup_exact", "docs_slice", "normalize_part_names", "lineitem_agg",
-    "events_hourly",
+    "dedup_exact", "docs_slice", "docs_sample_hash", "top_docs_per_lang",
+    "normalize_part_names", "lineitem_agg", "events_hourly",
     "events_sessionize", "events_asof_orders", "knn_embeddings",
     "docs_text_features", "revenue_by_nation", "distinct_langs",
     "top_docs_by_length", "jats_extract_text", "pdf_extract_text",
