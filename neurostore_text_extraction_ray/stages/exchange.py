@@ -57,8 +57,15 @@ def exchange_root() -> str:
 
 
 def make_stage(prefix: str) -> str:
-    """Create a fresh exchange stage directory under ``exchange_root``."""
-    return tempfile.mkdtemp(prefix=prefix, dir=exchange_root())
+    """Create a fresh exchange stage directory under ``exchange_root``.
+    Callers remove stages eagerly (try/finally); the atexit hook is a
+    safety net so an interrupted driver doesn't strand tmpfs space."""
+    import atexit
+    import shutil
+
+    stage = tempfile.mkdtemp(prefix=prefix, dir=exchange_root())
+    atexit.register(shutil.rmtree, stage, ignore_errors=True)
+    return stage
 
 
 def int_part(cols: list[np.ndarray], num_parts: int) -> np.ndarray:
