@@ -428,6 +428,17 @@ def docs_sample_hash(sf_dir: str, pct: int = 30):
 # -- Per-group top-k (window-function analog) -------------------------------
 
 
+def _topk_rows(df: pd.DataFrame, k: int, by: str | None) -> pd.DataFrame:
+    """Top-k rows by (n_chars desc, doc_id asc), optionally per
+    ``by``-group (NULL keys form their own group, matching SQL's
+    PARTITION BY). Shared by the partial and combine stages of both
+    global and per-group top-k operators."""
+    s = df.sort_values(["n_chars", "doc_id"], ascending=[False, True])
+    if by is None:
+        return s.head(k)
+    return s.groupby(by, sort=False, dropna=False).head(k)
+
+
 def top_docs_per_lang(sf_dir: str, k: int = 3):
     """Top-``k`` docs per language by (n_chars desc, doc_id asc) — the
     ``row_number() OVER (PARTITION BY lang ORDER BY ...)`` analog as a
@@ -435,22 +446,14 @@ def top_docs_per_lang(sf_dir: str, k: int = 3):
     (group-cardinality × k rows; no shuffle, no window sort)."""
     import ray.data as rd
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        return (
-            df.sort_values(["n_chars", "doc_id"], ascending=[False, True])
-            .groupby("lang", sort=False)
-            .head(k)
-        )
-
     partials = (
         _docs(sf_dir, ["doc_id", "lang", "n_chars"])
-        .map_batches(partial, batch_format="pandas")
+        .map_batches(lambda df: _topk_rows(df, k, "lang"),
+                     batch_format="pandas")
         .to_pandas()
     )
     final = (
-        partials.sort_values(["n_chars", "doc_id"], ascending=[False, True])
-        .groupby("lang", sort=False)
-        .head(k)
+        _topk_rows(partials, k, "lang")
         .sort_values(["lang", "n_chars", "doc_id"],
                      ascending=[True, False, True])
         .reset_index(drop=True)
@@ -909,18 +912,14 @@ def distinct_langs(sf_dir: str):
 def top_docs_by_length(sf_dir: str, k: int = 10):
     """Global top-k by n_chars with a deterministic tie-break
     (n_chars desc, doc_id asc): per-batch partial top-k rows then one
-    small merge — no global sort."""
+    small merge — no global sort (shared ``_topk_rows`` kernel)."""
     import ray.data as rd
-
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        return df.sort_values(["n_chars", "doc_id"], ascending=[False, True]).head(k)
 
     partials = (
         rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"])
-        .map_batches(partial, batch_format="pandas")
+        .map_batches(lambda df: _topk_rows(df, k, None),
+                     batch_format="pandas")
         .to_pandas()
     )
-    final = partials.sort_values(
-        ["n_chars", "doc_id"], ascending=[False, True]
-    ).head(k).reset_index(drop=True)
+    final = _topk_rows(partials, k, None).reset_index(drop=True)
     return rd.from_pandas(final)

@@ -56,15 +56,33 @@ def exchange_root() -> str:
     return "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
 
 
-def make_stage(prefix: str) -> str:
-    """Create a fresh exchange stage directory under ``exchange_root``.
-    Callers remove stages eagerly (try/finally); the atexit hook is a
-    safety net so an interrupted driver doesn't strand tmpfs space."""
-    import atexit
+_LIVE_STAGES: set[str] = set()
+_ATEXIT_REGISTERED = False
+
+
+def _cleanup_live_stages():
     import shutil
 
+    for s in list(_LIVE_STAGES):
+        shutil.rmtree(s, ignore_errors=True)
+
+
+def make_stage(prefix: str) -> str:
+    """Create a fresh exchange stage directory under ``exchange_root``.
+    Callers remove stages eagerly (try/finally); ONE atexit hook over a
+    live-stage set (pruned of already-removed dirs here, so it never
+    grows unboundedly in a long-lived driver) is the safety net so an
+    interrupted driver doesn't strand tmpfs space."""
+    global _ATEXIT_REGISTERED
+    if not _ATEXIT_REGISTERED:
+        import atexit
+
+        atexit.register(_cleanup_live_stages)
+        _ATEXIT_REGISTERED = True
+    _LIVE_STAGES.difference_update(
+        [s for s in _LIVE_STAGES if not os.path.isdir(s)])
     stage = tempfile.mkdtemp(prefix=prefix, dir=exchange_root())
-    atexit.register(shutil.rmtree, stage, ignore_errors=True)
+    _LIVE_STAGES.add(stage)
     return stage
 
 

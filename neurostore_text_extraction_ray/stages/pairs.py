@@ -196,33 +196,37 @@ def label_components_exchanged(edges_ds, num_parts: int = 32):
             # the part that holds the label node's own label row; the
             # propagated value is always a label within the same
             # component, so correctness (monotone min) is unchanged.
-            bylab_stage = ex.make_stage("nse_cc_bylab_")
-            stages.append(bylab_stage)
-            ex.write_exchange(
-                ex.map_parts(labels_stage, num_parts, lambda t: t,
-                             LABEL_SCHEMA),
-                bylab_stage, _by("label", num_parts))
+            # Round 1 is skipped — labels are all self-labels there, so
+            # label[label[n]] == n and every message would be a no-op.
+            if it > 1:
+                bylab_stage = ex.make_stage("nse_cc_bylab_")
+                stages.append(bylab_stage)
+                ex.write_exchange(
+                    ex.map_parts(labels_stage, num_parts, lambda t: t,
+                                 LABEL_SCHEMA),
+                    bylab_stage, _by("label", num_parts))
 
-            def shortcut(bylab_t: pa.Table, labels_t: pa.Table) -> pa.Table:
-                a = bylab_t.to_pandas()  # (node, label) by hash(label)
-                b = labels_t.to_pandas().rename(
-                    columns={"node": "label", "label": "label2"})
-                m = a.merge(b, on="label", how="inner")  # int64 inner: no NaN
-                g = m.groupby("node", sort=False)["label2"].min().reset_index()
-                return pa.table({
-                    "node": pa.array(g["node"].to_numpy(dtype=np.int64),
-                                     pa.int64()),
-                    "cand": pa.array(g["label2"].to_numpy(dtype=np.int64),
-                                     pa.int64()),
-                })
+                def shortcut(bylab_t: pa.Table, labels_t: pa.Table) -> pa.Table:
+                    a = bylab_t.to_pandas()  # (node, label) by hash(label)
+                    b = labels_t.to_pandas().rename(
+                        columns={"node": "label", "label": "label2"})
+                    m = a.merge(b, on="label", how="inner")  # int64: no NaN
+                    m = m[m["label2"] < m["label"]]  # productive only
+                    g = m.groupby("node", sort=False)["label2"].min().reset_index()
+                    return pa.table({
+                        "node": pa.array(g["node"].to_numpy(dtype=np.int64),
+                                         pa.int64()),
+                        "cand": pa.array(g["label2"].to_numpy(dtype=np.int64),
+                                         pa.int64()),
+                    })
 
-            sc = ex.map_parts([bylab_stage, labels_stage], num_parts,
-                              shortcut, msg_schema,
-                              in_schemas=[LABEL_SCHEMA, LABEL_SCHEMA])
-            # same msg stage: update() min-combines edge + shortcut
-            # candidates in one pass
-            ex.write_exchange(sc, msg_stage, _by("node", num_parts))
-            shutil.rmtree(bylab_stage, ignore_errors=True)
+                sc = ex.map_parts([bylab_stage, labels_stage], num_parts,
+                                  shortcut, msg_schema,
+                                  in_schemas=[LABEL_SCHEMA, LABEL_SCHEMA])
+                # same msg stage: update() min-combines edge + shortcut
+                # candidates in one pass
+                ex.write_exchange(sc, msg_stage, _by("node", num_parts))
+                shutil.rmtree(bylab_stage, ignore_errors=True)
 
             def update(labels_t: pa.Table, msg_t: pa.Table) -> pa.Table:
                 # pure-int64 join (a pandas left merge would go through

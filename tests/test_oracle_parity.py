@@ -125,3 +125,20 @@ def test_tfidf_options(ray_session):
     assert 0 < len(ab) < len(full)
     with pytest.raises(ValueError):
         steps.tfidf(SF, text_type="nope")
+
+
+def test_topk_rows_null_group_kept():
+    """NULL group keys form their own partition (SQL PARTITION BY
+    semantics), not dropped — code-review r03b finding."""
+    import numpy as np
+
+    from neurostore_text_extraction_ray.pipelines.steps import _topk_rows
+
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "lang": ["en", None, None, "en"],
+        "n_chars": [10, 20, 5, 30],
+    })
+    out = _topk_rows(df, 1, "lang")
+    assert len(out) == 2  # one per group incl. the NULL group
+    assert set(out["doc_id"]) == {4, 2}
