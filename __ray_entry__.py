@@ -170,6 +170,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_slice": steps.docs_slice,
         "docs_sample_hash": steps.docs_sample_hash,
         "top_docs_per_lang": steps.top_docs_per_lang,
+        "orders_custkey_hll": steps.orders_custkey_hll,
+        "lineitem_orders_semijoin": lambda sf: _round_cols(
+            steps.lineitem_orders_semijoin(sf), {"l_extendedprice": 2}),
         "normalize_part_names": steps.normalize_part_names,
         "lineitem_agg": lambda sf: _round_cols(
             steps.lineitem_agg(sf), {"sum_qty": 4, "sum_revenue": 4, "avg_disc": 6}
@@ -338,6 +341,12 @@ def oracle_sql() -> dict[str, str]:
             "  SELECT doc_id, lang, n_chars, row_number() OVER ("
             "    PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rn"
             "  FROM documents) WHERE rn <= 3"
+        ),
+        "orders_custkey_hll": _golden_sql("orders_custkey_hll"),
+        "lineitem_orders_semijoin": (
+            "SELECT l_orderkey, round(l_extendedprice, 2) AS l_extendedprice "
+            "FROM lineitem WHERE l_orderkey IN ("
+            "SELECT o_orderkey FROM orders WHERE o_totalprice > 400000)"
         ),
         "normalize_part_names": (
             "SELECT p_partkey, array_to_string(list_transform("

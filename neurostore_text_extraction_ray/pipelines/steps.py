@@ -461,6 +461,45 @@ def top_docs_per_lang(sf_dir: str, k: int = 3):
     return rd.from_pandas(final)
 
 
+# -- Sketches: HLL distinct count + Bloom-prefiltered semi-join -------------
+
+
+def orders_custkey_hll(sf_dir: str, p: int = 12):
+    """Approximate distinct o_custkey count via HyperLogLog
+    (stages/sketch.py): per-batch 2^p-byte register partials, tiny max
+    combine, one-row estimate. Deterministic (fixed-key hash), so
+    golden-oracled; accuracy vs the exact count is asserted in
+    tests/test_sketch.py (sigma ~ 1.04/sqrt(2^p) ~ 1.6%)."""
+    import ray.data as rd
+
+    from ..stages.sketch import hll_distinct
+
+    return hll_distinct(
+        rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"]),
+        "o_custkey", p=p)
+
+
+def lineitem_orders_semijoin(sf_dir: str, price_threshold: float = 400000.0):
+    """lineitem rows whose order is high-value: Bloom-prefiltered
+    broadcast semi-join (stages/sketch.py) — probe a few-hundred-KB
+    bit array per row, exact-verify survivors, output == the plain
+    semi-join (SQL oracle)."""
+    import duckdb
+    import ray.data as rd
+
+    from ..stages.sketch import bloom_semi_join
+
+    con = duckdb.connect()
+    keys = con.execute(
+        f"SELECT o_orderkey FROM read_parquet('{sf_dir}/orders.parquet') "
+        f"WHERE o_totalprice > {price_threshold}"
+    ).fetchdf()["o_orderkey"].to_numpy()
+    con.close()
+    fact = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                           columns=["l_orderkey", "l_extendedprice"])
+    return bloom_semi_join(fact, "l_orderkey", keys)
+
+
 # -- M6: string normalization over a table column ---------------------------
 
 

@@ -1,0 +1,164 @@
+"""Distributed sketches (training-data-pipeline additions; custom
+operators per the SURVEY guidance for semantics Ray Data lacks):
+
+- HyperLogLog distinct counting (Flajolet et al. 2007, public
+  algorithm): per-batch register partials -> tiny elementwise-max
+  combine -> bias-corrected estimate. The registers are 2^p bytes per
+  PARTIAL (not per row), so a 10^12-row column reduces to a handful of
+  4 KB blobs on the driver regardless of cardinality — the canonical
+  sketch shape for web-scale "how many distinct urls/tokens" questions.
+  Deterministic given the hash (pd.util.hash_array, fixed key), so the
+  estimate is pinned by a golden oracle.
+
+- Bloom-prefiltered broadcast semi-join: the small side builds a bit
+  array (vectorized double hashing) that is broadcast alongside the
+  sorted key array; each batch probes the bloom first (k uint64 ops per
+  row over a few-hundred-KB filter) and runs the exact searchsorted
+  verify only on survivors. Output is EXACTLY the semi-join (the bloom
+  is a pruning layer, false positives removed by the verify), so the
+  operator keeps a plain SQL oracle while modeling the
+  bandwidth-saving probe order used at scale.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+_MIX1 = np.uint64(0x9E3779B97F4A7C15)
+_MIX2 = np.uint64(0xC2B2AE3D27D4EB4F)
+
+
+def _bit_length_u64(v: np.ndarray) -> np.ndarray:
+    """Vectorized bit_length for uint64 (0 -> 0)."""
+    v = v.copy()
+    bl = np.zeros(len(v), dtype=np.int64)
+    for s in (32, 16, 8, 4, 2, 1):
+        m = v >= (np.uint64(1) << np.uint64(s))
+        bl[m] += s
+        v[m] >>= np.uint64(s)
+    bl[v > 0] += 1
+    return bl
+
+
+def hll_partial(hashes: np.ndarray, p: int) -> np.ndarray:
+    """uint64 hashes -> register array (uint8[2^p]) of max rho."""
+    m = 1 << p
+    idx = (hashes >> np.uint64(64 - p)).astype(np.int64)
+    # payload shifted to the TOP of the 64-bit word, so leading zeros
+    # of w == leading zeros of the (64-p)-bit payload string:
+    # rho = 64 - bit_length(w) + 1 (w == 0 -> payload all zeros ->
+    # rho = 64 - p + 1, the maximum)
+    w = (hashes << np.uint64(p)).astype(np.uint64)
+    rho = np.where(w > 0, 64 - _bit_length_u64(w) + 1, 64 - p + 1)
+    regs = np.zeros(m, dtype=np.uint8)
+    np.maximum.at(regs, idx, rho.astype(np.uint8))
+    return regs
+
+
+def hll_estimate(regs: np.ndarray) -> int:
+    """Bias-corrected HLL estimate with the small-range (linear
+    counting) correction — the published estimator, deterministic."""
+    m = len(regs)
+    alpha = 0.7213 / (1 + 1.079 / m)
+    e = alpha * m * m / np.sum(np.power(2.0, -regs.astype(np.float64)))
+    zeros = int((regs == 0).sum())
+    if e <= 2.5 * m and zeros > 0:
+        e = m * np.log(m / zeros)
+    return int(round(e))
+
+
+def hll_distinct(ds, col: str, p: int = 12):
+    """Approximate COUNT(DISTINCT col) over a Dataset: one register
+    blob per batch, elementwise-max combine, single-row result
+    ``(n_distinct_est)``."""
+    import ray.data as rd
+
+    m = 1 << p
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vals = batch[col].to_numpy(zero_copy_only=False)
+        h = pd.util.hash_array(np.asarray(vals))
+        regs = hll_partial(h, p)
+        return pa.table({"regs": pa.array([regs.tobytes()], pa.binary())})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    regs = np.zeros(m, dtype=np.uint8)
+    for blob in partials["regs"]:
+        regs = np.maximum(regs, np.frombuffer(blob, dtype=np.uint8))
+    est = hll_estimate(regs)
+    return rd.from_arrow(pa.table({"n_distinct_est": pa.array([est], pa.int64())}))
+
+
+# ---------------------------------------------------------------------------
+# Bloom-prefiltered broadcast semi-join
+# ---------------------------------------------------------------------------
+
+
+def build_bloom(keys: np.ndarray, n_bits: int = 1 << 20,
+                k_hashes: int = 5) -> np.ndarray:
+    """Vectorized Bloom filter over int64 keys (double hashing:
+    h_i = h1 + i*h2, the standard Kirsch-Mitzenmacher construction).
+    Returns a uint64 word array of ``n_bits`` bits."""
+    words = np.zeros(n_bits // 64, dtype=np.uint64)
+    k64 = keys.astype(np.uint64)
+    with np.errstate(over="ignore"):
+        h1 = k64 * _MIX1
+        h1 ^= h1 >> np.uint64(29)
+        h2 = (k64 ^ _MIX2) * _MIX1
+        h2 ^= h2 >> np.uint64(31)
+        h2 |= np.uint64(1)  # odd stride
+        for i in range(k_hashes):
+            idx = ((h1 + np.uint64(i) * h2) % np.uint64(n_bits)).astype(np.int64)
+            np.bitwise_or.at(words, idx >> 6,
+                             np.uint64(1) << (idx & 63).astype(np.uint64))
+    return words
+
+
+def bloom_contains(words: np.ndarray, keys: np.ndarray,
+                   k_hashes: int = 5) -> np.ndarray:
+    """Vectorized membership probe (no false negatives)."""
+    n_bits = len(words) * 64
+    k64 = keys.astype(np.uint64)
+    out = np.ones(len(keys), dtype=bool)
+    with np.errstate(over="ignore"):
+        h1 = k64 * _MIX1
+        h1 ^= h1 >> np.uint64(29)
+        h2 = (k64 ^ _MIX2) * _MIX1
+        h2 ^= h2 >> np.uint64(31)
+        h2 |= np.uint64(1)
+        for i in range(k_hashes):
+            idx = ((h1 + np.uint64(i) * h2) % np.uint64(n_bits)).astype(np.int64)
+            bit = (words[idx >> 6] >> (idx & 63).astype(np.uint64)) & np.uint64(1)
+            out &= bit.astype(bool)
+    return out
+
+
+def bloom_semi_join(fact_ds, key_col: str, keys: np.ndarray,
+                    n_bits: int = 1 << 20, k_hashes: int = 5):
+    """Keep fact rows whose ``key_col`` is in ``keys`` — bloom probe
+    first, exact sorted-array verify on survivors only. Output equals
+    the exact semi-join (plain SQL oracle); the bloom is the
+    scale-path pruning layer (a few hundred KB broadcast instead of
+    touching the full sorted key array for every row)."""
+    import ray
+
+    keys_sorted = np.sort(np.unique(keys.astype(np.int64)))
+    ref = ray.put((build_bloom(keys_sorted, n_bits, k_hashes), keys_sorted))
+
+    def f(batch: pa.Table) -> pa.Table:
+        from .broadcast import get_broadcast
+
+        words, ks = get_broadcast(ref)
+        vals = batch[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        cand = bloom_contains(words, vals, k_hashes)
+        if not cand.any():
+            return batch.slice(0, 0)
+        exact = np.zeros(len(vals), dtype=bool)
+        cv = vals[cand]
+        j = np.clip(np.searchsorted(ks, cv), 0, len(ks) - 1)
+        exact[np.flatnonzero(cand)] = ks[j] == cv
+        return batch.filter(pa.array(exact))
+
+    return fact_ds.map_batches(f, batch_format="pyarrow")

@@ -58,6 +58,7 @@ def _pairs():
     "tfidf_vocab",
     "docs_en_quality", "docs_join_embeddings", "filter_unprocessed",
     "dedup_exact", "docs_slice", "docs_sample_hash", "top_docs_per_lang",
+    "orders_custkey_hll", "lineitem_orders_semijoin",
     "normalize_part_names", "lineitem_agg", "events_hourly",
     "events_sessionize", "events_asof_orders", "knn_embeddings",
     "docs_text_features", "revenue_by_nation", "distinct_langs",

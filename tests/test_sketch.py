@@ -1,0 +1,80 @@
+"""HyperLogLog + Bloom semi-join sketches (stages/sketch.py)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def test_hll_accuracy_known_cardinalities():
+    """Estimate within ~5 sigma (sigma ~ 1.04/sqrt(m)) across three
+    orders of magnitude; deterministic across calls."""
+    from neurostore_text_extraction_ray.stages.sketch import (
+        hll_estimate, hll_partial)
+
+    for n in (100, 5_000, 200_000):
+        vals = np.arange(n, dtype=np.int64)
+        h = pd.util.hash_array(vals)
+        est = hll_estimate(hll_partial(h, p=12))
+        assert abs(est - n) / n < 0.09, (n, est)
+        assert est == hll_estimate(hll_partial(h, p=12))  # deterministic
+
+
+def test_hll_partials_merge_equals_single_pass():
+    """max-merge of split partials == one-shot registers (the combine
+    the distributed operator relies on)."""
+    from neurostore_text_extraction_ray.stages.sketch import (
+        hll_estimate, hll_partial)
+
+    vals = np.arange(10_000, dtype=np.int64)
+    h = pd.util.hash_array(vals)
+    one = hll_partial(h, p=10)
+    merged = np.maximum(hll_partial(h[:3000], p=10),
+                        hll_partial(h[3000:], p=10))
+    assert (one == merged).all()
+    assert hll_estimate(one) == hll_estimate(merged)
+
+
+def test_hll_distinct_dataset(ray_session):
+    """Dataset operator vs exact distinct count on orders."""
+    import duckdb
+
+    from neurostore_text_extraction_ray.pipelines.steps import orders_custkey_hll
+
+    sf = "/root/testdata/sf0.001"
+    est = orders_custkey_hll(sf).to_pandas()["n_distinct_est"][0]
+    con = duckdb.connect()
+    exact = con.execute(
+        f"SELECT count(DISTINCT o_custkey) FROM "
+        f"read_parquet('{sf}/orders.parquet')").fetchone()[0]
+    con.close()
+    assert abs(est - exact) / exact < 0.06, (est, exact)
+
+
+def test_bloom_no_false_negatives_and_low_fp():
+    from neurostore_text_extraction_ray.stages.sketch import (
+        bloom_contains, build_bloom)
+
+    rng = np.random.RandomState(1)
+    keys = rng.randint(0, 10**12, size=20_000).astype(np.int64)
+    words = build_bloom(keys, n_bits=1 << 18)
+    assert bloom_contains(words, keys).all()  # no false negatives
+    probe = rng.randint(10**12, 2 * 10**12, size=50_000).astype(np.int64)
+    fp = bloom_contains(words, probe).mean()
+    assert fp < 0.05, fp  # m/n ~ 13 bits/key, k=5 -> ~1% expected
+
+
+def test_bloom_semi_join_exact(ray_session):
+    """The operator's output equals the exact semi-join — the bloom
+    only prunes, never changes results."""
+    import ray.data as rd
+
+    from neurostore_text_extraction_ray.stages.sketch import bloom_semi_join
+
+    fact = rd.from_arrow(pa.table({
+        "k": pa.array(list(range(1000)), pa.int64()),
+        "v": pa.array(list(range(1000)), pa.int64()),
+    }))
+    keys = np.arange(0, 1000, 7, dtype=np.int64)
+    out = bloom_semi_join(fact, "k", keys).to_pandas().sort_values("k")
+    assert out["k"].tolist() == list(range(0, 1000, 7))

@@ -40,6 +40,7 @@ SF_QUERIES = [
     "entity_linking",
     "umls_disease_groups",
     "abbrev_expand",
+    "orders_custkey_hll",
 ]
 # corpus-independent queries (single file)
 GLOBAL_QUERIES = ["multimodal_features"]
@@ -62,6 +63,8 @@ def main() -> None:
     import __ray_entry__ as e
 
     qs = e.queries()
+    # optional argv name filter: regenerate only the listed goldens
+    only = set(sys.argv[1:])
     os.makedirs(GOLDEN_DIR, exist_ok=True)
     con = duckdb.connect()
     for sf_dir in SF_DIRS:
@@ -69,11 +72,15 @@ def main() -> None:
             f"SELECT sum(n_chars) FROM read_parquet('{sf_dir}/documents.parquet')"
         ).fetchone()[0]
         for name in SF_QUERIES:
+            if only and name not in only:
+                continue
             table = _to_table(qs[name](sf_dir))
             path = os.path.join(GOLDEN_DIR, f"{name}.{disc}.parquet")
             pq.write_table(table, path)
             print(f"wrote {path} ({table.num_rows} rows)")
     for name in GLOBAL_QUERIES:
+        if only and name not in only:
+            continue
         table = _to_table(qs[name](SF_DIRS[0]))
         path = os.path.join(GOLDEN_DIR, f"{name}.parquet")
         pq.write_table(table, path)
