@@ -61,7 +61,16 @@ def hll_estimate(regs: np.ndarray) -> int:
     """Bias-corrected HLL estimate with the small-range (linear
     counting) correction — the published estimator, deterministic."""
     m = len(regs)
-    alpha = 0.7213 / (1 + 1.079 / m)
+    # published alpha constants (Flajolet et al. 2007): small-m values
+    # differ from the asymptotic formula
+    if m == 16:
+        alpha = 0.673
+    elif m == 32:
+        alpha = 0.697
+    elif m == 64:
+        alpha = 0.709
+    else:
+        alpha = 0.7213 / (1 + 1.079 / m)
     e = alpha * m * m / np.sum(np.power(2.0, -regs.astype(np.float64)))
     zeros = int((regs == 0).sum())
     if e <= 2.5 * m and zeros > 0:
@@ -78,7 +87,8 @@ def hll_distinct(ds, col: str, p: int = 12):
     m = 1 << p
 
     def partial(batch: pa.Table) -> pa.Table:
-        vals = batch[col].to_numpy(zero_copy_only=False)
+        # COUNT(DISTINCT col) semantics: NULLs are not a value
+        vals = batch[col].drop_null().to_numpy(zero_copy_only=False)
         h = pd.util.hash_array(np.asarray(vals))
         regs = hll_partial(h, p)
         return pa.table({"regs": pa.array([regs.tobytes()], pa.binary())})
@@ -100,7 +110,12 @@ def build_bloom(keys: np.ndarray, n_bits: int = 1 << 20,
                 k_hashes: int = 5) -> np.ndarray:
     """Vectorized Bloom filter over int64 keys (double hashing:
     h_i = h1 + i*h2, the standard Kirsch-Mitzenmacher construction).
-    Returns a uint64 word array of ``n_bits`` bits."""
+    ``n_bits`` is rounded UP to a multiple of 64 so the build modulus
+    always equals the probe-side ``len(words) * 64`` (a truncating
+    build would index out of bounds or, worse, give the probe a
+    different modulus -> false negatives). Returns a uint64 word
+    array."""
+    n_bits = max(64, ((n_bits + 63) // 64) * 64)
     words = np.zeros(n_bits // 64, dtype=np.uint64)
     k64 = keys.astype(np.uint64)
     with np.errstate(over="ignore"):
@@ -144,7 +159,7 @@ def bloom_semi_join(fact_ds, key_col: str, keys: np.ndarray,
     touching the full sorted key array for every row)."""
     import ray
 
-    keys_sorted = np.sort(np.unique(keys.astype(np.int64)))
+    keys_sorted = np.unique(keys.astype(np.int64))  # unique() sorts
     ref = ray.put((build_bloom(keys_sorted, n_bits, k_hashes), keys_sorted))
 
     def f(batch: pa.Table) -> pa.Table:

@@ -78,3 +78,42 @@ def test_bloom_semi_join_exact(ray_session):
     keys = np.arange(0, 1000, 7, dtype=np.int64)
     out = bloom_semi_join(fact, "k", keys).to_pandas().sort_values("k")
     assert out["k"].tolist() == list(range(0, 1000, 7))
+
+
+def test_bloom_non_multiple_of_64_bits():
+    """n_bits rounds up to a word boundary; build and probe always use
+    the same modulus (a truncating build gave IndexError / potential
+    false negatives — code-review r03c finding)."""
+    from neurostore_text_extraction_ray.stages.sketch import (
+        bloom_contains, build_bloom)
+
+    keys = np.arange(100, dtype=np.int64)
+    words = build_bloom(keys, n_bits=1000)  # -> 1024 bits
+    assert len(words) == 16
+    assert bloom_contains(words, keys).all()
+    words = build_bloom(keys, n_bits=32)  # -> 64 bits, saturated but valid
+    assert bloom_contains(words, keys).all()
+
+
+def test_hll_nulls_excluded():
+    """COUNT(DISTINCT) semantics: NULLs are not a distinct value."""
+    import pyarrow as pa_
+    import ray.data as rd
+
+    from neurostore_text_extraction_ray.stages.sketch import hll_distinct
+
+    ds = rd.from_arrow(pa_.table({
+        "k": pa_.array([1, 2, 3, None, None, 2], pa_.int64())}))
+    est = hll_distinct(ds, "k", p=12).to_pandas()["n_distinct_est"][0]
+    assert est == 3
+
+
+def test_make_goldens_rejects_unknown_names():
+    import subprocess
+    import sys as _sys
+
+    r = subprocess.run(
+        [_sys.executable, "tools/make_goldens.py", "not_a_query"],
+        cwd="/root/repo", capture_output=True, text=True)
+    assert r.returncode != 0
+    assert "not golden-oracled" in (r.stderr + r.stdout)

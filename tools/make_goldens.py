@@ -65,6 +65,13 @@ def main() -> None:
     qs = e.queries()
     # optional argv name filter: regenerate only the listed goldens
     only = set(sys.argv[1:])
+    unknown = only - set(SF_QUERIES) - set(GLOBAL_QUERIES)
+    if unknown:
+        # a silent no-op here would leave a STALE golden passing local
+        # parity after a kernel change — fail loudly instead
+        raise SystemExit(
+            f"not golden-oracled queries: {', '.join(sorted(unknown))} "
+            f"(known: {', '.join(SF_QUERIES + GLOBAL_QUERIES)})")
     os.makedirs(GOLDEN_DIR, exist_ok=True)
     con = duckdb.connect()
     for sf_dir in SF_DIRS:
