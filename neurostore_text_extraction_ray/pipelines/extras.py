@@ -210,8 +210,10 @@ def _embed_documents(sf_dir: str):
 
     from ..stages.embed import embed_documents
 
+    # (1,2) autoscaling pool (repo deadlock rule: a fixed pool of N
+    # pins every CPU of an N-CPU cluster and starves the feeding tasks)
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    ds = embed_documents(docs, dim=32, concurrency=2)
+    ds = embed_documents(docs, dim=32, concurrency=(1, 2))
 
     def ser(batch: pa.Table) -> pa.Table:
         # bit-exact hex serialization of the vector for the golden
@@ -514,7 +516,7 @@ def _pdf_extract_text(sf_dir: str):
 
     ds = flagship.extract_pages(
         pages_src.read_pages_pdf(sf_dir), payload_column="pdf", mode="auto",
-        concurrency=2, batch_size=128,
+        concurrency=(1, 2), batch_size=128,
     )
 
     def project(batch: pa_.Table) -> pa_.Table:
@@ -533,7 +535,7 @@ def _jats_extract_text(sf_dir: str):
 
     ds = flagship.extract_pages(
         pages_src.read_pages_xml(sf_dir), payload_column="xml", mode="jats",
-        concurrency=2, batch_size=128,
+        concurrency=(1, 2), batch_size=128,
     )
 
     def project(batch: pa_.Table) -> pa_.Table:
@@ -552,7 +554,7 @@ def _extract_jats(sf_dir: str):
 
     ds = flagship.extract_pages(
         pages_src.read_pages_xml(sf_dir), payload_column="xml", mode="jats",
-        concurrency=2, batch_size=128,
+        concurrency=(1, 2), batch_size=128,
     )
 
     def project(batch: pa_.Table) -> pa_.Table:
@@ -719,10 +721,14 @@ def _multimodal_features(sf_dir: str):
     from ..stages.multimodal import (
         FeatureActor, media_table)
 
-    ds = rd.from_arrow(media_table(240, size_bytes=2048))
+    # split the synthetic table into >= pool-size blocks so the pool
+    # actually parallelizes (a single from_arrow block feeds only one
+    # actor), and use an autoscaling (1,2) pool per the deadlock rule
+    tbl = media_table(240, size_bytes=2048)
+    ds = rd.from_arrow([tbl.slice(i, 30) for i in range(0, tbl.num_rows, 30)])
     feats = ds.map_batches(
         FeatureActor, fn_constructor_kwargs={"dim": 16},
-        batch_format="pyarrow", batch_size=32, concurrency=2,
+        batch_format="pyarrow", batch_size=32, concurrency=(1, 2),
     )
 
     def ser(batch: pa.Table) -> pa.Table:

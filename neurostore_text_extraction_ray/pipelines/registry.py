@@ -161,8 +161,14 @@ def run_entries(entries: list[tuple[str, dict]], sf_dir: str, out_dir: str,
         if complete and accepts_pp:
             import json as _json
 
-            with open(info_path) as fh:
-                stored_pp = _json.load(fh).get("post_processed")
+            try:
+                with open(info_path) as fh:
+                    stored_pp = _json.load(fh).get("post_processed")
+            except (OSError, _json.JSONDecodeError):
+                # a corrupt/hand-edited manifest is unknown state: fall
+                # back to rerun (the safe default this check exists to
+                # provide) instead of crashing every subsequent run
+                stored_pp = object()
             # a manifest WITHOUT the key (pre-upgrade dir) is unknown
             # state: rerun rather than risk serving raw output as
             # cleaned — the exact bug this check exists to close

@@ -147,7 +147,9 @@ def tfidf(sf_dir: str, min_df: int = 2, vocabulary: dict | None = None,
     # / 2^64) could map one out-of-vocab term onto a vocab idf; same
     # documented bound the flagship url hashing accepts.
     th = pd.util.hash_array(terms_arr)
-    assert len(np.unique(th)) == len(th), "64-bit vocab hash collision"
+    if len(np.unique(th)) != len(th):
+        # not an assert: -O must not strip the guard (silent idf mixups)
+        raise RuntimeError("64-bit vocab hash collision")
     order = np.argsort(th, kind="stable")
     idf_ref = ray.put((th[order], idf_arr[order]))
 
@@ -417,7 +419,10 @@ def docs_sample_hash(sf_dir: str, pct: int = 30):
 
     def f(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        assert len(ids) == 0 or (ids >= 0).all() and ids.max() < (1 << 31)
+        # ValueError, not assert: python -O strips asserts and larger
+        # ids would silently diverge from the SQL oracle via wraparound
+        if len(ids) and not ((ids >= 0).all() and ids.max() < (1 << 31)):
+            raise ValueError("docs_sample_hash requires 0 <= doc_id < 2^31")
         h = (ids * 2654435761) % (1 << 31)
         return batch.filter(pa.array((h % 100) < pct))
 
@@ -672,7 +677,9 @@ def _orders_asof_arrays(orders: pd.DataFrame):
     equivalent at day granularity, letting one vectorized searchsorted
     answer the whole as-of join."""
     o_days = orders["o_orderdate"].to_numpy().astype("datetime64[D]").astype(np.int64)
-    assert (o_days >= 0).all() and (len(o_days) == 0 or o_days.max() < (1 << 21))
+    # ValueError, not assert: -O must not strip the composite-key bound
+    if len(o_days) and not ((o_days >= 0).all() and o_days.max() < (1 << 21)):
+        raise ValueError("as-of composite key needs 0 <= order-day < 2^21")
     o_comp = (orders["o_custkey"].to_numpy().astype(np.int64) << 21) | o_days
     order_ix = np.argsort(o_comp, kind="stable")
     return (

@@ -43,6 +43,18 @@ def exchange_root() -> str:
     if root:
         os.makedirs(root, exist_ok=True)
         return root
+    _assert_single_node()
+    return "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
+
+
+def _assert_single_node() -> None:
+    """Raise if running on a multi-node cluster without shared-storage
+    exchange root. A no-op when Ray isn't initialized yet — which is
+    why ``write_exchange`` re-validates at EXECUTION time (Ray may
+    auto-connect via RAY_ADDRESS only when the pipeline first runs,
+    after ``make_stage`` already picked node-local tmpfs)."""
+    if os.environ.get("NSE_EXCHANGE_ROOT"):
+        return
     import ray
 
     if ray.is_initialized():
@@ -53,11 +65,11 @@ def exchange_root() -> str:
                 "storage: set NSE_EXCHANGE_ROOT to a path visible to every "
                 "node (local tmpfs would silently drop other nodes' rows)"
             )
-    return "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
 
 
 _LIVE_STAGES: set[str] = set()
 _ATEXIT_REGISTERED = False
+_NODE_CHECKED = False  # per-process: worker-side single-node check ran
 
 
 def _cleanup_live_stages():
@@ -111,10 +123,20 @@ def write_exchange(ds, stage_dir: str, part_fn, batch_size: int = 8192) -> int:
     dedup-idempotent. Returns the number of rows exchanged (counts
     collapsed duplicates)."""
     os.makedirs(stage_dir, exist_ok=True)
+    # re-validate the single-node precondition at execution time: the
+    # stage dir may have been created before Ray connected (ADVICE r03)
+    _assert_single_node()
 
     def write_fragments(batch: pa.Table) -> pa.Table:
         import pyarrow.parquet as pq
 
+        global _NODE_CHECKED
+        if not _NODE_CHECKED:
+            # worker-side check (once per worker process): catches the
+            # driver-built-before-ray.init case where the driver check
+            # above ran unconnected
+            _assert_single_node()
+            _NODE_CHECKED = True
         parts_np = np.asarray(part_fn(batch))
         for part in np.unique(parts_np):
             sub = batch.filter(pa.array(parts_np == part))
