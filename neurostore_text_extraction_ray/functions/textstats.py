@@ -205,20 +205,24 @@ def quality_features_batch(texts) -> "pd.DataFrame":
     return out
 
 
-_FP_BASE = np.uint64(1099511628211)
-_FP_OFF = np.uint64(14695981039346656037)
+# Fingerprint kernel version: v1 was a per-byte python FNV-1a loop
+# (O(bytes) interpreter work per doc — the slowest kernel in the repo,
+# VERDICT r03 what's-wrong #4); v2 hashes the whitespace-normalized
+# lowercase text with blake2b (C speed, one call per doc). Goldens for
+# docs_fingerprint are pinned to v2 (tools/make_goldens.py).
+FINGERPRINT_VERSION = 2
 
 
 def fingerprint64(text: str | None) -> int:
-    """FNV-1a-style 64-bit rolling hash over whitespace-normalized
-    lowercase words — deterministic document fingerprint."""
-    h = _FP_OFF
-    if text:
-        for w in text.lower().split():
-            for b in w.encode("utf-8"):
-                h = np.uint64((int(h) ^ b) * int(_FP_BASE) & 0xFFFFFFFFFFFFFFFF)
-            h = np.uint64((int(h) ^ 0x20) * int(_FP_BASE) & 0xFFFFFFFFFFFFFFFF)
-    return int(h)
+    """64-bit deterministic document fingerprint: blake2b digest of the
+    whitespace-normalized (split/join) lowercase text. Invariants:
+    whitespace runs/kind don't matter; case doesn't matter; any content
+    change does."""
+    import hashlib
+
+    norm = " ".join(text.lower().split()) if text else ""
+    d = hashlib.blake2b(norm.encode("utf-8"), digest_size=8).digest()
+    return int.from_bytes(d, "little")
 
 
 def shingles(text: str, k: int = 5) -> list[str]:

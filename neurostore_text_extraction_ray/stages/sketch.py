@@ -30,6 +30,21 @@ _MIX1 = np.uint64(0x9E3779B97F4A7C15)
 _MIX2 = np.uint64(0xC2B2AE3D27D4EB4F)
 
 
+def splitmix64(x: np.ndarray) -> np.ndarray:
+    """Self-owned vectorized 64-bit mixer (public splitmix64 finalizer,
+    full avalanche) — used for HLL hashing of integer columns so the
+    pinned estimate golden cannot shift under a pandas upgrade
+    (ADVICE r03: pd.util.hash_array internals are not a stable
+    contract)."""
+    z = x.astype(np.uint64)
+    with np.errstate(over="ignore"):
+        z = z + _MIX1
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        z = z ^ (z >> np.uint64(31))
+    return z
+
+
 def _bit_length_u64(v: np.ndarray) -> np.ndarray:
     """Vectorized bit_length for uint64 (0 -> 0)."""
     v = v.copy()
@@ -88,8 +103,16 @@ def hll_distinct(ds, col: str, p: int = 12):
 
     def partial(batch: pa.Table) -> pa.Table:
         # COUNT(DISTINCT col) semantics: NULLs are not a value
-        vals = batch[col].drop_null().to_numpy(zero_copy_only=False)
-        h = pd.util.hash_array(np.asarray(vals))
+        vals = np.asarray(batch[col].drop_null().to_numpy(zero_copy_only=False))
+        if np.issubdtype(vals.dtype, np.integer):
+            # self-owned mixer: estimate is pinned independent of the
+            # pandas version (the golden-oracle coupling ADVICE r03 #4)
+            h = splitmix64(vals)
+        else:
+            # non-integer columns fall back to pandas' stable siphash;
+            # NOTE the pinned-golden coupling to the pandas version —
+            # regenerate goldens (tools/make_goldens.py) on upgrade
+            h = pd.util.hash_array(vals)
         regs = hll_partial(h, p)
         return pa.table({"regs": pa.array([regs.tobytes()], pa.binary())})
 
