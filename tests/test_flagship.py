@@ -267,6 +267,22 @@ def test_partitioned_dedup_matches_broadcast(ray_session):
     assert (a["warc_ts"] == b["warc_ts"]).all()
 
 
+def test_dedup_pages_auto_switch_past_broadcast_bound(ray_session, monkeypatch):
+    """Beyond WINNERS_BROADCAST_LIMIT winner-partial rows, dedup_pages
+    must auto-route to the partitioned path (not driver-collect a
+    corpus-sized winner table) and produce the identical result —
+    end-to-end through the extract stage (VERDICT r03 next-round #2)."""
+    from neurostore_text_extraction_ray.pipelines import extras
+
+    base = extras._flagship(SF).to_pandas().sort_values("url").reset_index(drop=True)
+    monkeypatch.setattr(flagship, "WINNERS_BROADCAST_LIMIT", 0)
+    switched = extras._flagship(SF).to_pandas().sort_values("url").reset_index(drop=True)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(base, switched)
+    assert len(base) > 0
+
+
 def _inline_pages(texts):
     import pyarrow as pa
     import ray.data as rd
