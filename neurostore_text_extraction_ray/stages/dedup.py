@@ -240,34 +240,50 @@ def minhash_near_dup(
 
     a_coef, b_coef = H.minhash_params(num_perm)
 
+    # ONE shingle+minhash pass per doc (ADVICE r03 #5: the scale path
+    # used to recompute every signature after the sketch pass): the
+    # sketch emits band rows (band >= 0, payload null) AND one
+    # signature-payload row per doc (band == -1) into one materialized
+    # stream; both downstream consumers filter their view from it.
+    # Carry cost: num_perm*8 bytes/doc in the object store vs a second
+    # full shingling pass — the right trade at the scale where the
+    # distributed path runs (and the driver path reuses the same rows
+    # for its candidate collect).
     def sketch(batch: pa.Table) -> pa.Table:
-        ids, bidx, bkey = [], [], []
+        ids, bidx, bkey, pay = [], [], [], []
         for did, text in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
             sig = H.minhash_signature(shingles(text or "", k_shingle), a_coef, b_coef)
             for j, key in enumerate(H.lsh_band_keys(sig, bands)):
                 ids.append(did)
                 bidx.append(j)
                 bkey.append(key)
+                pay.append(None)
+            ids.append(did)
+            bidx.append(-1)
+            bkey.append(0)
+            pay.append(sig.tobytes())
         return pa.table({
             "doc_id": pa.array(ids, pa.int64()),
             "band": pa.array(bidx, pa.int32()),
             "key": pa.array(bkey, pa.int64()),
+            "payload": pa.array(pay, pa.binary()),
         })
 
-    band_rows = ds.map_batches(sketch, batch_format="pyarrow")
+    combined = ds.map_batches(sketch, batch_format="pyarrow").materialize()
+    band_rows = combined.map_batches(
+        lambda b: b.filter(pa.compute.greater_equal(b["band"], 0)).select(
+            ["doc_id", "band", "key"]),
+        batch_format="pyarrow")
+    payload_all = combined.map_batches(
+        lambda b: pa.table({
+            "id": b.filter(pa.compute.equal(b["band"], -1))["doc_id"],
+            "payload": b.filter(pa.compute.equal(b["band"], -1))["payload"],
+        }),
+        batch_format="pyarrow")
     pairs = _bucket_pairs(band_rows, max(num_parts, 64))
     n_pairs = _pairs_count(pairs)
     if n_pairs == 0:
         return _identity_labels(ds, id_col, "doc_id")
-
-    def sig_payload(batch: pa.Table) -> pa.Table:
-        out_i, out_s = [], []
-        for did, text in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
-            sig = H.minhash_signature(shingles(text or "", k_shingle), a_coef, b_coef)
-            out_i.append(did)
-            out_s.append(sig.tobytes())
-        return pa.table({"id": pa.array(out_i, pa.int64()),
-                         "payload": pa.array(out_s, pa.binary())})
 
     if n_pairs <= max_pairs:
         # driver path: candidates-only signatures, collected once and
@@ -283,11 +299,11 @@ def minhash_near_dup(
         def cand_sigs(batch: pa.Table) -> pa.Table:
             from .broadcast import get_broadcast
 
-            ids_np = batch[id_col].to_numpy(zero_copy_only=False)
-            sub = batch.filter(pa.array(np.isin(ids_np, get_broadcast(cand_ref))))
-            return sig_payload(sub)
+            ids_np = batch["id"].to_numpy(zero_copy_only=False)
+            return batch.filter(
+                pa.array(np.isin(ids_np, get_broadcast(cand_ref))))
 
-        sdf = ds.map_batches(cand_sigs, batch_format="pyarrow").to_pandas()
+        sdf = payload_all.map_batches(cand_sigs, batch_format="pyarrow").to_pandas()
         order = np.argsort(sdf["id"].to_numpy())
         sid = sdf["id"].to_numpy()[order]
         sigs = np.stack([
@@ -301,7 +317,7 @@ def minhash_near_dup(
         verified = list(zip(a[keep].tolist(), b[keep].tolist()))
         return _label_edges(ds, id_col, "doc_id", verified, max_pairs, num_parts)
 
-    # distributed path: signatures for every id go through the payload
+    # distributed path: the CARRIED signatures go through the payload
     # exchange (the join per part selects only the ids its pairs need;
     # at this pair volume candidates ~ corpus, so no broadcast filter)
     def mh_verify(m: pd.DataFrame) -> pa.Table:
@@ -315,8 +331,7 @@ def minhash_near_dup(
             "b": pa.array(m["b"].to_numpy(dtype=np.int64)[keep], pa.int64()),
         })
 
-    payload = ds.map_batches(sig_payload, batch_format="pyarrow")
-    verified_ds = P.verify_pairs(_pairs_as_ds(pairs), payload, mh_verify,
+    verified_ds = P.verify_pairs(_pairs_as_ds(pairs), payload_all, mh_verify,
                                  P.PAIR_SCHEMA, num_parts)
     return _label_edges(ds, id_col, "doc_id", verified_ds, max_pairs, num_parts)
 
@@ -336,33 +351,43 @@ def simhash_near_dup(
     exchange-path split as ``minhash_near_dup``."""
     import ray
 
+    # single simhash pass (same carry pattern as minhash_near_dup):
+    # band rows + an 8-byte fingerprint payload row per doc
     def sketch(batch: pa.Table) -> pa.Table:
-        ids, bidx, bkey = [], [], []
+        ids, bidx, bkey, pay = [], [], [], []
         for did, text in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
             hv = H.simhash64((text or "").lower().split())
             for j in range(bands):
                 ids.append(did)
                 bidx.append(j)
                 bkey.append((hv >> (j * 64 // bands)) & ((1 << (64 // bands)) - 1))
+                pay.append(None)
+            ids.append(did)
+            bidx.append(-1)
+            bkey.append(0)
+            pay.append(hv.to_bytes(8, "little"))
         return pa.table({
             "doc_id": pa.array(ids, pa.int64()),
             "band": pa.array(bidx, pa.int32()),
             "key": pa.array(bkey, pa.int64()),
+            "payload": pa.array(pay, pa.binary()),
         })
 
-    band_rows = ds.map_batches(sketch, batch_format="pyarrow")
+    combined = ds.map_batches(sketch, batch_format="pyarrow").materialize()
+    band_rows = combined.map_batches(
+        lambda b: b.filter(pa.compute.greater_equal(b["band"], 0)).select(
+            ["doc_id", "band", "key"]),
+        batch_format="pyarrow")
+    payload_all = combined.map_batches(
+        lambda b: pa.table({
+            "id": b.filter(pa.compute.equal(b["band"], -1))["doc_id"],
+            "payload": b.filter(pa.compute.equal(b["band"], -1))["payload"],
+        }),
+        batch_format="pyarrow")
     pairs = _bucket_pairs(band_rows, max(num_parts, 64))
     n_pairs = _pairs_count(pairs)
     if n_pairs == 0:
         return _identity_labels(ds, id_col, "doc_id")
-
-    def hash_payload(batch: pa.Table) -> pa.Table:
-        ids, hs = [], []
-        for did, text in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
-            ids.append(did)
-            hs.append(H.simhash64((text or "").lower().split()).to_bytes(8, "little"))
-        return pa.table({"id": pa.array(ids, pa.int64()),
-                         "payload": pa.array(hs, pa.binary())})
 
     def _ham_keep(ha: np.ndarray, hb: np.ndarray) -> np.ndarray:
         x = ha ^ hb
@@ -380,11 +405,11 @@ def simhash_near_dup(
         def cand_hashes(batch: pa.Table) -> pa.Table:
             from .broadcast import get_broadcast
 
-            ids_np = batch[id_col].to_numpy(zero_copy_only=False)
-            sub = batch.filter(pa.array(np.isin(ids_np, get_broadcast(cand_ref))))
-            return hash_payload(sub)
+            ids_np = batch["id"].to_numpy(zero_copy_only=False)
+            return batch.filter(
+                pa.array(np.isin(ids_np, get_broadcast(cand_ref))))
 
-        hdf = ds.map_batches(cand_hashes, batch_format="pyarrow").to_pandas()
+        hdf = payload_all.map_batches(cand_hashes, batch_format="pyarrow").to_pandas()
         order = np.argsort(hdf["id"].to_numpy())
         hid = hdf["id"].to_numpy()[order]
         hvals = np.array([int.from_bytes(x, "little")
@@ -410,8 +435,7 @@ def simhash_near_dup(
             "b": pa.array(m["b"].to_numpy(dtype=np.int64)[keep], pa.int64()),
         })
 
-    payload = ds.map_batches(hash_payload, batch_format="pyarrow")
-    verified_ds = P.verify_pairs(_pairs_as_ds(pairs), payload, sh_verify,
+    verified_ds = P.verify_pairs(_pairs_as_ds(pairs), payload_all, sh_verify,
                                  P.PAIR_SCHEMA, num_parts)
     return _label_edges(ds, id_col, "doc_id", verified_ds, max_pairs, num_parts)
 
@@ -432,7 +456,13 @@ def ngram_jaccard_pairs(
     The shingle-SET payloads (text-sized) are never collected on the
     driver: verification is the two-round co-partitioned exchange join
     (pairs.verify_pairs), with sets serialized as 0x1f-joined sorted
-    shingles inside the payload column (VERDICT r02 next-round #2)."""
+    shingles inside the payload column (VERDICT r02 next-round #2).
+
+    Unlike minhash/simhash, the payload pass re-shingles rather than
+    carrying payloads from the sketch pass: a carried shingle-set
+    payload is text-sized (it would double the materialized sketch
+    output), while minhash/simhash payloads are 1 KB / 8 B per doc —
+    there the carry is free and implemented."""
     a_coef, b_coef = H.minhash_params(num_perm)
 
     def sketch(batch: pa.Table) -> pa.Table:
