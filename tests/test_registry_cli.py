@@ -243,6 +243,52 @@ def test_incomplete_output_dir_reruns(ray_session, tmp_path):
     assert pq.ParquetDataset(files).read().num_rows == 500  # complete again
 
 
+def test_corrupt_pipeline_info_falls_back_to_rerun(ray_session, tmp_path):
+    """A corrupt/hand-edited pipeline_info.json must make the next run
+    rerun (safe default) instead of crashing (ADVICE r03 #3)."""
+    entries = [("llm_demographics", {})]
+    out = registry.run_entries(entries, SF, str(tmp_path))
+    dest = out["llm_demographics"]
+    info_path = os.path.join(dest, "pipeline_info.json")
+    with open(info_path, "w") as fh:
+        fh.write("{not json")
+    out2 = registry.run_entries(entries, SF, str(tmp_path))
+    assert out2["llm_demographics"] == dest
+    json.load(open(info_path))  # rewritten valid by the rerun
+
+
+def test_chained_tolerates_partial_upstream_rows(ray_session, tmp_path):
+    """Reference warn-and-continue on missing per-study upstream results
+    (dataset.py:349-382): if the stored upstream output covers only SOME
+    doc_ids, the chained op completes with exactly the surviving ids
+    instead of assuming full coverage (VERDICT r03 next-round #6)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    out = registry.run_entries(
+        [("llm_demographics", {}), ("entity_linking_chained", {})],
+        SF, str(tmp_path))
+    up_dir = out["llm_demographics"]
+    files = sorted(glob.glob(os.path.join(up_dir, "*.parquet")))
+    full = pq.ParquetDataset(files).read()
+    keep_mask = [int(d) % 7 != 0 for d in full["doc_id"].to_pylist()]
+    import pyarrow as pa
+
+    pruned = full.filter(pa.array(keep_mask))
+    assert 0 < pruned.num_rows < full.num_rows
+    for f in files:
+        os.remove(f)
+    pq.write_table(pruned, os.path.join(up_dir, "part-pruned.parquet"))
+    # content fingerprint changed -> the chained op reruns in a fresh
+    # hash dir over the pruned upstream
+    out2 = registry.run_entries([("entity_linking_chained", {})], SF,
+                                str(tmp_path))
+    chained = _read_groups(out2["entity_linking_chained"])
+    surviving = sorted(d for d in full["doc_id"].to_pylist() if int(d) % 7 != 0)
+    assert chained["doc_id"].tolist() == surviving
+
+
 def test_chained_invalidates_on_upstream_overwrite(ray_session, tmp_path):
     """The chained op hashes the upstream CONTENT fingerprint: after
     the upstream is overwritten in place, a rerun lands in a fresh
