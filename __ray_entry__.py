@@ -39,6 +39,7 @@ from neurostore_text_extraction_ray.pipelines.extras import (  # noqa: E402
     _knn_ivf,
     _llm_demographics,
     _llm_task_metadata,
+    _minhash_dedup_incremental,
     _minhash_groups,
     _multimodal_features,
     _ngram_jaccard_dups,
@@ -196,6 +197,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_fingerprint": _docs_fingerprint,
         "docs_token_count": _docs_token_count,
         "minhash_dedup_groups": _minhash_groups,
+        "minhash_dedup_incremental": _minhash_dedup_incremental,
         "simhash_dedup_groups": _simhash_groups,
         "ngram_jaccard_dups": _ngram_jaccard_dups,
         "embedding_cosine_dups": _embedding_cosine_dups,
@@ -426,6 +428,9 @@ def oracle_sql() -> dict[str, str]:
         "docs_fingerprint": _golden_sql("docs_fingerprint"),
         "docs_token_count": _golden_sql("docs_token_count"),
         "minhash_dedup_groups": _golden_sql("minhash_dedup_groups"),
+        # incremental two-step run provably equals from-scratch
+        # (tests/test_dedup_incremental.py) -> shares its golden
+        "minhash_dedup_incremental": _golden_sql("minhash_dedup_groups"),
         "simhash_dedup_groups": _golden_sql("simhash_dedup_groups"),
         "ngram_jaccard_dups": _golden_sql("ngram_jaccard_dups"),
         "embedding_cosine_dups": _golden_sql("embedding_cosine_dups"),

@@ -151,6 +151,41 @@ def _minhash_groups(sf_dir: str):
     return minhash_near_dup(docs, threshold=0.7, bands=16)
 
 
+def _minhash_dedup_incremental(sf_dir: str):
+    """Incremental near-dup exercised FOR REAL inside the gate: run the
+    incremental operator over the first half of the corpus, then over
+    the full corpus against the same state dir — the second run
+    re-sketches only the new docs and merges the prior verified edges.
+    The final labels provably equal from-scratch ``minhash_near_dup``
+    (tests/test_dedup_incremental.py asserts the equality under edits,
+    adds and removals), so the query shares the minhash_dedup_groups
+    golden."""
+    import shutil
+    import tempfile
+
+    import ray.data as rd
+
+    from ..stages.dedup_incremental import minhash_near_dup_incremental
+
+    state = tempfile.mkdtemp(prefix="nse_inc_q_")
+    try:
+        docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+        half = docs.map_batches(
+            lambda b: b.filter(pc.less(b["doc_id"], 250)),
+            batch_format="pyarrow")
+        minhash_near_dup_incremental(half, state, threshold=0.7, bands=16)
+        labels, stats = minhash_near_dup_incremental(
+            docs, state, threshold=0.7, bands=16)
+        if stats["n_sketched"] >= stats["n_docs"]:
+            raise RuntimeError(
+                "incremental run re-sketched the whole corpus "
+                f"({stats}) — state reuse is broken")
+        return labels.materialize()
+    finally:
+        shutil.rmtree(state, ignore_errors=True)
+
+
 def _simhash_groups(sf_dir: str):
     import ray.data as rd
 

@@ -270,6 +270,7 @@ def _register_builtins():
     register_op("docs_token_count")(extras._docs_token_count)
     register_op("abbrev_expand")(extras._abbrev_expand)
     register_op("minhash_dedup_groups")(extras._minhash_groups)
+    register_op("minhash_dedup_incremental")(extras._minhash_dedup_incremental)
     register_op("simhash_dedup_groups")(extras._simhash_groups)
     register_op("ngram_jaccard_dups")(extras._ngram_jaccard_dups)
     register_op("embedding_cosine_dups")(extras._embedding_cosine_dups)
