@@ -170,6 +170,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": steps.dedup_exact,
         "docs_slice": steps.docs_slice,
         "docs_sample_hash": steps.docs_sample_hash,
+        "docs_sample_stratified": steps.docs_sample_stratified,
+        "docs_nchars_quantiles": steps.docs_nchars_quantiles,
+        "top_terms": steps.top_terms,
         "top_docs_per_lang": steps.top_docs_per_lang,
         "orders_custkey_hll": steps.orders_custkey_hll,
         "lineitem_orders_semijoin": lambda sf: _round_cols(
@@ -337,6 +340,24 @@ def oracle_sql() -> dict[str, str]:
         "docs_sample_hash": (
             "SELECT doc_id, lang, n_chars FROM documents "
             "WHERE ((doc_id * 2654435761) % 2147483648) % 100 < 30"
+        ),
+        "docs_sample_stratified": (
+            "SELECT doc_id, lang, n_chars FROM documents "
+            "WHERE ((doc_id * 2654435761) % 2147483648) % 100 < "
+            "CASE WHEN lang = 'en' THEN 50 ELSE 20 END"
+        ),
+        "docs_nchars_quantiles": (
+            "SELECT q, value FROM ("
+            "  SELECT 0.25 AS q, quantile_disc(n_chars, 0.25) AS value FROM documents"
+            "  UNION ALL SELECT 0.50, quantile_disc(n_chars, 0.50) FROM documents"
+            "  UNION ALL SELECT 0.75, quantile_disc(n_chars, 0.75) FROM documents"
+            "  UNION ALL SELECT 0.95, quantile_disc(n_chars, 0.95) FROM documents)"
+        ),
+        "top_terms": (
+            "SELECT t AS term, count(*) AS n FROM ("
+            "  SELECT unnest(regexp_extract_all(lower(text), '\\w\\w+')) AS t"
+            "  FROM documents) "
+            "GROUP BY t ORDER BY n DESC, term ASC LIMIT 20"
         ),
         "top_docs_per_lang": (
             "SELECT doc_id, lang, n_chars FROM ("

@@ -253,6 +253,9 @@ def _register_builtins():
     register_op("revenue_by_nation")(steps.revenue_by_nation)
     register_op("distinct_langs")(steps.distinct_langs)
     register_op("top_docs_by_length")(steps.top_docs_by_length)
+    register_op("docs_sample_stratified")(steps.docs_sample_stratified)
+    register_op("docs_nchars_quantiles")(steps.docs_nchars_quantiles)
+    register_op("top_terms")(steps.top_terms)
 
     from . import extras
 

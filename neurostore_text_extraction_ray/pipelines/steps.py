@@ -633,6 +633,108 @@ def lineitem_orders_semijoin(sf_dir: str, price_threshold: float = 400000.0):
     return bloom_semi_join(fact, "l_orderkey", keys)
 
 
+# -- Distributed quantiles via value-histogram sketch -----------------------
+
+
+def docs_nchars_quantiles(sf_dir: str, qs=(0.25, 0.5, 0.75, 0.95)):
+    """Exact discrete quantiles of an integer column without a sort:
+    per-batch (value, count) histogram partials -> small driver combine
+    -> cumulative-count quantile selection (DuckDB ``quantile_disc``
+    semantics: the smallest value whose cumulative count reaches
+    ``ceil(q * n)``). The combine is bounded by the DISTINCT-value
+    cardinality, not the row count — the right shape for bounded-int
+    columns (lengths, scores, days); for unbounded/float columns,
+    pre-bucket the value in the partial (fixed-width bins) and the same
+    machinery yields bin-accurate quantiles. Output (q, value)."""
+    import math
+
+    import ray.data as rd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v, c = np.unique(
+            batch["n_chars"].to_numpy(zero_copy_only=False), return_counts=True)
+        return pa.table({"value": pa.array(v, pa.int64()),
+                         "n": pa.array(c.astype(np.int64), pa.int64())})
+
+    partials = (
+        _docs(sf_dir, ["n_chars"])
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+    )
+    hist = partials.groupby("value", sort=True)["n"].sum()
+    values = hist.index.to_numpy()
+    cum = hist.to_numpy().cumsum()
+    n = int(cum[-1]) if len(cum) else 0
+    rows_q, rows_v = [], []
+    for q in qs:
+        if n == 0:
+            continue
+        target = max(1, math.ceil(q * n))
+        rows_q.append(float(q))
+        rows_v.append(int(values[np.searchsorted(cum, target)]))
+    return rd.from_arrow(pa.table({
+        "q": pa.array(rows_q, pa.float64()),
+        "value": pa.array(rows_v, pa.int64()),
+    }))
+
+
+# -- Heavy hitters: exact distributed top-k terms ---------------------------
+
+
+def top_terms(sf_dir: str, k: int = 20):
+    """Top-``k`` corpus terms by total occurrence count with a
+    deterministic tie-break (count desc, term asc): per-batch tokenize
+    + value_counts partials (one row per distinct term per batch; never
+    the token stream), small driver combine. The combine is bounded by
+    vocabulary size — beyond a real vocabulary budget, hash-partition
+    the partials on term through stages/exchange.py exactly like the
+    TF-IDF DF pass. Output (term, n)."""
+    import ray.data as rd
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].fillna("").str.lower().str.findall(SK_TOKEN_RE)
+        c = toks.explode().dropna().value_counts()
+        return pd.DataFrame({"term": c.index.to_numpy(dtype=object),
+                             "n": c.to_numpy().astype(np.int64)})
+
+    partials = (
+        _docs(sf_dir, ["text"])
+        .map_batches(partial, batch_format="pandas")
+        .to_pandas()
+    )
+    if partials.empty:
+        return rd.from_arrow(pa.table({
+            "term": pa.array([], pa.string()), "n": pa.array([], pa.int64())}))
+    agg = partials.groupby("term", sort=False)["n"].sum().reset_index()
+    agg = agg.sort_values(["n", "term"], ascending=[False, True],
+                          kind="stable").head(k).reset_index(drop=True)
+    return rd.from_pandas(agg)
+
+
+# -- Stratified deterministic sampling (per-group quotas) -------------------
+
+
+def docs_sample_stratified(sf_dir: str, pct_en: int = 50, pct_other: int = 20):
+    """Per-language sampling quota with the same coordination-free
+    doc_id hash as ``docs_sample_hash``: keep an English doc iff
+    ``h % 100 < pct_en``, any other language iff ``h % 100 <
+    pct_other`` — the training-data-mix primitive for rebalancing a
+    multilingual corpus, deterministic across reruns/partitioning and
+    exactly SQL-re-expressible."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(ids) and not ((ids >= 0).all() and ids.max() < (1 << 31)):
+            raise ValueError("stratified sample requires 0 <= doc_id < 2^31")
+        h = (ids * 2654435761) % (1 << 31) % 100
+        is_en = pc.equal(batch["lang"], "en").to_numpy(zero_copy_only=False)
+        keep = np.where(is_en, h < pct_en, h < pct_other)
+        return batch.filter(pa.array(keep))
+
+    return _docs(sf_dir, ["doc_id", "lang", "n_chars"]).map_batches(
+        f, batch_format="pyarrow")
+
+
 # -- M6: string normalization over a table column ---------------------------
 
 

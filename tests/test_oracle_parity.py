@@ -57,7 +57,9 @@ def _pairs():
     "flagship_extract", "flagship_titles", "word_count", "word_deviance", "tfidf",
     "tfidf_vocab",
     "docs_en_quality", "docs_join_embeddings", "filter_unprocessed",
-    "dedup_exact", "docs_slice", "docs_sample_hash", "top_docs_per_lang",
+    "dedup_exact", "docs_slice", "docs_sample_hash",
+    "docs_sample_stratified", "docs_nchars_quantiles", "top_terms",
+    "top_docs_per_lang",
     "orders_custkey_hll", "lineitem_orders_semijoin",
     "normalize_part_names", "lineitem_agg", "events_hourly",
     "events_sessionize", "events_asof_orders", "knn_embeddings",
