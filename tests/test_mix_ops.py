@@ -1,0 +1,116 @@
+"""Adversarial-shape checks for the training-data-mix operators
+(quantiles / top-terms / stratified sampling) against DuckDB on a
+synthetic corpus with ties, empty/None text, and unicode — the sf
+corpora are too well-behaved to hit these edges."""
+
+import os
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+@pytest.fixture(scope="module")
+def synth_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("mixops")
+    rng = np.random.RandomState(7)
+    n = 400
+    texts = []
+    for i in range(n):
+        k = i % 5
+        if k == 0:
+            texts.append(None)
+        elif k == 1:
+            texts.append("")
+        elif k == 2:
+            texts.append("alpha beta beta GAMMA gamma µ-unicode naïve café x")
+        else:
+            texts.append(" ".join(
+                rng.choice(["tok%d" % j for j in range(30)], size=20)))
+    tbl = pa.table({
+        "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+        "lang": pa.array([["en", "de", "fr"][i % 3] for i in range(n)]),
+        # heavy ties: only 4 distinct n_chars values
+        "n_chars": pa.array(
+            rng.choice([10, 10, 200, 3000], size=n).astype(np.int64)),
+        "text": pa.array(texts, pa.string()),
+    })
+    pq.write_table(tbl, os.path.join(str(d), "documents.parquet"))
+    return str(d)
+
+
+def _oracle(synth_dir, sql):
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{synth_dir}/documents.parquet')")
+    df = con.execute(sql).fetchdf()
+    con.close()
+    return df
+
+
+def _canon(df):
+    df = df[sorted(df.columns)].copy()
+    return df.sort_values(list(df.columns), kind="stable").reset_index(drop=True)
+
+
+def test_quantiles_with_heavy_ties(ray_session, synth_dir):
+    from neurostore_text_extraction_ray.pipelines import steps
+
+    mine = _canon(steps.docs_nchars_quantiles(synth_dir).to_pandas())
+    gold = _canon(_oracle(synth_dir, (
+        "SELECT q, value FROM ("
+        " SELECT 0.25 AS q, quantile_disc(n_chars, 0.25) AS value FROM documents"
+        " UNION ALL SELECT 0.50, quantile_disc(n_chars, 0.50) FROM documents"
+        " UNION ALL SELECT 0.75, quantile_disc(n_chars, 0.75) FROM documents"
+        " UNION ALL SELECT 0.95, quantile_disc(n_chars, 0.95) FROM documents)")))
+    pd.testing.assert_frame_equal(mine, gold, check_dtype=False)
+
+
+def test_top_terms_null_empty_unicode(ray_session, synth_dir):
+    from neurostore_text_extraction_ray.pipelines import steps
+
+    mine = steps.top_terms(synth_dir, k=15).to_pandas()
+    gold = _oracle(synth_dir, (
+        "SELECT t AS term, count(*) AS n FROM ("
+        " SELECT unnest(regexp_extract_all(lower(text), '\\w\\w+')) AS t"
+        " FROM documents) GROUP BY t ORDER BY n DESC, term ASC LIMIT 15"))
+    pd.testing.assert_frame_equal(
+        mine.reset_index(drop=True), gold.reset_index(drop=True),
+        check_dtype=False)
+    assert len(mine) == 15
+
+
+def test_stratified_sample_quota_semantics(ray_session, synth_dir):
+    from neurostore_text_extraction_ray.pipelines import steps
+
+    mine = _canon(steps.docs_sample_stratified(synth_dir).to_pandas())
+    gold = _canon(_oracle(synth_dir, (
+        "SELECT doc_id, lang, n_chars FROM documents "
+        "WHERE ((doc_id * 2654435761) % 2147483648) % 100 < "
+        "CASE WHEN lang = 'en' THEN 50 ELSE 20 END")))
+    pd.testing.assert_frame_equal(mine, gold, check_dtype=False)
+    # quota direction: en keeps a materially larger fraction
+    frac = mine["lang"].value_counts() / (400 / 3)
+    assert frac["en"] > frac["de"] and frac["en"] > frac["fr"]
+
+
+def test_sample_hash_rejects_oversized_ids(ray_session, tmp_path):
+    """The -O-safe guard: ids >= 2^31 raise instead of silently
+    wrapping away from the SQL oracle."""
+    import ray.data as rd
+
+    from neurostore_text_extraction_ray.pipelines import steps
+
+    d = str(tmp_path)
+    pq.write_table(pa.table({
+        "doc_id": pa.array([1, 1 << 31], pa.int64()),
+        "lang": pa.array(["en", "en"]),
+        "n_chars": pa.array([5, 5], pa.int64()),
+    }), os.path.join(d, "documents.parquet"))
+    with pytest.raises(Exception) as ei:
+        steps.docs_sample_hash(d).to_pandas()
+    assert "2^31" in str(ei.value)
