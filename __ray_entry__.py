@@ -44,6 +44,7 @@ from neurostore_text_extraction_ray.pipelines.extras import (  # noqa: E402
     _multimodal_features,
     _ngram_jaccard_dups,
     _pdf_extract_text,
+    _simhash_dedup_incremental,
     _simhash_groups,
     _umls_disease_groups,
 )
@@ -202,6 +203,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dedup_groups": _minhash_groups,
         "minhash_dedup_incremental": _minhash_dedup_incremental,
         "simhash_dedup_groups": _simhash_groups,
+        "simhash_dedup_incremental": _simhash_dedup_incremental,
         "ngram_jaccard_dups": _ngram_jaccard_dups,
         "embedding_cosine_dups": _embedding_cosine_dups,
         "embed_documents": _embed_documents,
@@ -453,6 +455,9 @@ def oracle_sql() -> dict[str, str]:
         # (tests/test_dedup_incremental.py) -> shares its golden
         "minhash_dedup_incremental": _golden_sql("minhash_dedup_groups"),
         "simhash_dedup_groups": _golden_sql("simhash_dedup_groups"),
+        # incremental two-step simhash == from-scratch (same proof as
+        # minhash_dedup_incremental) -> shares its golden
+        "simhash_dedup_incremental": _golden_sql("simhash_dedup_groups"),
         "ngram_jaccard_dups": _golden_sql("ngram_jaccard_dups"),
         "embedding_cosine_dups": _golden_sql("embedding_cosine_dups"),
         "embed_documents": _golden_sql("embed_documents"),

@@ -186,6 +186,40 @@ def _minhash_dedup_incremental(sf_dir: str):
         shutil.rmtree(state, ignore_errors=True)
 
 
+def _simhash_dedup_incremental(sf_dir: str):
+    """Incremental SimHash near-dup (``method='simhash'`` of the same
+    state machinery as ``_minhash_dedup_incremental``): first half of
+    the corpus, then the full corpus against the same state dir; the
+    second run sketches only the new docs. Equality with from-scratch
+    ``simhash_near_dup`` is test-asserted
+    (tests/test_dedup_incremental.py), so the query shares the
+    simhash_dedup_groups golden."""
+    import shutil
+    import tempfile
+
+    import ray.data as rd
+
+    from ..stages.dedup_incremental import minhash_near_dup_incremental
+
+    state = tempfile.mkdtemp(prefix="nse_incs_q_")
+    try:
+        docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+        half = docs.map_batches(
+            lambda b: b.filter(pc.less(b["doc_id"], 250)),
+            batch_format="pyarrow")
+        kw = dict(method="simhash", bands=4, hamming_threshold=3)
+        minhash_near_dup_incremental(half, state, **kw)
+        labels, stats = minhash_near_dup_incremental(docs, state, **kw)
+        if stats["n_sketched"] >= stats["n_docs"]:
+            raise RuntimeError(
+                "incremental simhash run re-sketched the whole corpus "
+                f"({stats}) — state reuse is broken")
+        return labels.materialize()
+    finally:
+        shutil.rmtree(state, ignore_errors=True)
+
+
 def _simhash_groups(sf_dir: str):
     import ray.data as rd
 

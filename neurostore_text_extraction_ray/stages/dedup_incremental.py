@@ -144,20 +144,36 @@ def minhash_near_dup_incremental(
     max_pairs: int = 2_000_000,
     num_parts: int = 32,
     state_parts: int = 32,
+    method: str = "minhash",
+    hamming_threshold: int = 3,
 ):
     """Returns ``(labels_ds, stats)`` where ``labels_ds`` is the same
     (doc_id, dup_group) dataset ``dedup.minhash_near_dup`` produces on
     the current corpus, and ``stats`` reports the incremental work:
     {n_docs, n_sketched, n_removed, n_pairs_checked, n_edges}.
 
-    A config change (num_perm/bands/threshold/k_shingle/state_parts) or
-    a missing/retracted ``state.json`` invalidates the whole state and
+    ``method='simhash'`` runs the identical incremental machinery over
+    the SimHash sketch (8-byte payload, hamming verify at
+    ``hamming_threshold``, band keys as in ``dedup.simhash_near_dup``)
+    — equal to ``simhash_near_dup`` from scratch. Every argument of the
+    unused family is ignored and excluded from the state config.
+
+    A config change (sketch params/state_parts/method) or a
+    missing/retracted ``state.json`` invalidates the whole state and
     triggers a full re-sketch."""
     import ray
     import ray.data as rd
 
-    config = {"num_perm": num_perm, "bands": bands, "threshold": threshold,
-              "k_shingle": k_shingle, "state_parts": state_parts, "v": 1}
+    if method not in ("minhash", "simhash"):
+        raise ValueError(f"unknown method {method!r}")
+    if method == "minhash":
+        config = {"method": method, "num_perm": num_perm, "bands": bands,
+                  "threshold": threshold, "k_shingle": k_shingle,
+                  "state_parts": state_parts, "v": 1}
+    else:
+        config = {"method": method, "bands": bands,
+                  "hamming_threshold": hamming_threshold,
+                  "state_parts": state_parts, "v": 1}
     state_path = os.path.join(state_dir, "state.json")
     have_state = False
     if os.path.exists(state_path):
@@ -173,7 +189,31 @@ def minhash_near_dup_incremental(
     staging = os.path.join(state_dir, f".staging-{os.getpid()}")
     shutil.rmtree(staging, ignore_errors=True)
 
-    a_coef, b_coef = H.minhash_params(num_perm)
+    if method == "minhash":
+        a_coef, b_coef = H.minhash_params(num_perm)
+
+        def doc_sketch(text: str):
+            sig = H.minhash_signature(
+                shingles(text or "", k_shingle), a_coef, b_coef)
+            return list(enumerate(H.lsh_band_keys(sig, bands))), sig.tobytes()
+
+        def keep_pairs(sa: np.ndarray, sb: np.ndarray) -> np.ndarray:
+            return (sa == sb).mean(axis=1) >= threshold
+    else:
+        band_mask = (1 << (64 // bands)) - 1
+
+        def doc_sketch(text: str):
+            hv = H.simhash64((text or "").lower().split())
+            keys = [(j, (hv >> (j * 64 // bands)) & band_mask)
+                    for j in range(bands)]
+            return keys, hv.to_bytes(8, "little")
+
+        def keep_pairs(sa: np.ndarray, sb: np.ndarray) -> np.ndarray:
+            x = sa[:, 0] ^ sb[:, 0]
+            ham = np.unpackbits(
+                x.view(np.uint8).reshape(len(x), 8), axis=1).sum(axis=1)
+            return ham <= hamming_threshold
+
     by_id = lambda b: ex.int_part(  # noqa: E731
         [b["doc_id"].to_numpy(zero_copy_only=False)], state_parts)
 
@@ -269,9 +309,8 @@ def minhash_near_dup_incremental(
         ids, bidx, bkey, pay = [], [], [], []
         for did, text in zip(batch[id_col].to_pylist(),
                              batch[text_col].to_pylist()):
-            sig = H.minhash_signature(
-                shingles(text or "", k_shingle), a_coef, b_coef)
-            for j, key in enumerate(H.lsh_band_keys(sig, bands)):
+            keys, payload = doc_sketch(text)
+            for j, key in keys:
                 ids.append(did)
                 bidx.append(j)
                 bkey.append(key)
@@ -279,7 +318,7 @@ def minhash_near_dup_incremental(
             ids.append(did)
             bidx.append(-1)
             bkey.append(0)
-            pay.append(sig.tobytes())
+            pay.append(payload)
         return pa.table({
             "doc_id": pa.array(ids, pa.int64()),
             "band": pa.array(bidx, pa.int32()),
@@ -422,26 +461,25 @@ def minhash_near_dup_incremental(
                          for x in sdf["payload"].to_numpy()[order]])
         a = pairs_df["a"].to_numpy(np.int64)
         b = pairs_df["b"].to_numpy(np.int64)
-        frac = (sigs[np.searchsorted(sid, a)]
-                == sigs[np.searchsorted(sid, b)]).mean(axis=1)
-        verified_edges = pd.DataFrame({"a": a[frac >= threshold],
-                                       "b": b[frac >= threshold]})
+        keep = keep_pairs(sigs[np.searchsorted(sid, a)],
+                          sigs[np.searchsorted(sid, b)])
+        verified_edges = pd.DataFrame({"a": a[keep], "b": b[keep]})
     else:
-        def mh_verify(m: pd.DataFrame) -> pa.Table:
+        def pair_verify(m: pd.DataFrame) -> pa.Table:
             if m.empty:
                 return P.PAIR_SCHEMA.empty_table()
             sa = np.stack([np.frombuffer(x, dtype=np.uint64)
                            for x in m["payload_a"]])
             sb = np.stack([np.frombuffer(x, dtype=np.uint64)
                            for x in m["payload_b"]])
-            keep = (sa == sb).mean(axis=1) >= threshold
+            keep = keep_pairs(sa, sb)
             return pa.table({
                 "a": pa.array(m["a"].to_numpy(np.int64)[keep], pa.int64()),
                 "b": pa.array(m["b"].to_numpy(np.int64)[keep], pa.int64()),
             })
 
         verified_edges = P.verify_pairs(
-            P.pairs_to_ds(pairs_df), _sigs_ds(), mh_verify,
+            P.pairs_to_ds(pairs_df), _sigs_ds(), pair_verify,
             P.PAIR_SCHEMA, num_parts).to_pandas()
 
     # ---- phase 6: merge with surviving stored edges ----

@@ -117,6 +117,56 @@ def test_incremental_config_change_rebuilds(ray_session, tmp_path):
     assert stats["n_sketched"] == 500
 
 
+SIMKW = dict(method="simhash", bands=4, hamming_threshold=3)
+
+
+def _scratch_simhash(ds):
+    from neurostore_text_extraction_ray.stages.dedup import simhash_near_dup
+
+    return _canon(simhash_near_dup(ds, hamming_threshold=3, bands=4))
+
+
+def test_incremental_simhash_equals_scratch(ray_session, tmp_path):
+    from neurostore_text_extraction_ray.stages.dedup_incremental import (
+        minhash_near_dup_incremental)
+
+    state = str(tmp_path / "state")
+    ds0, _ = _docs(ray_session)
+    labels0, stats0 = minhash_near_dup_incremental(ds0, state, **SIMKW)
+    assert stats0["n_sketched"] == stats0["n_docs"] == 500
+    pd.testing.assert_frame_equal(_canon(labels0), _scratch_simhash(ds0))
+
+    # 1% edit rerun: only the changed docs are re-sketched, labels
+    # still equal from-scratch simhash_near_dup
+    edited = [0, 100, 200, 300, 400]
+    ds1, _ = _docs(ray_session, edit_ids=edited)
+    labels1, stats1 = minhash_near_dup_incremental(ds1, state, **SIMKW)
+    assert stats1["n_sketched"] == len(edited)
+    pd.testing.assert_frame_equal(_canon(labels1), _scratch_simhash(ds1))
+
+
+def test_incremental_method_change_rebuilds(ray_session, tmp_path):
+    from neurostore_text_extraction_ray.stages.dedup_incremental import (
+        minhash_near_dup_incremental)
+
+    state = str(tmp_path / "state")
+    ds, _ = _docs(ray_session)
+    minhash_near_dup_incremental(ds, state, **KW)
+    # minhash state must not be served to a simhash run
+    labels, stats = minhash_near_dup_incremental(ds, state, **SIMKW)
+    assert stats["n_sketched"] == 500
+    pd.testing.assert_frame_equal(_canon(labels), _scratch_simhash(ds))
+
+
+def test_incremental_unknown_method_raises(ray_session, tmp_path):
+    from neurostore_text_extraction_ray.stages.dedup_incremental import (
+        minhash_near_dup_incremental)
+
+    ds, _ = _docs(ray_session)
+    with pytest.raises(ValueError, match="unknown method"):
+        minhash_near_dup_incremental(ds, str(tmp_path / "s"), method="nope")
+
+
 def test_incremental_crashed_promote_recovers(ray_session, tmp_path):
     import os
 

@@ -68,7 +68,8 @@ def _pairs():
     # round-2 additions: re-expressed SQL + pinned-golden oracles
     "docs_langid_quality", "docs_fingerprint", "docs_token_count",
     "minhash_dedup_groups", "minhash_dedup_incremental",
-    "simhash_dedup_groups", "ngram_jaccard_dups",
+    "simhash_dedup_groups", "simhash_dedup_incremental",
+    "ngram_jaccard_dups",
     "embedding_cosine_dups", "embed_documents", "llm_demographics",
     "llm_task_metadata", "entity_linking", "entity_linking_chained",
     "umls_disease_groups", "abbrev_expand", "abbrev_expand_planted",
