@@ -26,6 +26,7 @@ from neurostore_text_extraction_ray.pipelines.extras import (  # noqa: E402
     _abbrev_expand,
     _abbrev_expand_planted,
     _docs_fingerprint,
+    _docs_decontaminate,
     _docs_langid_quality,
     _docs_token_count,
     _embed_documents,
@@ -204,6 +205,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dedup_incremental": _minhash_dedup_incremental,
         "simhash_dedup_groups": _simhash_groups,
         "simhash_dedup_incremental": _simhash_dedup_incremental,
+        "docs_decontaminate": _docs_decontaminate,
         "ngram_jaccard_dups": _ngram_jaccard_dups,
         "embedding_cosine_dups": _embedding_cosine_dups,
         "embed_documents": _embed_documents,
@@ -458,6 +460,27 @@ def oracle_sql() -> dict[str, str]:
         # incremental two-step simhash == from-scratch (same proof as
         # minhash_dedup_incremental) -> shares its golden
         "simhash_dedup_incremental": _golden_sql("simhash_dedup_groups"),
+        # exact SQL re-expression of the k=5 word-shingle overlap: the
+        # \w+ lowercase tokenization matches textstats.shingles on the
+        # (all-ASCII) corpora; short docs (< 5 words) contribute their
+        # single joined-words shingle, matching the Python kernel
+        "docs_decontaminate": (
+            "WITH w AS (SELECT doc_id,"
+            "  regexp_extract_all(lower(text), '\\w+') AS ws"
+            "  FROM documents),"
+            " ix AS (SELECT doc_id, ws,"
+            "  unnest(generate_series(1, greatest(len(ws) - 4, 1))) AS i"
+            "  FROM w WHERE len(ws) > 0),"
+            " sh AS (SELECT doc_id, array_to_string(ws[i:i+4], ' ') AS s"
+            "  FROM ix),"
+            " bs AS (SELECT DISTINCT s FROM sh WHERE doc_id % 50 = 0),"
+            " hits AS (SELECT u.doc_id, count(*) AS n_hits FROM"
+            "  (SELECT DISTINCT doc_id, s FROM sh) u JOIN bs USING (s)"
+            "  GROUP BY u.doc_id)"
+            " SELECT d.doc_id, coalesce(h.n_hits, 0) AS n_hits,"
+            "  coalesce(h.n_hits, 0) > 0 AS contaminated"
+            " FROM documents d LEFT JOIN hits h USING (doc_id)"
+        ),
         "ngram_jaccard_dups": _golden_sql("ngram_jaccard_dups"),
         "embedding_cosine_dups": _golden_sql("embedding_cosine_dups"),
         "embed_documents": _golden_sql("embed_documents"),

@@ -220,6 +220,30 @@ def _simhash_dedup_incremental(sf_dir: str):
         shutil.rmtree(state, ignore_errors=True)
 
 
+def _docs_decontaminate(sf_dir: str):
+    """Benchmark decontamination over the documents table: benchmark
+    side = docs with ``doc_id % 50 == 0`` (a deterministic stand-in
+    for a held-out eval set); flags every corpus doc sharing >= 1
+    distinct 5-word shingle with it. Oracled as exact ANSI SQL (the
+    shingle construction is re-expressed with regexp_extract_all +
+    list slicing; corpus is ASCII so RE2 ``\\w`` == Python ``\\w``)."""
+    import numpy as np
+
+    import ray.data as rd
+
+    from ..stages.decontam import decontaminate
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    def bench_filter(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(ids % 50 == 0))
+
+    bench = docs.map_batches(bench_filter, batch_format="pyarrow")
+    return decontaminate(docs, bench)
+
+
 def _simhash_groups(sf_dir: str):
     import ray.data as rd
 

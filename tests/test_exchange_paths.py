@@ -69,3 +69,18 @@ def test_exchange_root_env_override(ray_session, tmp_path, monkeypatch):
     monkeypatch.setenv("NSE_EXCHANGE_ROOT", str(tmp_path / "xroot"))
     stage = ex.make_stage("nse_test_")
     assert stage.startswith(str(tmp_path / "xroot"))
+
+
+def test_decontaminate_exchange_equivalence(ray_session, monkeypatch):
+    from neurostore_text_extraction_ray.pipelines.extras import (
+        _docs_decontaminate)
+    from neurostore_text_extraction_ray.stages import decontam
+
+    drv = _canon(_docs_decontaminate(SF).to_pandas())
+    monkeypatch.setattr(decontam, "DECON_BROADCAST_LIMIT", 0)
+    exch = _canon(_docs_decontaminate(SF).to_pandas())
+    pd.testing.assert_frame_equal(drv, exch)
+    assert len(drv) == 500
+    # the benchmark docs overlap themselves: all flagged
+    flagged = set(drv[drv["contaminated"]]["doc_id"])
+    assert set(range(0, 500, 50)) <= flagged
