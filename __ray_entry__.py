@@ -174,6 +174,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_sample_hash": steps.docs_sample_hash,
         "docs_sample_stratified": steps.docs_sample_stratified,
         "docs_nchars_quantiles": steps.docs_nchars_quantiles,
+        "docs_pack_shards": steps.docs_pack_shards,
         "top_terms": steps.top_terms,
         "top_docs_per_lang": steps.top_docs_per_lang,
         "orders_custkey_hll": steps.orders_custkey_hll,
@@ -349,6 +350,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, lang, n_chars FROM documents "
             "WHERE ((doc_id * 2654435761) % 2147483648) % 100 < "
             "CASE WHEN lang = 'en' THEN 50 ELSE 20 END"
+        ),
+        # exclusive running sum over doc_id order, floor-divided into
+        # budget-sized chunks (concatenate-and-chunk packing); float
+        # division is exact below 2^53
+        "docs_pack_shards": (
+            "SELECT doc_id, n_chars, CAST(FLOOR("
+            "(SUM(n_chars) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED"
+            " PRECEDING AND CURRENT ROW) - n_chars) / 20000.0) AS BIGINT)"
+            " AS shard FROM documents"
         ),
         "docs_nchars_quantiles": (
             "SELECT q, value FROM ("

@@ -735,6 +735,111 @@ def docs_sample_stratified(sf_dir: str, pct_en: int = 50, pct_other: int = 20):
         f, batch_format="pyarrow")
 
 
+# -- Token-budget shard packing (distributed ordered prefix sum) ------------
+
+
+def pack_shards(ds, key_col: str, weight_col: str, budget: int,
+                num_parts: int = 32):
+    """Concatenate-and-chunk packing: rows ordered by ``key_col`` are
+    conceptually concatenated and split into shards of ``budget``
+    weight; each row's shard is the chunk containing its START offset —
+    ``shard = (exclusive running sum of weight in key order) //
+    budget`` (how LM training packs documents into fixed-token blocks;
+    exactly a SQL window ``SUM() OVER (ORDER BY key)``).
+
+    Distributed as the classic two-phase scan — nothing corpus-sized
+    ever touches the driver:
+    1. range-partition rows by ``key_col`` through the filesystem
+       exchange (equal-width ranges over the observed [min, max]; a
+       skewed key space makes uneven parts, never wrong results);
+    2. per-part totals (ONE row per part) are driver-collected, the
+       exclusive prefix of the range-ordered totals is broadcast as a
+       (part_min_key -> offset) sorted array;
+    3. a second pass over the same exchange parts sorts locally,
+       adds the part offset to the local exclusive cumsum, and emits
+       ``shard``.
+
+    Requires unique keys (ORDER BY would otherwise be ambiguous) and
+    int64-representable cumulative weight."""
+    import shutil
+
+    import ray
+    import ray.data as rd
+
+    from ..stages import exchange as ex
+    from ..stages.broadcast import get_broadcast
+
+    out_schema = pa.schema([
+        (key_col, pa.int64()), (weight_col, pa.int64()),
+        ("shard", pa.int64()),
+    ])
+    gmin = ds.min(key_col)
+    if gmin is None:
+        return rd.from_arrow(out_schema.empty_table())
+    gmax = ds.max(key_col)
+    # single-division range partitioner: no int64 overflow for any key
+    # span (contrast (key-gmin)*P which overflows past 2^63/P)
+    chunk = max(1, -((gmin - gmax - 1) // num_parts))
+
+    def by_range(b: pa.Table) -> np.ndarray:
+        ids = b[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return (ids - gmin) // chunk
+
+    stage = ex.make_stage("nse_pack_")
+    tot_schema = pa.schema([("min_key", pa.int64()), ("total", pa.int64())])
+    try:
+        ex.write_exchange(
+            ds.map_batches(
+                lambda b: pa.table({
+                    key_col: pc.cast(b[key_col], pa.int64()),
+                    weight_col: pc.cast(b[weight_col], pa.int64()),
+                }),
+                batch_format="pyarrow"),
+            stage, by_range)
+
+        def part_total(t: pa.Table) -> pa.Table:
+            k = t[key_col].to_numpy(zero_copy_only=False)
+            w = t[weight_col].to_numpy(zero_copy_only=False)
+            return pa.table({
+                "min_key": pa.array([int(k.min())], pa.int64()),
+                "total": pa.array([int(w.sum())], pa.int64()),
+            })
+
+        totals = ex.map_parts(stage, num_parts, part_total,
+                              tot_schema).to_pandas()
+        totals = totals.sort_values("min_key", kind="stable")
+        mins = totals["min_key"].to_numpy(np.int64)
+        offs = np.concatenate([
+            [0], np.cumsum(totals["total"].to_numpy(np.int64))[:-1]])
+        ref = ray.put((mins, offs))
+
+        def assign(t: pa.Table) -> pa.Table:
+            m, o = get_broadcast(ref)
+            k = t[key_col].to_numpy(zero_copy_only=False)
+            w = t[weight_col].to_numpy(zero_copy_only=False)
+            order = np.argsort(k, kind="stable")
+            k, w = k[order], w[order]
+            excl = np.concatenate([[0], np.cumsum(w)[:-1]])
+            excl += o[np.searchsorted(m, k[0])]
+            return pa.table({
+                key_col: pa.array(k, pa.int64()),
+                weight_col: pa.array(w, pa.int64()),
+                "shard": pa.array(excl // budget, pa.int64()),
+            })
+
+        return ex.map_parts(stage, num_parts, assign, out_schema
+                            ).materialize()
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+
+
+def docs_pack_shards(sf_dir: str, budget: int = 20000):
+    """Pack the documents table into ~``budget``-char training shards
+    in doc_id order (see ``pack_shards``)."""
+    return pack_shards(_docs(sf_dir, ["doc_id", "n_chars"]),
+                       "doc_id", "n_chars", budget)
+
+
 # -- M6: string normalization over a table column ---------------------------
 
 

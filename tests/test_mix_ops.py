@@ -114,3 +114,54 @@ def test_sample_hash_rejects_oversized_ids(ray_session, tmp_path):
     with pytest.raises(Exception) as ei:
         steps.docs_sample_hash(d).to_pandas()
     assert "2^31" in str(ei.value)
+
+
+def _pack_expected(ids, weights, budget):
+    order = np.argsort(ids, kind="stable")
+    ids, weights = np.asarray(ids)[order], np.asarray(weights)[order]
+    excl = np.concatenate([[0], np.cumsum(weights)[:-1]])
+    return pd.DataFrame({"doc_id": ids, "n_chars": weights,
+                         "shard": excl // budget})
+
+
+@pytest.mark.parametrize("num_parts", [1, 3, 32])
+def test_pack_shards_sparse_huge_keys(ray_session, num_parts):
+    """Range partitioning must stay correct under an extremely skewed
+    key space (three keys spanning 2^40) and any part count — and the
+    result must be independent of num_parts."""
+    import ray.data as rd
+
+    from neurostore_text_extraction_ray.pipelines.steps import pack_shards
+
+    ids = [1, 7, 1 << 20, (1 << 40) + 3, (1 << 40) + 9]
+    w = [5, 10, 3, 7, 100]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "n_chars": pa.array(w, pa.int64()),
+    }))
+    got = (pack_shards(ds, "doc_id", "n_chars", budget=10,
+                       num_parts=num_parts)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    exp = _pack_expected(ids, w, 10).astype(got.dtypes.to_dict())
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_pack_shards_zero_weights_and_single_row(ray_session):
+    import ray.data as rd
+
+    from neurostore_text_extraction_ray.pipelines.steps import pack_shards
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([5, 6, 7, 8], pa.int64()),
+        "n_chars": pa.array([0, 0, 25, 0], pa.int64()),
+    }))
+    got = (pack_shards(ds, "doc_id", "n_chars", budget=10)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    # zero-weight docs share the shard of the offset they sit at
+    assert got["shard"].tolist() == [0, 0, 0, 2]
+
+    one = rd.from_arrow(pa.table({
+        "doc_id": pa.array([42], pa.int64()),
+        "n_chars": pa.array([999], pa.int64())}))
+    g1 = pack_shards(one, "doc_id", "n_chars", budget=10).to_pandas()
+    assert g1["shard"].tolist() == [0]
