@@ -27,6 +27,7 @@ from neurostore_text_extraction_ray.pipelines.extras import (  # noqa: E402
     _abbrev_expand_planted,
     _docs_fingerprint,
     _docs_decontaminate,
+    _docs_line_dedup,
     _docs_langid_quality,
     _docs_token_count,
     _embed_documents,
@@ -207,6 +208,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_dedup_groups": _simhash_groups,
         "simhash_dedup_incremental": _simhash_dedup_incremental,
         "docs_decontaminate": _docs_decontaminate,
+        "docs_line_dedup": _docs_line_dedup,
         "ngram_jaccard_dups": _ngram_jaccard_dups,
         "embedding_cosine_dups": _embedding_cosine_dups,
         "embed_documents": _embed_documents,
@@ -490,6 +492,36 @@ def oracle_sql() -> dict[str, str]:
             " SELECT d.doc_id, coalesce(h.n_hits, 0) AS n_hits,"
             "  coalesce(h.n_hits, 0) > 0 AS contaminated"
             " FROM documents d LEFT JOIN hits h USING (doc_id)"
+        ),
+        # exact SQL re-expression of keep-first line dedup over the
+        # planted multi-line corpus (see extras._docs_line_dedup): a
+        # line survives in the min doc_id containing it; all other
+        # docs drop it. coalesce('') keeps all-removed docs at ''.
+        "docs_line_dedup": (
+            "WITH base AS (SELECT doc_id, "
+            "  CASE WHEN doc_id % 2 = 0 THEN "
+            "    'COOKIE NOTICE we use cookies' || chr(10) ELSE '' END || "
+            "  CASE WHEN doc_id % 3 = 0 THEN "
+            "    'NAV home about contact' || chr(10) ELSE '' END || "
+            "  'body ' || coalesce(text, '') || chr(10) || "
+            "  'Copyright 2099 Example Corp' AS txt FROM documents), "
+            "ls AS (SELECT doc_id, string_split(txt, chr(10)) AS ls "
+            "  FROM base), "
+            "l AS (SELECT doc_id, ls, "
+            "  unnest(generate_series(1, len(ls))) AS i FROM ls), "
+            "l2 AS (SELECT doc_id, i, ls[i] AS ln FROM l), "
+            "w AS (SELECT ln, min(doc_id) AS winner FROM l2 GROUP BY ln), "
+            "k AS (SELECT l2.doc_id, l2.i, l2.ln FROM l2 "
+            "  JOIN w USING (ln) WHERE l2.doc_id = w.winner), "
+            "agg AS (SELECT doc_id, count(*) AS n_kept, "
+            "  array_to_string(list(ln ORDER BY i), chr(10)) AS text_dedup "
+            "  FROM k GROUP BY doc_id), "
+            "tot AS (SELECT doc_id, count(*) AS n_lines FROM l2 "
+            "  GROUP BY doc_id) "
+            "SELECT t.doc_id, t.n_lines, "
+            "t.n_lines - coalesce(a.n_kept, 0) AS n_removed, "
+            "coalesce(a.text_dedup, '') AS text_dedup "
+            "FROM tot t LEFT JOIN agg a USING (doc_id)"
         ),
         "ngram_jaccard_dups": _golden_sql("ngram_jaccard_dups"),
         "embedding_cosine_dups": _golden_sql("embedding_cosine_dups"),

@@ -244,6 +244,41 @@ def _docs_decontaminate(sf_dir: str):
     return decontaminate(docs, bench)
 
 
+def _docs_line_dedup(sf_dir: str):
+    """Corpus-level keep-first line dedup over a planted multi-line
+    corpus. The raw documents text is single-line word soup, so — like
+    the planted-abbreviation queries — the wrapper derives a
+    deterministic multi-line column (shared boilerplate lines + a
+    unique per-doc body line) identically here and in the ANSI-SQL
+    oracle; the operator (``stages/linededup.line_dedup``) is generic
+    over any (id, text) dataset."""
+    import ray.data as rd
+
+    from ..stages.linededup import line_dedup
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    def plant(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        out = []
+        for did, t in zip(ids, b["text"].to_pylist()):
+            parts = []
+            if did % 2 == 0:
+                parts.append("COOKIE NOTICE we use cookies")
+            if did % 3 == 0:
+                parts.append("NAV home about contact")
+            parts.append("body " + (t or ""))
+            parts.append("Copyright 2099 Example Corp")
+            out.append("\n".join(parts))
+        return pa.table({
+            "doc_id": pa.compute.cast(b["doc_id"], pa.int64()),
+            "text": pa.array(out, pa.string()),
+        })
+
+    return line_dedup(docs.map_batches(plant, batch_format="pyarrow"))
+
+
 def _simhash_groups(sf_dir: str):
     import ray.data as rd
 

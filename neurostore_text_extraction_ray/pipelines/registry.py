@@ -256,6 +256,7 @@ def _register_builtins():
     register_op("docs_sample_stratified")(steps.docs_sample_stratified)
     register_op("docs_nchars_quantiles")(steps.docs_nchars_quantiles)
     register_op("top_terms")(steps.top_terms)
+    register_op("docs_pack_shards")(steps.docs_pack_shards)
 
     from . import extras
 
@@ -275,6 +276,9 @@ def _register_builtins():
     register_op("minhash_dedup_groups")(extras._minhash_groups)
     register_op("minhash_dedup_incremental")(extras._minhash_dedup_incremental)
     register_op("simhash_dedup_groups")(extras._simhash_groups)
+    register_op("simhash_dedup_incremental")(extras._simhash_dedup_incremental)
+    register_op("docs_decontaminate")(extras._docs_decontaminate)
+    register_op("docs_line_dedup")(extras._docs_line_dedup)
     register_op("ngram_jaccard_dups")(extras._ngram_jaccard_dups)
     register_op("embedding_cosine_dups")(extras._embedding_cosine_dups)
     register_op("embed_documents", version="2.0.0")(extras._embed_documents)
