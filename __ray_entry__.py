@@ -192,6 +192,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_orders": steps.events_asof_orders,
         "knn_embeddings": lambda sf: _round_cols(steps.knn_embeddings(sf), {"score": 4}),
         "docs_text_features": steps.docs_text_features,
+        "docs_repetition_stats": steps.docs_repetition_stats,
         "revenue_by_nation": steps.revenue_by_nation,
         "distinct_langs": steps.distinct_langs,
         "top_docs_by_length": steps.top_docs_by_length,
@@ -539,6 +540,35 @@ def oracle_sql() -> dict[str, str]:
         "top_docs_by_length": (
             "SELECT doc_id, n_chars FROM documents "
             "ORDER BY n_chars DESC, doc_id LIMIT 10"
+        ),
+        # Gopher-style repetition fractions over the \w+ lowercase
+        # tokenization (ASCII corpus: RE2 \w == Python \w); one-token
+        # docs have no bigram -> bm misses -> coalesce 0; a.tot >= 2
+        # whenever bm exists, so the (tot-1) denominator is never 0.
+        "docs_repetition_stats": (
+            "WITH tw AS (SELECT doc_id, "
+            "  regexp_extract_all(lower(coalesce(text,'')), '\\w+') AS ws "
+            "  FROM documents), "
+            "tok AS (SELECT doc_id, unnest(ws) AS w FROM tw), "
+            "c AS (SELECT doc_id, w, count(*) AS n FROM tok "
+            "  GROUP BY doc_id, w), "
+            "a AS (SELECT doc_id, max(n) AS mx, sum(n) AS tot, "
+            "  count(*) AS nd FROM c GROUP BY doc_id), "
+            "bi AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS bg FROM ("
+            "  SELECT doc_id, ws, unnest(generate_series(1, len(ws)-1)) AS i "
+            "  FROM tw WHERE len(ws) >= 2)), "
+            "bc AS (SELECT doc_id, bg, count(*) AS n FROM bi "
+            "  GROUP BY doc_id, bg), "
+            "bm AS (SELECT doc_id, max(n) AS mbg FROM bc GROUP BY doc_id) "
+            "SELECT d.doc_id, "
+            "CAST(coalesce(a.tot, 0) AS BIGINT) AS n_words, "
+            "round(coalesce(a.mx * 1.0 / a.tot, 0), 6) AS top_word_frac, "
+            "round(coalesce((a.tot - a.nd) * 1.0 / a.tot, 0), 6) "
+            "  AS dup_word_frac, "
+            "round(coalesce(bm.mbg * 1.0 / (a.tot - 1), 0), 6) "
+            "  AS top_bigram_frac "
+            "FROM documents d LEFT JOIN a USING (doc_id) "
+            "LEFT JOIN bm USING (doc_id)"
         ),
         "docs_text_features": (
             "SELECT doc_id, "

@@ -257,6 +257,7 @@ def _register_builtins():
     register_op("docs_nchars_quantiles")(steps.docs_nchars_quantiles)
     register_op("top_terms")(steps.top_terms)
     register_op("docs_pack_shards")(steps.docs_pack_shards)
+    register_op("docs_repetition_stats")(steps.docs_repetition_stats)
 
     from . import extras
 

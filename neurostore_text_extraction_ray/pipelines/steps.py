@@ -16,6 +16,8 @@ Ray-Data-first shapes:
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -1187,6 +1189,61 @@ def docs_text_features(sf_dir: str):
         return out
 
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(f, batch_format="pandas")
+
+
+def docs_repetition_stats(sf_dir: str):
+    """Gopher-style repetition quality signals per document (Rae et
+    al. 2021 §A1 repetition filters, public construction): over the
+    ``\\w+`` lowercase tokenization,
+
+        n_words         = token count (NOTE: \\w+ tokens, not the
+                          whitespace count of ``word_count``)
+        top_word_frac   = occurrences of the most frequent token / n_words
+        dup_word_frac   = (n_words - distinct tokens) / n_words
+        top_bigram_frac = occurrences of the most frequent adjacent
+                          token bigram / (n_words - 1)
+
+    Empty/one-token edge cases yield 0 for the undefined fractions.
+    Per-row numpy (token ids via np.unique; bigram codes id*V+id) —
+    the scalar-kernel layout measured faster than batch variants for
+    this corpus shape (BASELINE.md negative result on langid). Fully
+    SQL-expressible; oracled as exact ANSI SQL (fractions rounded to
+    6 on both sides)."""
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        _repetition_frame, batch_format="pandas")
+
+
+_REPETITION_TOK_RE = re.compile(r"\w+")
+
+
+def _repetition_frame(df: pd.DataFrame) -> pd.DataFrame:
+    """Batch kernel of ``docs_repetition_stats`` (module-level so unit
+    tests can drive edge shapes directly)."""
+    n_words = np.zeros(len(df), dtype=np.int64)
+    top_w = np.zeros(len(df), dtype=np.float64)
+    dup_w = np.zeros(len(df), dtype=np.float64)
+    top_bg = np.zeros(len(df), dtype=np.float64)
+    for i, t in enumerate(df["text"].fillna("")):
+        toks = _REPETITION_TOK_RE.findall(t.lower())
+        n = len(toks)
+        n_words[i] = n
+        if not n:
+            continue
+        ids, inv, counts = np.unique(
+            toks, return_inverse=True, return_counts=True)
+        top_w[i] = counts.max() / n
+        dup_w[i] = (n - len(ids)) / n
+        if n >= 2:
+            codes = inv[:-1].astype(np.int64) * len(ids) + inv[1:]
+            _, bcounts = np.unique(codes, return_counts=True)
+            top_bg[i] = bcounts.max() / (n - 1)
+    out = pd.DataFrame()
+    out["doc_id"] = df["doc_id"]
+    out["n_words"] = n_words
+    out["top_word_frac"] = np.round(top_w, 6)
+    out["dup_word_frac"] = np.round(dup_w, 6)
+    out["top_bigram_frac"] = np.round(top_bg, 6)
+    return out
 
 
 # -- Multi-way broadcast join + aggregate (Q5-style) ------------------------

@@ -64,7 +64,8 @@ def _pairs():
     "orders_custkey_hll", "lineitem_orders_semijoin",
     "normalize_part_names", "lineitem_agg", "events_hourly",
     "events_sessionize", "events_asof_orders", "knn_embeddings",
-    "docs_text_features", "revenue_by_nation", "distinct_langs",
+    "docs_text_features", "docs_repetition_stats",
+    "revenue_by_nation", "distinct_langs",
     "top_docs_by_length", "jats_extract_text", "pdf_extract_text",
     # round-2 additions: re-expressed SQL + pinned-golden oracles
     "docs_langid_quality", "docs_fingerprint", "docs_token_count",

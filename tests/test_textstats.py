@@ -134,3 +134,26 @@ def test_batch_kernels_match_scalar():
     for col in qs.columns:
         np.testing.assert_array_equal(
             qb[col].to_numpy(), qs[col].to_numpy(), err_msg=col)
+
+
+def test_repetition_frame_edge_shapes():
+    """docs_repetition_stats kernel: empty/null/one-token/all-same
+    edge cases (the SQL oracle's coalesce-0 semantics)."""
+    import pandas as pd
+
+    from neurostore_text_extraction_ray.pipelines.steps import _repetition_frame
+
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5, 6],
+        "text": [None, "", "word", "the the the", "a b a b a b",
+                 "all distinct tokens here now"],
+    })
+    out = _repetition_frame(df).set_index("doc_id")
+    assert out.loc[1].tolist() == [0, 0.0, 0.0, 0.0]
+    assert out.loc[2].tolist() == [0, 0.0, 0.0, 0.0]
+    assert out.loc[3].tolist() == [1, 1.0, 0.0, 0.0]  # no bigram
+    assert out.loc[4].tolist() == [3, 1.0, round(2 / 3, 6), 1.0]
+    # "a b a b a b": 6 tokens, top word 3/6, dup (6-2)/6, bigram
+    # "a b" occurs 3 of 5 -> 0.6
+    assert out.loc[5].tolist() == [6, 0.5, round(4 / 6, 6), 0.6]
+    assert out.loc[6].tolist() == [5, 0.2, 0.0, 0.25]
