@@ -28,6 +28,7 @@ from neurostore_text_extraction_ray.pipelines.extras import (  # noqa: E402
     _docs_fingerprint,
     _docs_decontaminate,
     _docs_line_dedup,
+    _docs_pii_redact,
     _docs_langid_quality,
     _docs_token_count,
     _embed_documents,
@@ -210,6 +211,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_dedup_incremental": _simhash_dedup_incremental,
         "docs_decontaminate": _docs_decontaminate,
         "docs_line_dedup": _docs_line_dedup,
+        "docs_pii_redact": _docs_pii_redact,
         "ngram_jaccard_dups": _ngram_jaccard_dups,
         "embedding_cosine_dups": _embedding_cosine_dups,
         "embed_documents": _embed_documents,
@@ -493,6 +495,40 @@ def oracle_sql() -> dict[str, str]:
             " SELECT d.doc_id, coalesce(h.n_hits, 0) AS n_hits,"
             "  coalesce(h.n_hits, 0) > 0 AS contaminated"
             " FROM documents d LEFT JOIN hits h USING (doc_id)"
+        ),
+        # PII redaction over planted PII (extras._docs_pii_redact):
+        # the patterns avoid lookaround so Python re and RE2 agree;
+        # counts apply sequentially (phone counted after email
+        # redaction), mirrored by the CTE chain.
+        "docs_pii_redact": (
+            "WITH p AS (SELECT doc_id, "
+            "  CASE WHEN doc_id % 2 = 0 THEN 'Contact user' || doc_id "
+            "    || '@example.com now. ' ELSE '' END || "
+            "  CASE WHEN doc_id % 3 = 0 THEN 'Call 555-010-' || "
+            "    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') "
+            "    || ' today. ' ELSE '' END || "
+            "  CASE WHEN doc_id % 5 = 0 THEN 'Host 10.0.' || "
+            "    (doc_id % 256) || '.' || ((doc_id * 7) % 256) "
+            "    || ' up. ' ELSE '' END || coalesce(text, '') AS t0 "
+            "  FROM documents), "
+            "e AS (SELECT doc_id, t0, regexp_replace(t0, "
+            "  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', "
+            "  '<EMAIL>', 'g') AS t1 FROM p), "
+            "ph AS (SELECT *, regexp_replace(t1, "
+            "  '\\b\\d{3}-\\d{3}-\\d{4}\\b', '<PHONE>', 'g') AS t2 FROM e) "
+            "SELECT doc_id, "
+            "CAST(len(regexp_extract_all(t0, "
+            "  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) "
+            "  AS BIGINT) AS n_emails, "
+            "CAST(len(regexp_extract_all(t1, "
+            "  '\\b\\d{3}-\\d{3}-\\d{4}\\b')) AS BIGINT) AS n_phones, "
+            "CAST(len(regexp_extract_all(t2, "
+            "  '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) "
+            "  AS BIGINT) AS n_ips, "
+            "regexp_replace(t2, "
+            "  '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', "
+            "  '<IP>', 'g') AS redacted_text "
+            "FROM ph"
         ),
         # exact SQL re-expression of keep-first line dedup over the
         # planted multi-line corpus (see extras._docs_line_dedup): a

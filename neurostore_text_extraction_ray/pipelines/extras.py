@@ -279,6 +279,40 @@ def _docs_line_dedup(sf_dir: str):
     return line_dedup(docs.map_batches(plant, batch_format="pyarrow"))
 
 
+def _docs_pii_redact(sf_dir: str):
+    """PII redaction over deterministically planted PII (the corpus
+    text itself is digit-free — verified inert): emails on doc_id%2,
+    phones on doc_id%3, IPv4 on doc_id%5. The same plants are
+    reconstructed in the ANSI-SQL oracle; counts apply sequentially
+    (phone counted after email redaction, etc.) on both sides."""
+    import ray.data as rd
+
+    from ..functions.pii import redact_frame
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    def plant(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame()
+        out["doc_id"] = df["doc_id"].astype("int64")
+        texts = []
+        for did, t in zip(out["doc_id"], df["text"]):
+            parts = []
+            if did % 2 == 0:
+                parts.append(f"Contact user{did}@example.com now.")
+            if did % 3 == 0:
+                parts.append(f"Call 555-010-{did % 10000:04d} today.")
+            if did % 5 == 0:
+                parts.append(f"Host 10.0.{did % 256}.{(did * 7) % 256} up.")
+            parts.append(t if isinstance(t, str) else "")
+            texts.append(" ".join(parts))
+        out["text"] = texts
+        return out
+
+    return docs.map_batches(plant, batch_format="pandas").map_batches(
+        redact_frame, batch_format="pandas")
+
+
 def _simhash_groups(sf_dir: str):
     import ray.data as rd
 

@@ -71,7 +71,8 @@ def _pairs():
     "docs_langid_quality", "docs_fingerprint", "docs_token_count",
     "minhash_dedup_groups", "minhash_dedup_incremental",
     "simhash_dedup_groups", "simhash_dedup_incremental",
-    "docs_decontaminate", "docs_line_dedup", "ngram_jaccard_dups",
+    "docs_decontaminate", "docs_line_dedup", "docs_pii_redact",
+    "ngram_jaccard_dups",
     "embedding_cosine_dups", "embed_documents", "llm_demographics",
     "llm_task_metadata", "entity_linking", "entity_linking_chained",
     "umls_disease_groups", "abbrev_expand", "abbrev_expand_planted",
