@@ -175,6 +175,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_slice": steps.docs_slice,
         "docs_sample_hash": steps.docs_sample_hash,
         "docs_sample_stratified": steps.docs_sample_stratified,
+        "docs_sample_weighted": steps.docs_sample_weighted,
         "docs_nchars_quantiles": steps.docs_nchars_quantiles,
         "docs_pack_shards": steps.docs_pack_shards,
         "top_terms": steps.top_terms,
@@ -355,6 +356,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, lang, n_chars FROM documents "
             "WHERE ((doc_id * 2654435761) % 2147483648) % 100 < "
             "CASE WHEN lang = 'en' THEN 50 ELSE 20 END"
+        ),
+        # priority sampling (w/u, top-k): the numerator is an exact
+        # double below 2^53 and one IEEE division is correctly
+        # rounded, so numpy and DuckDB select the identical set.
+        "docs_sample_weighted": (
+            "SELECT doc_id, n_chars, round(priority, 6) AS priority "
+            "FROM (SELECT doc_id, n_chars, "
+            "  (n_chars * 2147483648.0) / "
+            "  (((doc_id * 2654435761) % 2147483648) + 1) AS priority "
+            "  FROM documents) "
+            "ORDER BY priority DESC, doc_id LIMIT 100"
         ),
         # exclusive running sum over doc_id order, floor-divided into
         # budget-sized chunks (concatenate-and-chunk packing); float

@@ -258,6 +258,7 @@ def _register_builtins():
     register_op("top_terms")(steps.top_terms)
     register_op("docs_pack_shards")(steps.docs_pack_shards)
     register_op("docs_repetition_stats")(steps.docs_repetition_stats)
+    register_op("docs_sample_weighted")(steps.docs_sample_weighted)
 
     from . import extras
 

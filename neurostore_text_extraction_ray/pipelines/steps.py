@@ -1468,6 +1468,47 @@ def distinct_langs(sf_dir: str):
 # -- Top-k (partial top-k per batch + merge) --------------------------------
 
 
+def docs_sample_weighted(sf_dir: str, k: int = 100):
+    """Deterministic weighted sampling without replacement via
+    priority sampling (Duffield–Lund–Thorup 2007, public
+    construction): priority q_i = w_i / u_i with weight w = n_chars
+    and the deterministic uniform u = (hash(doc_id)+1) / 2^31 shared
+    with ``docs_sample_hash``; keep the k largest priorities
+    (tie-break doc_id asc).
+
+    Exactness across engines: q = (w * 2^31) / (h+1). The numerator
+    stays below 2^53 for n_chars < ~4.2M (guarded), so it is an exact
+    double; h+1 <= 2^31 is exact; one IEEE division is correctly
+    rounded — so numpy and DuckDB compute BIT-IDENTICAL priorities
+    and the selected set matches the SQL oracle exactly. Per-batch
+    partial top-k then one tiny driver merge — no global sort."""
+    import ray.data as rd
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy().astype(np.int64)
+        w = df["n_chars"].to_numpy().astype(np.int64)
+        if len(ids) and not ((ids >= 0).all() and ids.max() < (1 << 31)):
+            raise ValueError("docs_sample_weighted requires 0 <= doc_id < 2^31")
+        if len(w) and not ((w > 0).all() and w.max() < (1 << 22)):
+            raise ValueError("weights must be in (0, 2^22) for exact doubles")
+        h = (ids * 2654435761) % (1 << 31)
+        q = (w.astype(np.float64) * float(1 << 31)) / (h + 1).astype(np.float64)
+        out = pd.DataFrame({"doc_id": ids, "n_chars": w, "priority": q})
+        return out.sort_values(
+            ["priority", "doc_id"], ascending=[False, True]).head(k)
+
+    partials = (
+        rd.read_parquet(f"{sf_dir}/documents.parquet",
+                        columns=["doc_id", "n_chars"])
+        .map_batches(partial, batch_format="pandas")
+        .to_pandas()
+    )
+    final = partials.sort_values(
+        ["priority", "doc_id"], ascending=[False, True]).head(k)
+    final["priority"] = final["priority"].round(6)
+    return rd.from_pandas(final.reset_index(drop=True))
+
+
 def top_docs_by_length(sf_dir: str, k: int = 10):
     """Global top-k by n_chars with a deterministic tie-break
     (n_chars desc, doc_id asc): per-batch partial top-k rows then one

@@ -165,3 +165,40 @@ def test_pack_shards_zero_weights_and_single_row(ray_session):
         "n_chars": pa.array([999], pa.int64())}))
     g1 = pack_shards(one, "doc_id", "n_chars", budget=10).to_pandas()
     assert g1["shard"].tolist() == [0]
+
+
+def test_weighted_sample_matches_oracle_on_adversarial_shapes(
+        ray_session, synth_dir):
+    """Priority sampling over the heavy-ties synth corpus equals the
+    SQL oracle exactly (bit-identical priorities), and the sample is
+    length-biased (weighted mean n_chars > corpus mean)."""
+    import __ray_entry__ as e
+    from neurostore_text_extraction_ray.pipelines import steps
+
+    mine = _canon(steps.docs_sample_weighted(synth_dir).to_pandas())
+    gold = _canon(_oracle(synth_dir, e.oracle_sql()["docs_sample_weighted"]))
+    assert mine.shape == gold.shape == (100, 3)
+    assert (mine["doc_id"].to_numpy() == gold["doc_id"].to_numpy()).all()
+    np.testing.assert_allclose(
+        mine["priority"], gold["priority"], rtol=0, atol=1e-9)
+    con = duckdb.connect()
+    corpus_mean = con.execute(
+        f"SELECT avg(n_chars) FROM read_parquet("
+        f"'{synth_dir}/documents.parquet')").fetchone()[0]
+    con.close()
+    assert mine["n_chars"].mean() > corpus_mean
+
+
+def test_weighted_sample_weight_guard(ray_session, tmp_path):
+    """Weights at/above 2^22 must raise (double-exactness guard), as
+    must non-positive weights."""
+    d = str(tmp_path)
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "n_chars": pa.array([1 << 22, 5], pa.int64()),
+    })
+    pq.write_table(tbl, os.path.join(d, "documents.parquet"))
+    from neurostore_text_extraction_ray.pipelines import steps
+
+    with pytest.raises(Exception):
+        steps.docs_sample_weighted(d).to_pandas()
