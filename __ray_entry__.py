@@ -29,6 +29,7 @@ from neurostore_text_extraction_ray.pipelines.extras import (  # noqa: E402
     _docs_decontaminate,
     _docs_line_dedup,
     _docs_pii_redact,
+    _docs_top_terms_cms,
     _docs_langid_quality,
     _docs_token_count,
     _embed_documents,
@@ -179,6 +180,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_nchars_quantiles": steps.docs_nchars_quantiles,
         "docs_pack_shards": steps.docs_pack_shards,
         "top_terms": steps.top_terms,
+        "top_terms_cms": _docs_top_terms_cms,
         "top_docs_per_lang": steps.top_docs_per_lang,
         "orders_custkey_hll": steps.orders_custkey_hll,
         "lineitem_orders_semijoin": lambda sf: _round_cols(
@@ -478,6 +480,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         # pinned-golden oracles (regenerate: python tools/make_goldens.py)
         "docs_fingerprint": _golden_sql("docs_fingerprint"),
+        "top_terms_cms": _golden_sql("top_terms_cms"),
         "docs_token_count": _golden_sql("docs_token_count"),
         "minhash_dedup_groups": _golden_sql("minhash_dedup_groups"),
         # incremental two-step run provably equals from-scratch

@@ -279,6 +279,19 @@ def _docs_line_dedup(sf_dir: str):
     return line_dedup(docs.map_batches(plant, batch_format="pyarrow"))
 
 
+def _docs_top_terms_cms(sf_dir: str):
+    """Approximate heavy hitters over the documents text via the
+    Count-Min sketch (golden-oracled: the estimate depends on sketch
+    collisions, not SQL-expressible; a test asserts the top-k SET
+    equals the exact ``top_terms`` on both corpora)."""
+    import ray.data as rd
+
+    from ..stages.sketch import cms_top_terms
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return cms_top_terms(docs)
+
+
 def _docs_pii_redact(sf_dir: str):
     """PII redaction over deterministically planted PII (the corpus
     text itself is digit-free — verified inert): emails on doc_id%2,

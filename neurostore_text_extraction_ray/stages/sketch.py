@@ -18,6 +18,13 @@ operators per the SURVEY guidance for semantics Ray Data lacks):
   is a pruning layer, false positives removed by the verify), so the
   operator keeps a plain SQL oracle while modeling the
   bandwidth-saving probe order used at scale.
+
+- Count-Min heavy hitters (Cormode-Muthukrishnan 2005, public
+  algorithm): bounded-memory approximate top-k terms at unbounded
+  vocabulary — the scale path past ``steps.top_terms``'s
+  vocabulary-bounded exact combine. Deterministic (blake2b term
+  hashes + splitmix64 row derivation), mergeable (blobs sum),
+  overestimate-only; pinned by a golden oracle.
 """
 
 from __future__ import annotations
@@ -200,3 +207,99 @@ def bloom_semi_join(fact_ds, key_col: str, keys: np.ndarray,
         return batch.filter(pa.array(exact))
 
     return fact_ds.map_batches(f, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Count-Min heavy hitters (approximate top-k terms at unbounded vocabulary)
+# ---------------------------------------------------------------------------
+#
+# The exact ``steps.top_terms`` combine is bounded by vocabulary size;
+# at web scale the vocabulary is unbounded, and the classic bounded-
+# memory answer is a Count-Min sketch (Cormode-Muthukrishnan 2005,
+# public construction) plus a candidate stream. Each batch emits
+# (a) one depth*width int64 register blob and (b) its local exact
+# top-``cand_per_batch`` terms; blobs sum elementwise (a streaming
+# O(depth*width) driver reduction, same shape as the HLL max-combine),
+# candidates union, and every candidate is estimated as
+# min_d cms[d][idx_d(term)] — deterministic (blake2b term hashes +
+# splitmix64 row derivation, no RNG), mergeable, overestimate-only.
+
+
+def cms_partial(term_hashes: np.ndarray, counts: np.ndarray,
+                width: int, depth: int) -> np.ndarray:
+    """(depth*width,) int64 register block for one batch's
+    (term-hash, count) pairs."""
+    regs = np.zeros(depth * width, dtype=np.int64)
+    for d in range(depth):
+        idx = splitmix64(term_hashes ^ np.uint64(d * 0x9E3779B9)) \
+            % np.uint64(width)
+        np.add.at(regs, d * width + idx.astype(np.int64), counts)
+    return regs
+
+
+def cms_estimate(regs: np.ndarray, term_hashes: np.ndarray,
+                 width: int, depth: int) -> np.ndarray:
+    """Point estimates (min over depth rows) for each term hash."""
+    est = np.full(len(term_hashes), np.iinfo(np.int64).max, dtype=np.int64)
+    for d in range(depth):
+        idx = splitmix64(term_hashes ^ np.uint64(d * 0x9E3779B9)) \
+            % np.uint64(width)
+        est = np.minimum(est, regs[d * width + idx.astype(np.int64)])
+    return est
+
+
+def cms_top_terms(ds, text_col: str = "text", k: int = 20,
+                  width: int = 1 << 14, depth: int = 4,
+                  cand_per_batch: int = 64):
+    """Approximate top-``k`` terms (SK_TOKEN_RE tokens, lowercased)
+    by estimated count: ``(term, est_n)``, est desc then term asc.
+    Register blobs are ``kind=0`` rows, candidates ``kind=1`` rows —
+    the two-output-kinds-in-one-pass pattern of the minhash band==-1
+    marker rows."""
+    import ray.data as rd
+
+    from ..functions import hashing as H
+    from ..functions.textstats import SK_TOKEN_RE
+
+    def partial(df: "pd.DataFrame") -> "pd.DataFrame":
+        toks = df[text_col].fillna("").str.lower().str.findall(SK_TOKEN_RE)
+        c = toks.explode().dropna().value_counts()
+        terms = c.index.to_numpy(dtype=object)
+        counts = c.to_numpy().astype(np.int64)
+        hs = H._token_hashes(list(terms))
+        regs = cms_partial(hs, counts, width, depth)
+        cand = pd.DataFrame({
+            "kind": np.ones(min(len(terms), cand_per_batch), dtype=np.int64),
+            "term": terms[:cand_per_batch],  # value_counts: count desc
+            "n": counts[:cand_per_batch],
+            "blob": None,
+        })
+        blob = pd.DataFrame({
+            "kind": np.zeros(1, dtype=np.int64),
+            "term": [""], "n": np.zeros(1, dtype=np.int64),
+            "blob": [regs.tobytes()],
+        })
+        return pd.concat([blob, cand], ignore_index=True)
+
+    regs = np.zeros(depth * width, dtype=np.int64)
+    cand_terms: set[str] = set()
+    # streaming O(depth*width) driver reduction: one blob in memory at
+    # a time, never the full partial set
+    for part in ds.map_batches(
+            partial, batch_format="pandas").iter_batches(
+                batch_format="pandas"):
+        for blob in part.loc[part["kind"] == 0, "blob"]:
+            regs += np.frombuffer(blob, dtype=np.int64)
+        cand_terms.update(part.loc[part["kind"] == 1, "term"])
+    terms = sorted(cand_terms)
+    if terms:
+        est = cms_estimate(regs, H._token_hashes(terms), width, depth)
+        order = np.lexsort((np.array(terms, dtype=object), -est))[:k]
+        out = pd.DataFrame({
+            "term": np.array(terms, dtype=object)[order],
+            "est_n": est[order],
+        })
+    else:
+        out = pd.DataFrame({"term": pd.Series([], dtype=object),
+                            "est_n": pd.Series([], dtype=np.int64)})
+    return rd.from_pandas(out)

@@ -60,7 +60,7 @@ def _pairs():
     "dedup_exact", "docs_slice", "docs_sample_hash",
     "docs_sample_stratified", "docs_sample_weighted",
     "docs_nchars_quantiles", "docs_pack_shards",
-    "top_terms",
+    "top_terms", "top_terms_cms",
     "top_docs_per_lang",
     "orders_custkey_hll", "lineitem_orders_semijoin",
     "normalize_part_names", "lineitem_agg", "events_hourly",

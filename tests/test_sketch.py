@@ -117,3 +117,46 @@ def test_make_goldens_rejects_unknown_names():
         cwd="/root/repo", capture_output=True, text=True)
     assert r.returncode != 0
     assert "not golden-oracled" in (r.stderr + r.stdout)
+
+
+# -- Count-Min heavy hitters -------------------------------------------------
+
+
+def test_cms_topk_equals_exact_on_both_corpora(ray_session):
+    """The CMS top-k must equal the exact top_terms (terms AND counts)
+    on both committed corpora — loud failure if widths/collisions ever
+    drift."""
+    import pandas as pd
+
+    from neurostore_text_extraction_ray.pipelines import steps
+    from neurostore_text_extraction_ray.pipelines.extras import (
+        _docs_top_terms_cms)
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        exact = steps.top_terms(sf).to_pandas()
+        approx = _docs_top_terms_cms(sf).to_pandas()
+        assert approx["term"].tolist() == exact["term"].tolist(), sf
+        assert approx["est_n"].tolist() == exact["n"].tolist(), sf
+
+
+def test_cms_overestimate_only_and_merge(ray_session):
+    """Estimates never undercount, and summed partial blobs equal the
+    single-pass sketch (mergeability)."""
+    import numpy as np
+
+    from neurostore_text_extraction_ray.functions import hashing as H
+    from neurostore_text_extraction_ray.stages.sketch import (
+        cms_estimate, cms_partial)
+
+    rng = np.random.RandomState(3)
+    terms = [f"t{i}" for i in range(3000)]
+    counts = rng.randint(1, 50, size=len(terms)).astype(np.int64)
+    hs = H._token_hashes(terms)
+    width, depth = 1 << 10, 4  # deliberately tight -> collisions exist
+    whole = cms_partial(hs, counts, width, depth)
+    half = (cms_partial(hs[:1500], counts[:1500], width, depth)
+            + cms_partial(hs[1500:], counts[1500:], width, depth))
+    assert (whole == half).all()
+    est = cms_estimate(whole, hs, width, depth)
+    assert (est >= counts).all()
+    assert (est > counts).any()  # tight width: some collision happened

@@ -41,6 +41,7 @@ SF_QUERIES = [
     "umls_disease_groups",
     "abbrev_expand",
     "orders_custkey_hll",
+    "top_terms_cms",
 ]
 # corpus-independent queries (single file)
 GLOBAL_QUERIES = ["multimodal_features"]
