@@ -30,6 +30,7 @@ from neurostore_text_extraction_ray.pipelines.extras import (  # noqa: E402
     _docs_line_dedup,
     _docs_pii_redact,
     _docs_top_terms_cms,
+    _docs_url_filter,
     _docs_langid_quality,
     _docs_token_count,
     _embed_documents,
@@ -194,6 +195,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "events_sessionize": steps.events_sessionize,
         "events_asof_orders": steps.events_asof_orders,
+        "events_rolling_count": steps.events_rolling_count,
         "knn_embeddings": lambda sf: _round_cols(steps.knn_embeddings(sf), {"score": 4}),
         "docs_text_features": steps.docs_text_features,
         "docs_repetition_stats": steps.docs_repetition_stats,
@@ -215,6 +217,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_decontaminate": _docs_decontaminate,
         "docs_line_dedup": _docs_line_dedup,
         "docs_pii_redact": _docs_pii_redact,
+        "docs_url_filter": _docs_url_filter,
         "ngram_jaccard_dups": _ngram_jaccard_dups,
         "embedding_cosine_dups": _embedding_cosine_dups,
         "embed_documents": _embed_documents,
@@ -441,6 +444,12 @@ def oracle_sql() -> dict[str, str]:
             "FROM events e ASOF JOIN o "
             "ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate"
         ),
+        "events_rolling_count": (
+            "SELECT event_id, user_id, ts, "
+            "CAST(count(*) OVER (PARTITION BY user_id ORDER BY ts "
+            "RANGE BETWEEN INTERVAL 60 MINUTE PRECEDING AND CURRENT ROW) "
+            "AS BIGINT) AS n_window FROM events"
+        ),
         "knn_embeddings": knn,
         # IVF with n_probe == n_cells is exhaustive -> provably equal
         # to exact brute-force cosine top-k, so it shares the oracle.
@@ -510,6 +519,19 @@ def oracle_sql() -> dict[str, str]:
             " SELECT d.doc_id, coalesce(h.n_hits, 0) AS n_hits,"
             "  coalesce(h.n_hits, 0) > 0 AS contaminated"
             " FROM documents d LEFT JOIN hits h USING (doc_id)"
+        ),
+        # URL blocklist filter over planted urls: same host/domain
+        # regex extraction re-expressed with RE2 (no lookaround).
+        "docs_url_filter": (
+            "WITH u AS (SELECT doc_id, 'https://sub' || (doc_id % 3) "
+            "  || '.site' || (doc_id % 7) || '.example/doc/' || doc_id "
+            "  AS url FROM documents), "
+            "h AS (SELECT doc_id, regexp_extract(url, "
+            "  '^[a-z]+://([^/]+)/', 1) AS host FROM u) "
+            "SELECT doc_id, regexp_extract(host, '([^.]+\\.[^.]+)$', 1) "
+            "  AS domain, "
+            "regexp_extract(host, '([^.]+\\.[^.]+)$', 1) IN "
+            "  ('site0.example', 'site4.example') AS blocked FROM h"
         ),
         # PII redaction over planted PII (extras._docs_pii_redact):
         # the patterns avoid lookaround so Python re and RE2 agree;

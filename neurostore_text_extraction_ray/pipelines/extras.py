@@ -279,6 +279,36 @@ def _docs_line_dedup(sf_dir: str):
     return line_dedup(docs.map_batches(plant, batch_format="pyarrow"))
 
 
+def _docs_url_filter(sf_dir: str):
+    """URL-based filtering (the standard crawl-hygiene pass: derive
+    the registered domain, flag blocklisted domains). Urls are planted
+    deterministically (the documents table has no url column);
+    extraction is vectorized pandas str ops; the blocklist is a tiny
+    frozen set (broadcast-trivial — at a real blocklist's 10^6 scale
+    it ships once via ray.put exactly like the linker vocabulary).
+    Output: (doc_id, domain, blocked). Oracled as exact ANSI SQL."""
+    import ray.data as rd
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id"])
+    blocklist = {"site0.example", "site4.example"}
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].astype("int64")
+        url = ("https://sub" + (ids % 3).astype(str) + ".site"
+               + (ids % 7).astype(str) + ".example/doc/" + ids.astype(str))
+        host = url.str.extract(r"^[a-z]+://([^/]+)/", expand=False)
+        # registered domain = last two dot-labels of the host
+        domain = host.str.extract(r"([^.]+\.[^.]+)$", expand=False)
+        out = pd.DataFrame()
+        out["doc_id"] = ids
+        out["domain"] = domain
+        out["blocked"] = domain.isin(blocklist)
+        return out
+
+    return docs.map_batches(f, batch_format="pandas")
+
+
 def _docs_top_terms_cms(sf_dir: str):
     """Approximate heavy hitters over the documents text via the
     Count-Min sketch (golden-oracled: the estimate depends on sketch

@@ -248,6 +248,7 @@ def _register_builtins():
     register_op("events_hourly")(steps.events_hourly)
     register_op("events_sessionize")(steps.events_sessionize)
     register_op("events_asof_orders")(steps.events_asof_orders)
+    register_op("events_rolling_count")(steps.events_rolling_count)
     register_op("knn_embeddings")(steps.knn_embeddings)
     register_op("docs_text_features")(steps.docs_text_features)
     register_op("revenue_by_nation")(steps.revenue_by_nation)
@@ -283,6 +284,7 @@ def _register_builtins():
     register_op("docs_line_dedup")(extras._docs_line_dedup)
     register_op("docs_pii_redact")(extras._docs_pii_redact)
     register_op("top_terms_cms")(extras._docs_top_terms_cms)
+    register_op("docs_url_filter")(extras._docs_url_filter)
     register_op("ngram_jaccard_dups")(extras._ngram_jaccard_dups)
     register_op("embedding_cosine_dups")(extras._embedding_cosine_dups)
     register_op("embed_documents", version="2.0.0")(extras._embed_documents)

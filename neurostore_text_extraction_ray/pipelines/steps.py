@@ -998,6 +998,68 @@ def events_sessionize(sf_dir: str, gap_minutes: int = 30, num_parts: int = 32):
     return out
 
 
+def events_rolling_count(sf_dir: str, window_minutes: int = 60,
+                         num_parts: int = 32):
+    """Sliding event-time window per user: for every event, the number
+    of the same user's events in the preceding ``window_minutes``
+    (inclusive both bounds — exactly SQL ``RANGE BETWEEN INTERVAL w
+    PRECEDING AND CURRENT ROW``, which also includes ts-tie peers).
+    Same partition-exchange user co-location as ``events_sessionize``;
+    each part computes all its users' windows in one C-level pandas
+    ``groupby(...).rolling(closed='both')`` pass, then lifts the
+    per-position counts to SQL's peer-inclusive RANGE semantics with a
+    tie-group max (window bounds are equal across a tie group, so the
+    last position sees every peer). Output (event_id, user_id, ts,
+    n_window)."""
+    import shutil
+
+    import ray.data as rd
+
+    from ..stages import exchange as ex
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+    stage = ex.make_stage("nse_rolling_")
+    empty = pa.schema([
+        ("event_id", pa.int64()), ("user_id", pa.int64()),
+        ("ts", pa.timestamp("us")), ("n_window", pa.int64()),
+    ])
+    try:
+        ex.write_exchange(
+            ds, stage,
+            lambda b: ex.int_part(
+                [b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)],
+                num_parts,
+            ),
+        )
+
+        def roll_part(table: pa.Table) -> pa.Table:
+            df = table.to_pandas().sort_values(
+                ["user_id", "ts", "event_id"], kind="stable"
+            ).reset_index(drop=True)
+            cnt = (
+                df.set_index("ts")
+                .groupby("user_id", sort=False)["event_id"]
+                .rolling(f"{window_minutes}min", closed="both")
+                .count()
+                .to_numpy()
+                .astype(np.int64)
+            )
+            df["n_window"] = cnt
+            # peer lift: all rows of a (user, ts) tie share the window
+            # bounds; the last position's count covers every peer
+            df["n_window"] = df.groupby(
+                ["user_id", "ts"], sort=False)["n_window"].transform("max")
+            out = df[["event_id", "user_id", "ts", "n_window"]]
+            return pa.Table.from_pandas(out, preserve_index=False).cast(
+                pa.schema(empty))
+
+        return ex.map_parts(stage, num_parts, roll_part, empty).materialize()
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+
+
 # -- As-of join: each event matched to the user's latest prior order --------
 
 

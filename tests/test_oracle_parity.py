@@ -64,7 +64,8 @@ def _pairs():
     "top_docs_per_lang",
     "orders_custkey_hll", "lineitem_orders_semijoin",
     "normalize_part_names", "lineitem_agg", "events_hourly",
-    "events_sessionize", "events_asof_orders", "knn_embeddings",
+    "events_sessionize", "events_asof_orders", "events_rolling_count",
+    "knn_embeddings",
     "docs_text_features", "docs_repetition_stats",
     "revenue_by_nation", "distinct_langs",
     "top_docs_by_length", "jats_extract_text", "pdf_extract_text",
@@ -73,6 +74,7 @@ def _pairs():
     "minhash_dedup_groups", "minhash_dedup_incremental",
     "simhash_dedup_groups", "simhash_dedup_incremental",
     "docs_decontaminate", "docs_line_dedup", "docs_pii_redact",
+    "docs_url_filter",
     "ngram_jaccard_dups",
     "embedding_cosine_dups", "embed_documents", "llm_demographics",
     "llm_task_metadata", "entity_linking", "entity_linking_chained",
