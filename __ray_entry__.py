@@ -30,6 +30,7 @@ from neurostore_text_extraction_ray.pipelines.extras import (  # noqa: E402
     _docs_line_dedup,
     _docs_pii_redact,
     _docs_top_terms_cms,
+    _docs_normalize_text,
     _docs_url_filter,
     _docs_langid_quality,
     _docs_token_count,
@@ -218,6 +219,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_line_dedup": _docs_line_dedup,
         "docs_pii_redact": _docs_pii_redact,
         "docs_url_filter": _docs_url_filter,
+        "docs_normalize_text": _docs_normalize_text,
         "ngram_jaccard_dups": _ngram_jaccard_dups,
         "embedding_cosine_dups": _embedding_cosine_dups,
         "embed_documents": _embed_documents,
@@ -519,6 +521,25 @@ def oracle_sql() -> dict[str, str]:
             " SELECT d.doc_id, coalesce(h.n_hits, 0) AS n_hits,"
             "  coalesce(h.n_hits, 0) > 0 AS contaminated"
             " FROM documents d LEFT JOIN hits h USING (doc_id)"
+        ),
+        # web-text normalization over planted messy whitespace; NFC
+        # and the control strip are identities on the ASCII corpus so
+        # the chain is collapse-[ \t]+ -> collapse-\n{3,} -> trim.
+        "docs_normalize_text": (
+            "WITH m AS (SELECT doc_id, "
+            "  CASE WHEN doc_id % 2 = 0 THEN '  ' || chr(9) ELSE '' END || "
+            "  CASE WHEN doc_id % 3 = 0 THEN "
+            "    replace(coalesce(text,''), ' ', '  ') "
+            "    ELSE coalesce(text,'') END || "
+            "  CASE WHEN doc_id % 5 = 0 THEN repeat(chr(10), 4) || 'End.' "
+            "    ELSE '' END || ' ' AS t0 FROM documents), "
+            "n AS (SELECT doc_id, regexp_replace(regexp_replace(t0, "
+            "  '[ \\t]+', ' ', 'g'), '\\n{3,}', chr(10) || chr(10), 'g') "
+            "  AS t1 FROM m) "
+            "SELECT doc_id, trim(t1, ' ' || chr(9) || chr(10)) "
+            "  AS normalized_text, "
+            "CAST(length(trim(t1, ' ' || chr(9) || chr(10))) AS BIGINT) "
+            "  AS n_chars_norm FROM n"
         ),
         # URL blocklist filter over planted urls: same host/domain
         # regex extraction re-expressed with RE2 (no lookaround).

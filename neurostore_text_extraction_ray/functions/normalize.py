@@ -31,6 +31,37 @@ def normalize_string(input_string: str | None) -> str | None:
     return clean
 
 
+_WS_RUN_RE = None
+_CTRL_RE = None
+_NL_RUN_RE = None
+
+
+def normalize_web_text(s: str | None) -> str:
+    """Web-text normalization (the standard pre-tokenization cleanup):
+    unicode NFC, control characters stripped (tab/newline kept),
+    horizontal-whitespace runs collapsed to one space, 3+ newline runs
+    collapsed to two, outer whitespace trimmed. ASCII input makes NFC
+    and the control strip identities, so the operator stays exactly
+    ANSI-SQL-expressible on the test corpora; unicode behavior is
+    pinned by unit tests."""
+    global _WS_RUN_RE, _CTRL_RE, _NL_RUN_RE
+    if _WS_RUN_RE is None:
+        import re
+
+        _WS_RUN_RE = re.compile(r"[ \t]+")
+        _CTRL_RE = re.compile(r"[\x00-\x08\x0b-\x1f\x7f]")  # keeps \t \n
+        _NL_RUN_RE = re.compile(r"\n{3,}")
+    if not s:
+        return ""
+    import unicodedata
+
+    s = unicodedata.normalize("NFC", s)
+    s = _CTRL_RE.sub("", s)
+    s = _WS_RUN_RE.sub(" ", s)
+    s = _NL_RUN_RE.sub("\n\n", s)
+    return s.strip()
+
+
 # ---------------------------------------------------------------------------
 # Schwartz–Hearst abbreviation detection (Schwartz & Hearst, PSB 2003,
 # "A simple algorithm for identifying abbreviation definitions in

@@ -279,6 +279,40 @@ def _docs_line_dedup(sf_dir: str):
     return line_dedup(docs.map_batches(plant, batch_format="pyarrow"))
 
 
+def _docs_normalize_text(sf_dir: str):
+    """Web-text normalization over deterministically planted messy
+    whitespace (leading tab runs, doubled spaces, newline bursts — the
+    corpus itself is single-spaced ASCII). NFC and the control-char
+    strip are identities on ASCII, so the full kernel is exactly
+    re-expressed in the ANSI-SQL oracle; unicode/control behavior is
+    pinned by unit tests."""
+    import ray.data as rd
+
+    from ..functions.normalize import normalize_web_text
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].astype("int64")
+        base = df["text"].fillna("")
+        import numpy as np_
+
+        messy = base.where(ids % 3 != 0, base.str.replace(" ", "  "))
+        prefix = pd.Series(
+            np_.where(ids % 2 == 0, "  \t", ""), index=df.index)
+        suffix = pd.Series(
+            np_.where(ids % 5 == 0, "\n\n\n\nEnd.", ""), index=df.index)
+        messy = prefix + messy + suffix + " "
+        out = pd.DataFrame()
+        out["doc_id"] = ids
+        out["normalized_text"] = messy.map(normalize_web_text)
+        out["n_chars_norm"] = out["normalized_text"].str.len().astype("int64")
+        return out
+
+    return docs.map_batches(f, batch_format="pandas")
+
+
 def _docs_url_filter(sf_dir: str):
     """URL-based filtering (the standard crawl-hygiene pass: derive
     the registered domain, flag blocklisted domains). Urls are planted

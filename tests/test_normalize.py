@@ -99,3 +99,21 @@ def test_find_and_remove_definitions_keeps_unrelated():
 
 def test_find_and_remove_empty_parens():
     assert find_and_remove_definitions("weird () token", []) == "weird token"
+
+
+def test_normalize_web_text_unicode_and_control():
+    """Unicode/control behavior of normalize_web_text (not reachable
+    through the ASCII SQL oracle): NFC composition, control strip with
+    tab/newline kept, CR removed, newline-run collapse, outer trim."""
+    from neurostore_text_extraction_ray.functions.normalize import (
+        normalize_web_text as n)
+
+    assert n("e\u0301tude") == "\u00e9tude"  # NFC composes e+combining
+    assert n("a\x00b\x07c\x7fd") == "abcd"           # controls stripped
+    assert n("a\r\nb") == "a\nb"                     # CR dies, LF stays
+    assert n("a \t  b") == "a b"                     # ws run collapses
+    assert n("a\n\n\n\n\nb") == "a\n\nb"             # nl run -> 2
+    assert n("a\n\nb") == "a\n\nb"                   # 2 newlines kept
+    assert n("  x  ") == "x"
+    assert n("") == "" and n(None) == ""
+    assert n(" \t\n ") == ""                         # whitespace-only
