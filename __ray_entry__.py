@@ -180,6 +180,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_sample_stratified": steps.docs_sample_stratified,
         "docs_sample_weighted": steps.docs_sample_weighted,
         "docs_nchars_quantiles": steps.docs_nchars_quantiles,
+        "docs_nchars_quantiles_sampled": steps.docs_nchars_quantiles_sampled,
         "docs_pack_shards": steps.docs_pack_shards,
         "top_terms": steps.top_terms,
         "top_terms_cms": _docs_top_terms_cms,
@@ -390,6 +391,15 @@ def oracle_sql() -> dict[str, str]:
             "  UNION ALL SELECT 0.50, quantile_disc(n_chars, 0.50) FROM documents"
             "  UNION ALL SELECT 0.75, quantile_disc(n_chars, 0.75) FROM documents"
             "  UNION ALL SELECT 0.95, quantile_disc(n_chars, 0.95) FROM documents)"
+        ),
+        "docs_nchars_quantiles_sampled": (
+            "WITH s AS (SELECT n_chars FROM documents "
+            "  WHERE ((doc_id * 2654435761) % 2147483648) % 8 = 0) "
+            "SELECT q, value FROM ("
+            "  SELECT 0.25 AS q, quantile_disc(n_chars, 0.25) AS value FROM s"
+            "  UNION ALL SELECT 0.50, quantile_disc(n_chars, 0.50) FROM s"
+            "  UNION ALL SELECT 0.75, quantile_disc(n_chars, 0.75) FROM s"
+            "  UNION ALL SELECT 0.95, quantile_disc(n_chars, 0.95) FROM s)"
         ),
         "top_terms": (
             "SELECT t AS term, count(*) AS n FROM ("

@@ -256,6 +256,8 @@ def _register_builtins():
     register_op("top_docs_by_length")(steps.top_docs_by_length)
     register_op("docs_sample_stratified")(steps.docs_sample_stratified)
     register_op("docs_nchars_quantiles")(steps.docs_nchars_quantiles)
+    register_op("docs_nchars_quantiles_sampled")(
+        steps.docs_nchars_quantiles_sampled)
     register_op("top_terms")(steps.top_terms)
     register_op("docs_pack_shards")(steps.docs_pack_shards)
     register_op("docs_repetition_stats")(steps.docs_repetition_stats)

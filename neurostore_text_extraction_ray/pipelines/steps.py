@@ -680,6 +680,54 @@ def docs_nchars_quantiles(sf_dir: str, qs=(0.25, 0.5, 0.75, 0.95)):
     }))
 
 
+def docs_nchars_quantiles_sampled(sf_dir: str, qs=(0.25, 0.5, 0.75, 0.95),
+                                  rate_mod: int = 8):
+    """Approximate quantiles at unbounded row count: exact quantiles
+    over a deterministic 1/``rate_mod`` hash sample (the
+    ``docs_sample_hash`` multiplicative hash, so partition- and
+    order-independent — every worker agrees on the sample with no
+    coordination). Sampling error is O(1/sqrt(n/rate_mod)) ranks; the
+    sample size is budgeted BY CONSTRUCTION (10^12 rows / 2^20 ≈ 10^6
+    values), unlike the distinct-cardinality bound of the exact
+    ``docs_nchars_quantiles``. Exactly SQL-expressible: quantile_disc
+    over the same hash predicate. Output (q, value)."""
+    import math
+
+    import ray.data as rd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(ids) and not ((ids >= 0).all() and ids.max() < (1 << 31)):
+            raise ValueError("requires 0 <= doc_id < 2^31")
+        keep = ((ids * 2654435761) % (1 << 31)) % rate_mod == 0
+        v, c = np.unique(
+            batch["n_chars"].to_numpy(zero_copy_only=False)[keep],
+            return_counts=True)
+        return pa.table({"value": pa.array(v, pa.int64()),
+                         "n": pa.array(c.astype(np.int64), pa.int64())})
+
+    partials = (
+        _docs(sf_dir, ["doc_id", "n_chars"])
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+    )
+    hist = partials.groupby("value", sort=True)["n"].sum()
+    values = hist.index.to_numpy()
+    cum = hist.to_numpy().cumsum()
+    n = int(cum[-1]) if len(cum) else 0
+    rows_q, rows_v = [], []
+    for q in qs:
+        if n == 0:
+            continue
+        target = max(1, math.ceil(q * n))
+        rows_q.append(float(q))
+        rows_v.append(int(values[np.searchsorted(cum, target)]))
+    return rd.from_arrow(pa.table({
+        "q": pa.array(rows_q, pa.float64()),
+        "value": pa.array(rows_v, pa.int64()),
+    }))
+
+
 # -- Heavy hitters: exact distributed top-k terms ---------------------------
 
 

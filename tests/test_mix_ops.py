@@ -202,3 +202,21 @@ def test_weighted_sample_weight_guard(ray_session, tmp_path):
 
     with pytest.raises(Exception):
         steps.docs_sample_weighted(d).to_pandas()
+
+
+def test_sampled_quantiles_accuracy(ray_session):
+    """Hash-sampled quantiles land within a modest rank band of the
+    exact quantiles on the committed corpora (loud drift alarm)."""
+    from neurostore_text_extraction_ray.pipelines import steps
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        approx = steps.docs_nchars_quantiles_sampled(sf).to_pandas()
+        con = duckdb.connect()
+        nchars = con.execute(
+            f"SELECT n_chars FROM read_parquet('{sf}/documents.parquet') "
+            f"ORDER BY n_chars").fetchdf()["n_chars"].to_numpy()
+        con.close()
+        for _, row in approx.iterrows():
+            # rank of the sampled estimate in the FULL corpus
+            rank = np.searchsorted(nchars, row["value"], side="right") / len(nchars)
+            assert abs(rank - row["q"]) < 0.12, (sf, row["q"], rank)

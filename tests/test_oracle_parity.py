@@ -59,7 +59,8 @@ def _pairs():
     "docs_en_quality", "docs_join_embeddings", "filter_unprocessed",
     "dedup_exact", "docs_slice", "docs_sample_hash",
     "docs_sample_stratified", "docs_sample_weighted",
-    "docs_nchars_quantiles", "docs_pack_shards",
+    "docs_nchars_quantiles", "docs_nchars_quantiles_sampled",
+    "docs_pack_shards",
     "top_terms", "top_terms_cms",
     "top_docs_per_lang",
     "orders_custkey_hll", "lineitem_orders_semijoin",
