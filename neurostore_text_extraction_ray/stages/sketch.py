@@ -250,7 +250,7 @@ def cms_estimate(regs: np.ndarray, term_hashes: np.ndarray,
 
 def cms_top_terms(ds, text_col: str = "text", k: int = 20,
                   width: int = 1 << 14, depth: int = 4,
-                  cand_per_batch: int = 64):
+                  cand_per_batch: int = 256):
     """Approximate top-``k`` terms (SK_TOKEN_RE tokens, lowercased)
     by estimated count: ``(term, est_n)``, est desc then term asc.
     Register blobs are ``kind=0`` rows, candidates ``kind=1`` rows —
@@ -268,10 +268,14 @@ def cms_top_terms(ds, text_col: str = "text", k: int = 20,
         counts = c.to_numpy().astype(np.int64)
         hs = H._token_hashes(list(terms))
         regs = cms_partial(hs, counts, width, depth)
+        # deterministic candidate cut: (count desc, term asc) — a bare
+        # value_counts slice breaks ties by hash-table insertion order,
+        # which varies with batch formation
+        order = np.lexsort((terms, -counts))[:cand_per_batch]
         cand = pd.DataFrame({
-            "kind": np.ones(min(len(terms), cand_per_batch), dtype=np.int64),
-            "term": terms[:cand_per_batch],  # value_counts: count desc
-            "n": counts[:cand_per_batch],
+            "kind": np.ones(len(order), dtype=np.int64),
+            "term": terms[order],
+            "n": counts[order],
             "blob": None,
         })
         blob = pd.DataFrame({
