@@ -31,6 +31,7 @@ from neurostore_text_extraction_ray.pipelines.extras import (  # noqa: E402
     _docs_pii_redact,
     _docs_top_terms_cms,
     _docs_normalize_text,
+    _docs_training_mix,
     _docs_url_filter,
     _docs_langid_quality,
     _docs_token_count,
@@ -221,6 +222,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_pii_redact": _docs_pii_redact,
         "docs_url_filter": _docs_url_filter,
         "docs_normalize_text": _docs_normalize_text,
+        "docs_training_mix": _docs_training_mix,
         "ngram_jaccard_dups": _ngram_jaccard_dups,
         "embedding_cosine_dups": _embedding_cosine_dups,
         "embed_documents": _embed_documents,
@@ -490,6 +492,25 @@ def oracle_sql() -> dict[str, str]:
             "CAST(2 AS BIGINT) AS n_spans FROM j"
         ),
         "docs_langid_quality": _langid_quality_sql(),
+        # composite mix pipeline: the langid/quality SQL feeds an
+        # exact-dedup GROUP BY and the pack window — one CTE chain,
+        # end-to-end (filter thresholds apply to the ROUNDED score on
+        # both sides; texts are all-distinct on the test corpora but
+        # the GROUP BY mirrors the engine's dedup stage regardless)
+        "docs_training_mix": (
+            f"WITH lq AS ({_langid_quality_sql()}), "
+            "surv AS (SELECT d.doc_id, d.text, d.n_chars FROM documents d "
+            "  JOIN lq USING (doc_id) WHERE lq.lang_pred = 'en' "
+            "  AND lq.quality_score >= 0.5), "
+            "win AS (SELECT min(doc_id) AS doc_id FROM surv "
+            "  GROUP BY text), "
+            "kept AS (SELECT s.doc_id, s.n_chars FROM surv s "
+            "  JOIN win USING (doc_id)) "
+            "SELECT doc_id, n_chars, CAST(FLOOR("
+            "(SUM(n_chars) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED"
+            " PRECEDING AND CURRENT ROW) - n_chars) / 20000.0) AS BIGINT)"
+            " AS shard FROM kept"
+        ),
         "abbrev_expand_planted": (
             "SELECT doc_id, "
             "CAST(CASE WHEN doc_id % 3 = 0 THEN 0 ELSE 1 END AS BIGINT) "

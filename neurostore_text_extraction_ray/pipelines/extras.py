@@ -279,6 +279,81 @@ def _docs_line_dedup(sf_dir: str):
     return line_dedup(docs.map_batches(plant, batch_format="pyarrow"))
 
 
+def _docs_training_mix(sf_dir: str, quality_min: float = 0.5,
+                       budget: int = 20000):
+    """Composite training-data-mix pipeline — the headline composition
+    of the engine's filter/dedup/pack primitives in ONE streaming
+    dataflow:
+
+      1. language-ID + quality score (scalar kernels, rounded to 6 —
+         the filter applies to the ROUNDED score on both sides),
+         keep lang_pred == 'en' AND quality_score >= ``quality_min``;
+      2. exact-dedup survivors (min doc_id per 16-byte blake2b content
+         hash — per-batch partials, driver combine, broadcast winner
+         ids; the budget-gated exchange variant is ``dedup_exact``);
+      3. pack winners into ~``budget``-char shards in doc_id order via
+         the generic two-phase ``steps.pack_shards``.
+
+    Output (doc_id, n_chars, shard). Oracled end-to-end as one ANSI-SQL
+    CTE chain (langid SQL -> GROUP BY text -> SUM() OVER window)."""
+    import hashlib
+
+    import numpy as np_
+    import ray
+    import ray.data as rd
+
+    from ..functions.textstats import lang_id, quality_features
+    from ..pipelines.steps import pack_shards
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text", "n_chars"])
+
+    def survivors(df: pd.DataFrame) -> pd.DataFrame:
+        mask = np_.fromiter(
+            (lang_id(t)[0] == "en"
+             and round(quality_features(t)["quality_score"], 6)
+             >= quality_min
+             for t in df["text"]),
+            dtype=bool, count=len(df))
+        return df.loc[mask].reset_index(drop=True)
+
+    surv = docs.map_batches(survivors, batch_format="pandas").materialize()
+
+    def hash_partial(df: pd.DataFrame) -> pd.DataFrame:
+        h1 = np_.empty(len(df), dtype=np_.uint64)
+        h2 = np_.empty(len(df), dtype=np_.uint64)
+        for i, t in enumerate(df["text"].tolist()):
+            d = hashlib.blake2b((t or "").encode(), digest_size=16).digest()
+            h1[i] = int.from_bytes(d[:8], "little")
+            h2[i] = int.from_bytes(d[8:], "little")
+        out = pd.DataFrame({"h1": h1, "h2": h2,
+                            "doc_id": df["doc_id"].to_numpy()})
+        return out.groupby(["h1", "h2"], sort=False)["doc_id"].min().reset_index()
+
+    partials = surv.map_batches(
+        hash_partial, batch_format="pandas").to_pandas()
+    if len(partials):
+        winners = partials.groupby(["h1", "h2"], sort=False)["doc_id"].min()
+        ref = ray.put(np_.sort(winners.to_numpy().astype(np_.int64)))
+    else:
+        ref = ray.put(np_.empty(0, dtype=np_.int64))
+
+    def keep_winners(b: pa.Table) -> pa.Table:
+        from ..stages.broadcast import get_broadcast
+
+        keep = get_broadcast(ref)
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype("int64")
+        if not len(keep):
+            return b.select(["doc_id", "n_chars"]).filter(
+                pa.array(np_.zeros(len(ids), dtype=bool)))
+        j = np_.clip(np_.searchsorted(keep, ids), 0, len(keep) - 1)
+        return b.select(["doc_id", "n_chars"]).filter(
+            pa.array(keep[j] == ids))
+
+    kept = surv.map_batches(keep_winners, batch_format="pyarrow")
+    return pack_shards(kept, "doc_id", "n_chars", budget)
+
+
 def _docs_normalize_text(sf_dir: str):
     """Web-text normalization over deterministically planted messy
     whitespace (leading tab runs, doubled spaces, newline bursts — the

@@ -288,6 +288,7 @@ def _register_builtins():
     register_op("top_terms_cms")(extras._docs_top_terms_cms)
     register_op("docs_url_filter")(extras._docs_url_filter)
     register_op("docs_normalize_text")(extras._docs_normalize_text)
+    register_op("docs_training_mix")(extras._docs_training_mix)
     register_op("ngram_jaccard_dups")(extras._ngram_jaccard_dups)
     register_op("embedding_cosine_dups")(extras._embedding_cosine_dups)
     register_op("embed_documents", version="2.0.0")(extras._embed_documents)

@@ -75,7 +75,7 @@ def _pairs():
     "minhash_dedup_groups", "minhash_dedup_incremental",
     "simhash_dedup_groups", "simhash_dedup_incremental",
     "docs_decontaminate", "docs_line_dedup", "docs_pii_redact",
-    "docs_url_filter", "docs_normalize_text",
+    "docs_url_filter", "docs_normalize_text", "docs_training_mix",
     "ngram_jaccard_dups",
     "embedding_cosine_dups", "embed_documents", "llm_demographics",
     "llm_task_metadata", "entity_linking", "entity_linking_chained",
