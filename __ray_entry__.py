@@ -35,8 +35,11 @@ from neurostore_text_extraction_ray.pipelines.extras import (  # noqa: E402
     _docs_url_filter,
     _docs_langid_quality,
     _docs_token_count,
+    _docs_url_canonicalize,
     _embed_documents,
     _embedding_cosine_dups,
+    _embeddings_kmeans,
+    _embeddings_semdedup,
     _entity_linking,
     _entity_linking_chained_query,
     _extract_jats,
@@ -44,6 +47,7 @@ from neurostore_text_extraction_ray.pipelines.extras import (  # noqa: E402
     _flagship_titles,
     _jats_extract_text,
     _knn_ivf,
+    _knn_lsh,
     _llm_demographics,
     _llm_task_metadata,
     _minhash_dedup_incremental,
@@ -234,6 +238,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "abbrev_expand": _abbrev_expand,
         "abbrev_expand_planted": _abbrev_expand_planted,
         "knn_ivf": lambda sf: _round_cols(_knn_ivf(sf), {"score": 4}),
+        "knn_lsh": lambda sf: _round_cols(_knn_lsh(sf), {"score": 4}),
+        "embeddings_kmeans": lambda sf: _round_cols(
+            _embeddings_kmeans(sf), {"dist": 6}),
+        "embeddings_semdedup": lambda sf: _round_cols(
+            _embeddings_semdedup(sf), {"max_sim": 6}),
+        "docs_url_canonicalize": _docs_url_canonicalize,
         "extract_jats_pages": _extract_jats,
         "jats_extract_text": _jats_extract_text,
         "pdf_extract_text": _pdf_extract_text,
@@ -651,6 +661,44 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ngram_jaccard_dups": _golden_sql("ngram_jaccard_dups"),
         "embedding_cosine_dups": _golden_sql("embedding_cosine_dups"),
+        "embeddings_kmeans": _golden_sql("embeddings_kmeans"),
+        "embeddings_semdedup": _golden_sql("embeddings_semdedup"),
+        # approximate by construction (bucketed candidate pruning), so
+        # no brute-force SQL equivalence exists; recall + pruning vs
+        # brute force are asserted in tests/test_cluster.py
+        "knn_lsh": _golden_sql("knn_lsh"),
+        # exact ANSI-SQL mirror of the functions/urlnorm.py regex
+        # chain (RE2-compatible rules applied in identical order) over
+        # the same planted messy-url corpus
+        "docs_url_canonicalize": (
+            "WITH u AS (SELECT doc_id, "
+            "  'HTTPS://WWW.Example' || (doc_id % 5) || '.COM:443//Docs//' "
+            "  || doc_id || "
+            "  CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END || "
+            "  CASE WHEN doc_id % 3 = 0 THEN '?utm_source=track&id=' || doc_id "
+            "       WHEN doc_id % 7 = 0 THEN '?utm_only=1' ELSE '' END || "
+            "  CASE WHEN doc_id % 4 = 0 THEN '#sec-' || (doc_id % 7) "
+            "       ELSE '' END AS url FROM documents), "
+            "c AS (SELECT doc_id, url, "
+            "  lower(regexp_extract(url, "
+            "    '^([A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*)', 1)) || "
+            "  regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*', '') "
+            "  AS t0 FROM u) "
+            "SELECT doc_id, "
+            "regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+            "regexp_replace(regexp_replace(regexp_replace(regexp_replace(t0, "
+            "  '^(https://[^/?#]*):443([/?#].*)?$', '\\1\\2'), "
+            "  '^(http://[^/?#]*):80([/?#].*)?$', '\\1\\2'), "
+            "  '#.*$', ''), "
+            "  '([^:])/{2,}', '\\1/', 'g'), "
+            "  '\\?utm_[^&#]*&', '?'), "
+            "  '\\?utm_[^&#]*$', ''), "
+            "  '([^:/])/\\?', '\\1?'), "
+            "  '([^:/])/$', '\\1') AS url_canon, "
+            "lower(regexp_extract(url, "
+            "  '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#:]+)', 1)) AS host "
+            "FROM c"
+        ),
         "embed_documents": _golden_sql("embed_documents"),
         "llm_demographics": _golden_sql("llm_demographics"),
         "llm_task_metadata": _golden_sql("llm_task_metadata"),

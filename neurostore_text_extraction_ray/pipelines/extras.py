@@ -492,16 +492,13 @@ def _ngram_jaccard_dups(sf_dir: str):
     return ds.map_batches(r, batch_format="pandas")
 
 
-def _embedding_cosine_dups(sf_dir: str):
-    """Embedding-cosine near-dup via sign-LSH buckets + exact cosine
-    verify: (vec_id, dup_group) (golden-oracled). The stored vectors
-    are random (no natural near-dups at 0.99 cosine), so the first 20
-    are re-planted under vec_id+100000 — those MUST collapse onto
-    their originals, exercising the positive path in the gate."""
+def _embeddings_with_planted_dups(sf_dir: str):
+    """The stored vectors are random (no natural near-dups at 0.99
+    cosine), so the first 20 are re-planted under vec_id+100000 — those
+    MUST collapse onto their originals, exercising the positive path of
+    every embedding-dedup gate."""
     import duckdb
     import ray.data as rd
-
-    from ..stages.dedup import embedding_cosine_dup
 
     con = duckdb.connect()
     head = con.execute(
@@ -516,7 +513,97 @@ def _embedding_cosine_dups(sf_dir: str):
     })
     vecs = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                            columns=["vec_id", "embedding"])
-    return embedding_cosine_dup(vecs.union(rd.from_arrow(dup)), threshold=0.99)
+    return vecs.union(rd.from_arrow(dup))
+
+
+def _embedding_cosine_dups(sf_dir: str):
+    """Embedding-cosine near-dup via sign-LSH buckets + exact cosine
+    verify: (vec_id, dup_group) (golden-oracled) over the planted-dup
+    corpus."""
+    from ..stages.dedup import embedding_cosine_dup
+
+    return embedding_cosine_dup(
+        _embeddings_with_planted_dups(sf_dir), threshold=0.99)
+
+
+def _embeddings_kmeans(sf_dir: str):
+    """k-means cluster assignment over the embeddings table
+    (golden-oracled: the Lloyd fit is deterministic on the id-ordered
+    driver sample, the assignment one vectorized streamed pass)."""
+    import ray.data as rd
+
+    from ..stages.cluster import kmeans_assign
+
+    vecs = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                           columns=["vec_id", "embedding"])
+    return kmeans_assign(vecs, n_clusters=10)
+
+
+def _embeddings_semdedup(sf_dir: str):
+    """SemDeDup semantic dedup over the planted-dup corpus: every
+    planted copy (vec_id >= 100000) must come back keep=false with
+    dup_of = its original (golden-oracled; the invariant itself is
+    asserted in tests/test_cluster.py)."""
+    from ..stages.cluster import semdedup
+
+    return semdedup(_embeddings_with_planted_dups(sf_dir),
+                    n_clusters=10, threshold=0.99)
+
+
+def _knn_lsh(sf_dir: str):
+    """Sign-LSH bucketed approximate kNN for the first 3 stored
+    vectors (golden-oracled — approximate by construction, so no
+    brute-force SQL equivalence; recall + pruning vs brute force are
+    asserted in tests/test_cluster.py)."""
+    import duckdb
+    import numpy as np_
+    import ray.data as rd
+
+    from ..stages.cluster import knn_lsh
+
+    con = duckdb.connect()
+    q = con.execute(
+        f"SELECT vec_id, embedding FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet') "
+        f"WHERE vec_id < 3 ORDER BY vec_id").fetchall()
+    con.close()
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    return knn_lsh(ds, np_.array([r[1] for r in q]), [r[0] for r in q], k=10)
+
+
+def _docs_url_canonicalize(sf_dir: str):
+    """URL canonicalization over planted messy crawl urls (uppercase
+    scheme/host, default port, duplicate slashes, tracking params,
+    fragments, trailing slashes) — exact ANSI-SQL oracle: the kernel is
+    an RE2-compatible regex chain mirrored rule-for-rule in DuckDB."""
+    import ray.data as rd
+
+    from ..functions.urlnorm import canonicalize_urls, url_host
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        i = df["doc_id"]
+        url = (
+            "HTTPS://WWW.Example" + (i % 5).astype(str)
+            + ".COM:443//Docs//" + i.astype(str)
+            + (i % 2 == 0).map({True: "/", False: ""})
+        )
+        q = pd.Series("", index=df.index)
+        q[i % 7 == 0] = "?utm_only=1"
+        q[i % 3 == 0] = "?utm_source=track&id=" + i[i % 3 == 0].astype(str)
+        frag = pd.Series("", index=df.index)
+        m4 = i % 4 == 0
+        frag[m4] = "#sec-" + (i[m4] % 7).astype(str)
+        url = url + q + frag
+        return pd.DataFrame({
+            "doc_id": i,
+            "url_canon": canonicalize_urls(url),
+            "host": url_host(url),
+        })
+
+    return docs.map_batches(f, batch_format="pandas")
 
 
 def _embed_documents(sf_dir: str):

@@ -300,6 +300,10 @@ def _register_builtins():
     register_op("entity_linking_chained",
                 input_pipelines=["llm_demographics"])(extras._entity_linking_chained)
     register_op("knn_ivf", version="2.0.0")(extras._knn_ivf)
+    register_op("knn_lsh")(extras._knn_lsh)
+    register_op("embeddings_kmeans")(extras._embeddings_kmeans)
+    register_op("embeddings_semdedup")(extras._embeddings_semdedup)
+    register_op("docs_url_canonicalize")(extras._docs_url_canonicalize)
     register_op("multimodal_features", version="2.0.0")(extras._multimodal_features)
 
     # Reference pipeline-name aliases (snake-cased extractor class

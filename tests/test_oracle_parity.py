@@ -81,6 +81,9 @@ def _pairs():
     "llm_task_metadata", "entity_linking", "entity_linking_chained",
     "umls_disease_groups", "abbrev_expand", "abbrev_expand_planted",
     "knn_ivf", "extract_jats_pages", "multimodal_features",
+    # round-4 additions: clustering / semantic dedup / LSH-ANN / urls
+    "knn_lsh", "embeddings_kmeans", "embeddings_semdedup",
+    "docs_url_canonicalize",
 ])
 def test_query_matches_oracle(name, ray_session):
     import __ray_entry__ as e

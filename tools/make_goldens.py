@@ -34,6 +34,9 @@ SF_QUERIES = [
     "simhash_dedup_groups",
     "ngram_jaccard_dups",
     "embedding_cosine_dups",
+    "embeddings_kmeans",
+    "embeddings_semdedup",
+    "knn_lsh",
     "embed_documents",
     "llm_demographics",
     "llm_task_metadata",
