@@ -84,12 +84,14 @@ def test_pipeline_with_huge_payload(ray_session):
     import ray.data as rd
 
     t = media_table(8, size_bytes=4096, huge_every=5)  # rows 0,5 are ~2MB
-    ds = rd.from_arrow(t)
+    # feed the pool >=2 blocks and autoscale (1,2) so it neither warns about
+    # a single input nor pins a small cluster (CLAUDE.md deadlock rule)
+    ds = rd.from_arrow([t.slice(0, 4), t.slice(4, 4)])
     out = (
         ds.map_batches(DecodeActor, batch_format="pyarrow", batch_size=4,
-                       concurrency=2)
+                       concurrency=(1, 2))
         .map_batches(FeatureActor, fn_constructor_kwargs={"dim": 8},
-                     batch_format="pyarrow", batch_size=4, concurrency=2)
+                     batch_format="pyarrow", batch_size=4, concurrency=(1, 2))
         .to_pandas()
     )
     assert len(out) == 8
