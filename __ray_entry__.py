@@ -184,6 +184,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_sample_hash": steps.docs_sample_hash,
         "docs_sample_stratified": steps.docs_sample_stratified,
         "docs_sample_weighted": steps.docs_sample_weighted,
+        "docs_lang_temperature_sample": steps.docs_lang_temperature_sample,
         "docs_nchars_quantiles": steps.docs_nchars_quantiles,
         "docs_nchars_quantiles_sampled": steps.docs_nchars_quantiles_sampled,
         "docs_pack_shards": steps.docs_pack_shards,
@@ -376,6 +377,25 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, lang, n_chars FROM documents "
             "WHERE ((doc_id * 2654435761) % 2147483648) % 100 < "
             "CASE WHEN lang = 'en' THEN 50 ELSE 20 END"
+        ),
+        # temperature resampling (alpha=0.5): integer-exact quota chain
+        # n -> isqrt weight -> quota -> per-lang int threshold; see
+        # steps.docs_lang_temperature_sample. floor(sqrt(double)) ==
+        # isqrt below 2^52 (guarded on the Ray side).
+        "docs_lang_temperature_sample": (
+            "WITH c AS (SELECT lang, COUNT(*)::BIGINT AS n "
+            "           FROM documents GROUP BY lang), "
+            "t AS (SELECT SUM(CAST(FLOOR(SQRT(n::DOUBLE)) AS BIGINT))"
+            "::BIGINT AS sw, SUM(n)::BIGINT AS nn FROM c), "
+            "q AS (SELECT lang, n, LEAST(n, ((nn * 40) // 100) * "
+            "CAST(FLOOR(SQRT(n::DOUBLE)) AS BIGINT) // sw) AS tl "
+            "      FROM c, t), "
+            "thr AS (SELECT lang, CASE WHEN tl = 0 THEN -1 "
+            "ELSE (1048576 * tl - 1) // n END AS th FROM q) "
+            "SELECT d.doc_id, d.lang, d.n_chars "
+            "FROM documents d JOIN thr USING (lang) "
+            "WHERE ((d.doc_id * 2654435761) % 2147483648) % 1048576 "
+            "<= thr.th"
         ),
         # priority sampling (w/u, top-k): the numerator is an exact
         # double below 2^53 and one IEEE division is correctly

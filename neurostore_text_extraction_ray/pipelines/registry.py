@@ -255,6 +255,8 @@ def _register_builtins():
     register_op("distinct_langs")(steps.distinct_langs)
     register_op("top_docs_by_length")(steps.top_docs_by_length)
     register_op("docs_sample_stratified")(steps.docs_sample_stratified)
+    register_op("docs_lang_temperature_sample")(
+        steps.docs_lang_temperature_sample)
     register_op("docs_nchars_quantiles")(steps.docs_nchars_quantiles)
     register_op("docs_nchars_quantiles_sampled")(
         steps.docs_nchars_quantiles_sampled)

@@ -785,6 +785,90 @@ def docs_sample_stratified(sf_dir: str, pct_en: int = 50, pct_other: int = 20):
         f, batch_format="pyarrow")
 
 
+# -- Temperature resampling (corpus-statistic-driven language mix) ----------
+
+
+def docs_lang_temperature_sample(sf_dir: str, rate_pct: int = 40):
+    """Multilingual temperature rebalancing at alpha = 0.5 (the public
+    mC4/XLM-R sampling construction: draw languages proportionally to
+    ``n_lang^alpha``, upweighting low-resource languages). Unlike
+    ``docs_sample_stratified`` (static quotas), the per-language keep
+    quota here is COMPUTED FROM CORPUS STATISTICS — the reference's
+    DependentPipeline shape (base.py:536-669: corpus-global transform)
+    as a two-pass aggregate + broadcast-back.
+
+    Integer-exact semantics (so the ANSI-SQL oracle matches bit-for-bit
+    with no float-pow divergence):
+
+        n_l  = docs in language l            N = total docs
+        w_l  = isqrt(n_l)                    (== floor(sqrt(n_l)) in
+                                             IEEE double for n_l < 2^52,
+                                             guarded with ValueError)
+        T    = (N * rate_pct) // 100         (target sample size)
+        t_l  = min(n_l, (T * w_l) // sum(w)) (per-language quota)
+        keep iff h20(doc_id) <= thr_l, thr_l = (2^20 * t_l - 1) // n_l
+                                             (-1 when t_l == 0)
+
+    where ``h20 = ((doc_id * 2654435761) % 2^31) % 2^20`` is the house
+    coordination-free sampling hash (``docs_sample_hash``). The
+    threshold form keeps the per-row comparison pure int64 (a direct
+    ``h * n_l < 2^20 * t_l`` product overflows once n_l >= 2^43).
+
+    Scale shape: pass 1 emits per-batch (lang, n) partials — rows
+    bounded by language-cardinality x batches, never the corpus; the
+    driver combine and the broadcast (three arrays keyed by a sorted
+    lang array, searchsorted lookup per the CLAUDE.md no-dict rule) are
+    bounded by language cardinality (~hundreds); pass 2 is a stateless
+    streaming filter. No shuffle anywhere."""
+    import math
+
+    import ray
+
+    def counts(batch: pa.Table) -> pa.Table:
+        arr = batch["lang"]
+        if arr.null_count:
+            raise ValueError(
+                "docs_lang_temperature_sample requires non-null lang")
+        c = pd.Series(arr.to_pylist()).value_counts()
+        return pa.table({"lang": pa.array(c.index.to_numpy(dtype=object),
+                                          pa.string()),
+                         "n": pa.array(c.to_numpy().astype(np.int64))})
+
+    docs = _docs(sf_dir, ["doc_id", "lang", "n_chars"])
+    pdf = docs.map_batches(counts, batch_format="pyarrow").to_pandas()
+    if pdf.empty:
+        return docs
+    agg = pdf.groupby("lang", sort=True)["n"].sum()
+    n_by_lang = agg.to_numpy().astype(np.int64)
+    if n_by_lang.max() >= (1 << 52):
+        raise ValueError("per-language count >= 2^52: floor(sqrt(double)) "
+                         "no longer equals isqrt, oracle parity breaks")
+    total = int(n_by_lang.sum())
+    sw = int(sum(math.isqrt(int(n)) for n in n_by_lang))
+    target = (total * rate_pct) // 100
+    thr = np.empty(len(n_by_lang), dtype=np.int64)
+    for i, n in enumerate(n_by_lang):
+        t_l = min(int(n), (target * math.isqrt(int(n))) // sw)
+        thr[i] = -1 if t_l == 0 else ((1 << 20) * t_l - 1) // int(n)
+    langs_sorted = agg.index.to_numpy(dtype="U32")
+    ref = ray.put((langs_sorted, thr))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        from ..stages.broadcast import get_broadcast
+
+        bl, bthr = get_broadcast(ref)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(ids) and not ((ids >= 0).all() and ids.max() < (1 << 31)):
+            raise ValueError("requires 0 <= doc_id < 2^31")
+        h = (ids * 2654435761) % (1 << 31) % (1 << 20)
+        # every batch lang is present in the pass-1 map by construction
+        idx = np.searchsorted(bl, np.asarray(batch["lang"].to_pylist(),
+                                             dtype="U32"))
+        return batch.filter(pa.array(h <= bthr[idx]))
+
+    return docs.map_batches(keep, batch_format="pyarrow")
+
+
 # -- Token-budget shard packing (distributed ordered prefix sum) ------------
 
 

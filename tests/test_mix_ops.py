@@ -98,6 +98,68 @@ def test_stratified_sample_quota_semantics(ray_session, synth_dir):
     assert frac["en"] > frac["de"] and frac["en"] > frac["fr"]
 
 
+def test_lang_temperature_sample_semantics(ray_session, synth_dir):
+    """Integer-exact temperature quotas on the adversarial corpus:
+    matches the same quota chain computed by hand in pandas, and the
+    upweighting direction holds (every language's kept FRACTION within
+    a few hash-granularity counts of its quota)."""
+    import math
+
+    from neurostore_text_extraction_ray.pipelines import steps
+
+    mine = _canon(
+        steps.docs_lang_temperature_sample(synth_dir).to_pandas())
+    docs = pd.read_parquet(
+        os.path.join(synth_dir, "documents.parquet"),
+        columns=["doc_id", "lang", "n_chars"])
+    n = docs.groupby("lang")["n"].sum() if "n" in docs else \
+        docs.groupby("lang").size()
+    sw = int(sum(math.isqrt(int(v)) for v in n))
+    target = (int(n.sum()) * 40) // 100
+    thr = {}
+    for lang, nl in n.items():
+        tl = min(int(nl), (target * math.isqrt(int(nl))) // sw)
+        thr[lang] = -1 if tl == 0 else ((1 << 20) * tl - 1) // int(nl)
+    h = (docs["doc_id"].to_numpy() * 2654435761) % (1 << 31) % (1 << 20)
+    expect = _canon(docs[h <= docs["lang"].map(thr).to_numpy()])
+    pd.testing.assert_frame_equal(mine, expect, check_dtype=False)
+    # equal-sized groups (133/133/134) at alpha=0.5 keep ~equal counts
+    kept = mine["lang"].value_counts()
+    assert kept.max() - kept.min() <= max(10, kept.max() // 4)
+
+
+def test_lang_temperature_sample_rejects_null_lang(ray_session, tmp_path):
+    from neurostore_text_extraction_ray.pipelines import steps
+
+    d = str(tmp_path)
+    pq.write_table(pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "lang": pa.array(["en", None]),
+        "n_chars": pa.array([5, 5], pa.int64()),
+    }), os.path.join(d, "documents.parquet"))
+    with pytest.raises(Exception) as ei:
+        steps.docs_lang_temperature_sample(d).to_pandas()
+    assert "non-null lang" in str(ei.value)
+
+
+def test_lang_temperature_sample_single_lang_rate(ray_session, tmp_path):
+    """Degenerate one-language corpus reduces to a plain rate_pct
+    Bernoulli sample (quota == target); rate 100 keeps everything."""
+    from neurostore_text_extraction_ray.pipelines import steps
+
+    d = str(tmp_path)
+    pq.write_table(pa.table({
+        "doc_id": pa.array(np.arange(200, dtype=np.int64)),
+        "lang": pa.array(["en"] * 200),
+        "n_chars": pa.array(np.full(200, 7, dtype=np.int64)),
+    }), os.path.join(d, "documents.parquet"))
+    kept = steps.docs_lang_temperature_sample(d, rate_pct=40).to_pandas()
+    # threshold floor makes the kept count <= and within hash noise of 40%
+    assert 0 < len(kept) <= 80
+    assert len(steps.docs_lang_temperature_sample(d, rate_pct=100)
+               .to_pandas()) == 200
+
+
 def test_sample_hash_rejects_oversized_ids(ray_session, tmp_path):
     """The -O-safe guard: ids >= 2^31 raise instead of silently
     wrapping away from the SQL oracle."""

@@ -83,7 +83,7 @@ def _pairs():
     "knn_ivf", "extract_jats_pages", "multimodal_features",
     # round-4 additions: clustering / semantic dedup / LSH-ANN / urls
     "knn_lsh", "embeddings_kmeans", "embeddings_semdedup",
-    "docs_url_canonicalize",
+    "docs_url_canonicalize", "docs_lang_temperature_sample",
 ])
 def test_query_matches_oracle(name, ray_session):
     import __ray_entry__ as e
