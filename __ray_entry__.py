@@ -27,6 +27,7 @@ from neurostore_text_extraction_ray.pipelines.extras import (  # noqa: E402
     _abbrev_expand_planted,
     _docs_fingerprint,
     _docs_decontaminate,
+    _docs_dup_spans,
     _docs_line_dedup,
     _docs_pii_redact,
     _docs_top_terms_cms,
@@ -224,6 +225,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_dedup_incremental": _simhash_dedup_incremental,
         "docs_decontaminate": _docs_decontaminate,
         "docs_line_dedup": _docs_line_dedup,
+        "docs_dup_spans": _docs_dup_spans,
         "docs_pii_redact": _docs_pii_redact,
         "docs_url_filter": _docs_url_filter,
         "docs_normalize_text": _docs_normalize_text,
@@ -679,6 +681,9 @@ def oracle_sql() -> dict[str, str]:
             "coalesce(a.text_dedup, '') AS text_dedup "
             "FROM tot t LEFT JOIN agg a USING (doc_id)"
         ),
+        # duplicate-span detection: char spans of k-word windows are
+        # not reasonably SQL-expressible -> pinned golden
+        "docs_dup_spans": _golden_sql("docs_dup_spans"),
         "ngram_jaccard_dups": _golden_sql("ngram_jaccard_dups"),
         "embedding_cosine_dups": _golden_sql("embedding_cosine_dups"),
         "embeddings_kmeans": _golden_sql("embeddings_kmeans"),

@@ -279,6 +279,46 @@ def _docs_line_dedup(sf_dir: str):
     return line_dedup(docs.map_batches(plant, batch_format="pyarrow"))
 
 
+def _docs_dup_spans(sf_dir: str, k: int = 5):
+    """Cross-document duplicate-span detection
+    (``stages/dupspans.dup_spans``) over a corpus with planted shared
+    boilerplate sentences: the raw documents text is unique word soup,
+    so — like the line-dedup query — the wrapper prepends/appends
+    deterministic boilerplate (two rotating prefix sentences + a
+    universal footer) whose k-word windows repeat across documents;
+    the operator marks the duplicated char ranges in every non-winner
+    document. Pinned-golden oracle (char spans of word windows are not
+    reasonably ANSI-SQL-expressible)."""
+    import ray.data as rd
+
+    from ..stages.dupspans import dup_spans
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    def plant(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        out = []
+        for did, t in zip(ids, b["text"].to_pylist()):
+            parts = []
+            if did % 2 == 0:
+                parts.append("cookie notice please accept our cookie "
+                             "policy to continue reading.")
+            if did % 3 == 0:
+                parts.append("subscribe to our weekly newsletter for "
+                             "updates and exclusive offers.")
+            parts.append(t or "")
+            parts.append("copyright example corporation all rights "
+                         "reserved worldwide terms apply.")
+            out.append(" ".join(parts))
+        return pa.table({
+            "doc_id": pa.compute.cast(b["doc_id"], pa.int64()),
+            "text": pa.array(out, pa.string()),
+        })
+
+    return dup_spans(docs.map_batches(plant, batch_format="pyarrow"), k=k)
+
+
 def _docs_training_mix(sf_dir: str, quality_min: float = 0.5,
                        budget: int = 20000):
     """Composite training-data-mix pipeline — the headline composition

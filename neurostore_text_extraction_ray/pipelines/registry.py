@@ -286,6 +286,7 @@ def _register_builtins():
     register_op("simhash_dedup_incremental")(extras._simhash_dedup_incremental)
     register_op("docs_decontaminate")(extras._docs_decontaminate)
     register_op("docs_line_dedup")(extras._docs_line_dedup)
+    register_op("docs_dup_spans")(extras._docs_dup_spans)
     register_op("docs_pii_redact")(extras._docs_pii_redact)
     register_op("top_terms_cms")(extras._docs_top_terms_cms)
     register_op("docs_url_filter")(extras._docs_url_filter)

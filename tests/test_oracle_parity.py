@@ -84,6 +84,7 @@ def _pairs():
     # round-4 additions: clustering / semantic dedup / LSH-ANN / urls
     "knn_lsh", "embeddings_kmeans", "embeddings_semdedup",
     "docs_url_canonicalize", "docs_lang_temperature_sample",
+    "docs_dup_spans",
 ])
 def test_query_matches_oracle(name, ray_session):
     import __ray_entry__ as e

@@ -45,6 +45,7 @@ SF_QUERIES = [
     "abbrev_expand",
     "orders_custkey_hll",
     "top_terms_cms",
+    "docs_dup_spans",
 ]
 # corpus-independent queries (single file)
 GLOBAL_QUERIES = ["multimodal_features"]
