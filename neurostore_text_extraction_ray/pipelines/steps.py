@@ -730,35 +730,102 @@ def docs_nchars_quantiles_sampled(sf_dir: str, qs=(0.25, 0.5, 0.75, 0.95),
 
 # -- Heavy hitters: exact distributed top-k terms ---------------------------
 
+# above this many partial (term, n) rows the combine leaves the driver
+# for a term-hash partition exchange (tests patch to 0). Web-scale text
+# has an effectively unbounded vocabulary (typos/urls/ids), so the
+# driver combine cannot be the only path.
+TERMS_DRIVER_LIMIT = 5_000_000
+
+_TOP_TERMS_SCHEMA = pa.schema([("term", pa.string()), ("n", pa.int64())])
+
+
+def _term_part(terms: np.ndarray, num_parts: int) -> np.ndarray:
+    """Part id per term string. Within-run determinism is all that
+    partitioning needs, so the pandas 64-bit string hash is fine here
+    (unlike the pinned HLL golden, which owns its hash)."""
+    h = pd.util.hash_array(terms.astype(object))
+    return (h % np.uint64(num_parts)).astype(np.int64)
+
 
 def top_terms(sf_dir: str, k: int = 20):
     """Top-``k`` corpus terms by total occurrence count with a
     deterministic tie-break (count desc, term asc): per-batch tokenize
     + value_counts partials (one row per distinct term per batch; never
-    the token stream), small driver combine. The combine is bounded by
-    vocabulary size — beyond a real vocabulary budget, hash-partition
-    the partials on term through stages/exchange.py exactly like the
-    TF-IDF DF pass. Output (term, n)."""
+    the token stream). Below ``TERMS_DRIVER_LIMIT`` partial rows the
+    combine is a small driver groupby; beyond it, partials
+    hash-partition on the term through the filesystem exchange, each
+    part combines + takes its local top-k under the SAME total order
+    (every term's rows co-locate, so per-part sums are exact totals and
+    the global top-k is a subset of the per-part top-k union), and the
+    driver merges ``num_parts * k`` rows. Output (term, n)."""
     import ray.data as rd
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         toks = df["text"].fillna("").str.lower().str.findall(SK_TOKEN_RE)
         c = toks.explode().dropna().value_counts()
-        return pd.DataFrame({"term": c.index.to_numpy(dtype=object),
-                             "n": c.to_numpy().astype(np.int64)})
+        out = pd.DataFrame({"term": c.index.to_numpy(dtype=object),
+                            "n": c.to_numpy().astype(np.int64)})
+        # batch tag: distinct input batches can yield byte-identical
+        # (term, n) partials, which the content-addressed exchange
+        # would collapse into one fragment (write_exchange CONTRACT);
+        # doc_ids are globally unique, so the batch-min id keeps every
+        # fragment distinct. Dropped before any combine.
+        out["b0"] = np.int64(df["doc_id"].min()) if len(df) else np.int64(0)
+        return out
 
-    partials = (
-        _docs(sf_dir, ["text"])
+    partials_ds = (
+        _docs(sf_dir, ["doc_id", "text"])
         .map_batches(partial, batch_format="pandas")
-        .to_pandas()
+        .materialize()
     )
+    if partials_ds.count() > TERMS_DRIVER_LIMIT:
+        return _top_terms_exchanged(partials_ds, k)
+    partials = partials_ds.to_pandas()
     if partials.empty:
-        return rd.from_arrow(pa.table({
-            "term": pa.array([], pa.string()), "n": pa.array([], pa.int64())}))
+        return rd.from_arrow(_TOP_TERMS_SCHEMA.empty_table())
     agg = partials.groupby("term", sort=False)["n"].sum().reset_index()
     agg = agg.sort_values(["n", "term"], ascending=[False, True],
                           kind="stable").head(k).reset_index(drop=True)
     return rd.from_pandas(agg)
+
+
+def _top_terms_exchanged(partials_ds, k: int, num_parts: int = 32):
+    """Scale path: term-hash partition exchange for the count combine;
+    per-part exact sums + local top-k, tiny driver merge."""
+    import shutil
+
+    import ray.data as rd
+
+    from ..stages import exchange as ex
+
+    stage = ex.make_stage("nse_tt_terms_")
+    in_schema = pa.schema([("term", pa.string()), ("n", pa.int64()),
+                           ("b0", pa.int64())])
+    try:
+        ex.write_exchange(
+            partials_ds.map_batches(lambda b: b.cast(in_schema),
+                                    batch_format="pyarrow"),
+            stage,
+            lambda b: _term_part(
+                b["term"].to_numpy(zero_copy_only=False), num_parts))
+
+        def part_topk(t: pa.Table) -> pa.Table:
+            df = t.to_pandas()
+            g = df.groupby("term", sort=False)["n"].sum().reset_index()
+            g = g.sort_values(["n", "term"], ascending=[False, True],
+                              kind="stable").head(k)
+            return pa.table({"term": pa.array(g["term"].to_numpy(dtype=object),
+                                              pa.string()),
+                             "n": pa.array(g["n"].to_numpy(), pa.int64())})
+
+        cand = ex.map_parts(stage, num_parts, part_topk,
+                            _TOP_TERMS_SCHEMA).to_pandas()
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+    cand = cand.sort_values(["n", "term"], ascending=[False, True],
+                            kind="stable").head(k).reset_index(drop=True)
+    return rd.from_pandas(cand) if len(cand) else rd.from_arrow(
+        _TOP_TERMS_SCHEMA.empty_table())
 
 
 # -- Stratified deterministic sampling (per-group quotas) -------------------

@@ -84,3 +84,13 @@ def test_decontaminate_exchange_equivalence(ray_session, monkeypatch):
     # the benchmark docs overlap themselves: all flagged
     flagged = set(drv[drv["contaminated"]]["doc_id"])
     assert set(range(0, 500, 50)) <= flagged
+
+
+def test_top_terms_exchange_equivalence(ray_session, monkeypatch):
+    from neurostore_text_extraction_ray.pipelines import steps
+
+    drv = _canon(steps.top_terms(SF).to_pandas())
+    monkeypatch.setattr(steps, "TERMS_DRIVER_LIMIT", 0)
+    exch = _canon(steps.top_terms(SF).to_pandas())
+    pd.testing.assert_frame_equal(drv, exch)
+    assert len(drv) == 20
