@@ -208,6 +208,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_embeddings": lambda sf: _round_cols(steps.knn_embeddings(sf), {"score": 4}),
         "docs_text_features": steps.docs_text_features,
         "docs_repetition_stats": steps.docs_repetition_stats,
+        "docs_domain_stats": steps.docs_domain_stats,
+        "docs_domain_filter": steps.docs_domain_filter,
         "revenue_by_nation": steps.revenue_by_nation,
         "distinct_langs": steps.distinct_langs,
         "top_docs_by_length": steps.top_docs_by_length,
@@ -603,6 +605,32 @@ def oracle_sql() -> dict[str, str]:
             "  AS normalized_text, "
             "CAST(length(trim(t1, ' ' || chr(9) || chr(10))) AS BIGINT) "
             "  AS n_chars_norm FROM n"
+        ),
+        # Per-domain aggregation over planted registered domains
+        # (seven head domains + a singleton tail on doc_id % 11) —
+        # the exact CASE plant mirrors steps._plant_domains.
+        "docs_domain_stats": (
+            "WITH d AS (SELECT doc_id, "
+            "  CASE WHEN doc_id % 11 = 0 THEN 'tail' || doc_id || '.example' "
+            "    ELSE 'site' || (doc_id % 7) || '.example' END AS domain, "
+            "  n_chars, lang FROM documents) "
+            "SELECT domain, COUNT(*) AS n_docs, "
+            "  CAST(SUM(n_chars) AS BIGINT) AS total_chars, "
+            "  CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) "
+            "    AS n_en "
+            "FROM d GROUP BY domain"
+        ),
+        # Domain-level filter: keep docs whose domain has >= 5 docs
+        # corpus-wide (drops the singleton tail at every scale).
+        "docs_domain_filter": (
+            "WITH d AS (SELECT doc_id, "
+            "  CASE WHEN doc_id % 11 = 0 THEN 'tail' || doc_id || '.example' "
+            "    ELSE 'site' || (doc_id % 7) || '.example' END AS domain, "
+            "  n_chars FROM documents), "
+            "s AS (SELECT domain FROM d GROUP BY domain "
+            "  HAVING COUNT(*) >= 5) "
+            "SELECT d.doc_id, d.domain, d.n_chars FROM d "
+            "JOIN s USING (domain)"
         ),
         # URL blocklist filter over planted urls: same host/domain
         # regex extraction re-expressed with RE2 (no lookaround).

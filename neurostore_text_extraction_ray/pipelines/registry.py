@@ -264,6 +264,8 @@ def _register_builtins():
     register_op("docs_pack_shards")(steps.docs_pack_shards)
     register_op("docs_repetition_stats")(steps.docs_repetition_stats)
     register_op("docs_sample_weighted")(steps.docs_sample_weighted)
+    register_op("docs_domain_stats")(steps.docs_domain_stats)
+    register_op("docs_domain_filter")(steps.docs_domain_filter)
 
     from . import extras
 

@@ -828,6 +828,211 @@ def _top_terms_exchanged(partials_ds, k: int, num_parts: int = 32):
         _TOP_TERMS_SCHEMA.empty_table())
 
 
+# -- Per-domain aggregation + domain-level filtering ------------------------
+
+# above this many partial (domain, counts) rows the stats combine
+# leaves the driver for a domain-hash partition exchange (tests patch
+# to 0). A web crawl has ~10^8 registered domains with a heavy tail of
+# singletons, so neither the combine nor the kept-domain set may
+# assume driver residency.
+DOMAIN_DRIVER_LIMIT = 5_000_000
+
+_DOMAIN_STATS_SCHEMA = pa.schema([
+    ("domain", pa.string()), ("n_docs", pa.int64()),
+    ("total_chars", pa.int64()), ("n_en", pa.int64()),
+])
+
+
+def _plant_domains(ids: pd.Series) -> pd.Series:
+    """Deterministic registered-domain plant (the documents table has
+    no url column): seven head domains plus a long tail of singleton
+    domains on ``doc_id % 11 == 0`` — the head/tail shape a real crawl
+    has, re-expressed exactly in the SQL oracle."""
+    ids = ids.astype("int64")
+    head = "site" + (ids % 7).astype(str) + ".example"
+    tail = "tail" + ids.astype(str) + ".example"
+    return tail.where(ids % 11 == 0, head)
+
+
+def _domain_partials(sf_dir: str):
+    """documents -> per-batch partial (domain, n_docs, total_chars,
+    n_en) rows, tagged with the batch-min doc_id so byte-identical
+    partials from distinct batches survive the content-addressed
+    exchange (same contract note as ``top_terms``)."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({
+            "domain": _plant_domains(df["doc_id"]),
+            "n_chars": df["n_chars"].astype("int64"),
+            "en": (df["lang"] == "en").astype("int64"),
+        }).groupby("domain", sort=False).agg(
+            n_docs=("en", "size"), total_chars=("n_chars", "sum"),
+            n_en=("en", "sum")).reset_index()
+        g["b0"] = np.int64(df["doc_id"].min()) if len(df) else np.int64(0)
+        return g
+
+    return (_docs(sf_dir, ["doc_id", "lang", "n_chars"])
+            .map_batches(partial, batch_format="pandas")
+            .materialize())
+
+
+def _combine_domain_partials(df: pd.DataFrame) -> pd.DataFrame:
+    return (df.groupby("domain", sort=False)
+            .agg(n_docs=("n_docs", "sum"), total_chars=("total_chars", "sum"),
+                 n_en=("n_en", "sum")).reset_index())
+
+
+def docs_domain_stats(sf_dir: str):
+    """Per-registered-domain corpus statistics (doc count, total chars,
+    English doc count) — the aggregate behind domain-level crawl
+    hygiene (RefinedWeb/C4-style). Per-batch partial aggregate first
+    (rows bounded by distinct domains per batch, never the doc
+    stream); below ``DOMAIN_DRIVER_LIMIT`` partial rows a small driver
+    combine, beyond it a domain-hash partition exchange whose per-part
+    combine output STAYS distributed (domains co-locate, so per-part
+    sums are exact global totals)."""
+    import ray.data as rd
+
+    partials_ds = _domain_partials(sf_dir)
+    if partials_ds.count() > DOMAIN_DRIVER_LIMIT:
+        return _domain_stats_exchanged(partials_ds)
+    agg = _combine_domain_partials(partials_ds.to_pandas())
+    if agg.empty:
+        return rd.from_arrow(_DOMAIN_STATS_SCHEMA.empty_table())
+    return rd.from_pandas(agg)
+
+
+def _domain_stats_exchanged(partials_ds, num_parts: int = 32):
+    """Scale path: domain-hash partition exchange; exact per-part
+    combine; the result is a Dataset of per-part outputs — no driver
+    materialization anywhere."""
+    import shutil
+
+    from ..stages import exchange as ex
+
+    stage = ex.make_stage("nse_dom_")
+    in_schema = pa.schema([
+        ("domain", pa.string()), ("n_docs", pa.int64()),
+        ("total_chars", pa.int64()), ("n_en", pa.int64()),
+        ("b0", pa.int64()),
+    ])
+    try:
+        ex.write_exchange(
+            partials_ds.map_batches(lambda b: b.cast(in_schema),
+                                    batch_format="pyarrow"),
+            stage,
+            lambda b: _term_part(
+                b["domain"].to_numpy(zero_copy_only=False), num_parts))
+
+        def part_combine(t: pa.Table) -> pa.Table:
+            g = _combine_domain_partials(t.to_pandas())
+            return pa.table({
+                "domain": pa.array(g["domain"].to_numpy(dtype=object),
+                                   pa.string()),
+                "n_docs": pa.array(g["n_docs"].to_numpy(), pa.int64()),
+                "total_chars": pa.array(g["total_chars"].to_numpy(),
+                                        pa.int64()),
+                "n_en": pa.array(g["n_en"].to_numpy(), pa.int64()),
+            })
+
+        return ex.map_parts(stage, num_parts, part_combine,
+                            _DOMAIN_STATS_SCHEMA).materialize()
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+
+
+def docs_domain_filter(sf_dir: str, min_docs: int = 5):
+    """Domain-level document filter: keep docs whose registered domain
+    has at least ``min_docs`` documents corpus-wide (drops the crawl's
+    singleton-domain tail). Two-pass: the ``docs_domain_stats``
+    aggregate, then — below ``DOMAIN_DRIVER_LIMIT`` kept domains — a
+    broadcast of the kept-domain strings as a sorted numpy array
+    (exact membership, no hash step); beyond it, docs and kept domains
+    co-partition by domain hash through the exchange and the semi-join
+    runs per part on exact strings. Output (doc_id, domain, n_chars)."""
+    import ray
+
+    stats = docs_domain_stats(sf_dir)
+    kept_ds = stats.map_batches(
+        lambda b: b.filter(pc.greater_equal(b["n_docs"], min_docs))
+                   .select(["domain"]),
+        batch_format="pyarrow").materialize()
+    if kept_ds.count() > DOMAIN_DRIVER_LIMIT:
+        return _domain_filter_exchanged(sf_dir, kept_ds)
+    kept = np.sort(
+        kept_ds.to_pandas()["domain"].to_numpy(dtype=object))
+    ref = ray.put(kept)
+
+    def filt(df: pd.DataFrame) -> pd.DataFrame:
+        from ..stages.broadcast import get_broadcast
+
+        kept_s = get_broadcast(ref)
+        dom = _plant_domains(df["doc_id"])
+        out = pd.DataFrame({
+            "doc_id": df["doc_id"].astype("int64"),
+            "domain": dom,
+            "n_chars": df["n_chars"].astype("int64"),
+        })
+        j = np.clip(np.searchsorted(kept_s, dom.to_numpy(dtype=object)),
+                    0, max(len(kept_s) - 1, 0))
+        mask = (kept_s[j] == dom.to_numpy(dtype=object)) if len(kept_s) \
+            else np.zeros(len(out), dtype=bool)
+        return out[mask]
+
+    return _docs(sf_dir, ["doc_id", "n_chars"]).map_batches(
+        filt, batch_format="pandas")
+
+
+def _domain_filter_exchanged(sf_dir: str, kept_ds, num_parts: int = 32):
+    """Scale path: co-partition (doc_id, domain, n_chars) rows and kept
+    domains by domain hash; exact string semi-join per part."""
+    import shutil
+
+    from ..stages import exchange as ex
+
+    docs_stage = ex.make_stage("nse_domf_docs_")
+    kept_stage = ex.make_stage("nse_domf_kept_")
+    docs_schema = pa.schema([("doc_id", pa.int64()), ("domain", pa.string()),
+                             ("n_chars", pa.int64())])
+    kept_schema = pa.schema([("domain", pa.string())])
+    by_domain = lambda b: _term_part(  # noqa: E731
+        b["domain"].to_numpy(zero_copy_only=False), num_parts)
+    try:
+        def with_domain(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "doc_id": df["doc_id"].astype("int64"),
+                "domain": _plant_domains(df["doc_id"]),
+                "n_chars": df["n_chars"].astype("int64"),
+            })
+
+        ex.write_exchange(
+            _docs(sf_dir, ["doc_id", "n_chars"]).map_batches(
+                with_domain, batch_format="pandas"),
+            docs_stage, by_domain)
+        ex.write_exchange(
+            kept_ds.map_batches(
+                lambda b: pa.table({"domain": pc.cast(b["domain"],
+                                                      pa.string())}),
+                batch_format="pyarrow"),
+            kept_stage, by_domain)
+
+        def semi_join(docs_t: pa.Table, kept_t: pa.Table) -> pa.Table:
+            kept_s = np.sort(np.asarray(kept_t["domain"].to_pylist(),
+                                        dtype=object))
+            dom = np.asarray(docs_t["domain"].to_pylist(), dtype=object)
+            if not len(kept_s):
+                return docs_schema.empty_table()
+            j = np.clip(np.searchsorted(kept_s, dom), 0, len(kept_s) - 1)
+            return docs_t.filter(pa.array(kept_s[j] == dom))
+
+        return ex.map_parts([docs_stage, kept_stage], num_parts, semi_join,
+                            docs_schema,
+                            in_schemas=[docs_schema, kept_schema]).materialize()
+    finally:
+        for s in (docs_stage, kept_stage):
+            shutil.rmtree(s, ignore_errors=True)
+
+
 # -- Stratified deterministic sampling (per-group quotas) -------------------
 
 

@@ -94,3 +94,27 @@ def test_top_terms_exchange_equivalence(ray_session, monkeypatch):
     exch = _canon(steps.top_terms(SF).to_pandas())
     pd.testing.assert_frame_equal(drv, exch)
     assert len(drv) == 20
+
+
+def test_domain_stats_exchange_equivalence(ray_session, monkeypatch):
+    from neurostore_text_extraction_ray.pipelines import steps
+
+    drv = _canon(steps.docs_domain_stats(SF).to_pandas())
+    monkeypatch.setattr(steps, "DOMAIN_DRIVER_LIMIT", 0)
+    exch = _canon(steps.docs_domain_stats(SF).to_pandas())
+    pd.testing.assert_frame_equal(drv, exch)
+    # seven head domains + the doc_id % 11 singleton tail
+    assert (drv["n_docs"] > 1).sum() == 7
+    assert (drv["n_docs"] == 1).any()
+
+
+def test_domain_filter_exchange_equivalence(ray_session, monkeypatch):
+    from neurostore_text_extraction_ray.pipelines import steps
+
+    drv = _canon(steps.docs_domain_filter(SF).to_pandas())
+    monkeypatch.setattr(steps, "DOMAIN_DRIVER_LIMIT", 0)
+    exch = _canon(steps.docs_domain_filter(SF).to_pandas())
+    pd.testing.assert_frame_equal(drv, exch)
+    # every tail singleton dropped, every kept domain is a head domain
+    assert len(drv) > 0
+    assert drv["domain"].str.startswith("site").all()
