@@ -210,6 +210,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_repetition_stats": steps.docs_repetition_stats,
         "docs_domain_stats": steps.docs_domain_stats,
         "docs_domain_filter": steps.docs_domain_filter,
+        "docs_rank_by_length": steps.docs_rank_by_length,
         "revenue_by_nation": steps.revenue_by_nation,
         "distinct_langs": steps.distinct_langs,
         "top_docs_by_length": steps.top_docs_by_length,
@@ -605,6 +606,12 @@ def oracle_sql() -> dict[str, str]:
             "  AS normalized_text, "
             "CAST(length(trim(t1, ' ' || chr(9) || chr(10))) AS BIGINT) "
             "  AS n_chars_norm FROM n"
+        ),
+        # Distributed global sort/rank: the rank column makes the
+        # total order observable through the order-insensitive compare.
+        "docs_rank_by_length": (
+            "SELECT doc_id, n_chars, ROW_NUMBER() OVER "
+            "(ORDER BY n_chars DESC, doc_id) AS rnk FROM documents"
         ),
         # Per-domain aggregation over planted registered domains
         # (seven head domains + a singleton tail on doc_id % 11) —

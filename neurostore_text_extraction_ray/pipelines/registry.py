@@ -266,6 +266,7 @@ def _register_builtins():
     register_op("docs_sample_weighted")(steps.docs_sample_weighted)
     register_op("docs_domain_stats")(steps.docs_domain_stats)
     register_op("docs_domain_filter")(steps.docs_domain_filter)
+    register_op("docs_rank_by_length")(steps.docs_rank_by_length)
 
     from . import extras
 

@@ -1246,6 +1246,110 @@ def docs_pack_shards(sf_dir: str, budget: int = 20000):
                        "doc_id", "n_chars", budget)
 
 
+# -- Distributed global sort / rank ------------------------------------------
+
+
+def global_rank(ds, key_col: str, tie_col: str, descending: bool = False,
+                num_parts: int = 32):
+    """Total-order global rank (``ROW_NUMBER() OVER (ORDER BY key
+    [DESC], tie)``) without Ray Data's ``sort`` all-to-all (measured
+    scale-killer, BASELINE.md): the classic distributed sort —
+    1. range-partition rows on ``key_col`` through the filesystem
+       exchange (equal-width ranges; rows sharing a key value always
+       co-locate, so boundary ties are safe — skew makes uneven parts,
+       never wrong ranks);
+    2. per-part row counts (ONE row per part) driver-collect; the
+       exclusive prefix over range-ordered parts broadcasts as a
+       sorted (part_min_key -> offset) array pair;
+    3. each part sorts locally by (key, tie) and emits ``offset +
+       local_index + 1``.
+    Requires int64 keys with ``|key| < 2^62`` (the descending negation
+    must not overflow) and a unique ``tie_col`` for a deterministic
+    total order. Output: (tie_col, key_col, rnk)."""
+    import shutil
+
+    import ray
+    import ray.data as rd
+
+    from ..stages import exchange as ex
+    from ..stages.broadcast import get_broadcast
+
+    out_schema = pa.schema([
+        (tie_col, pa.int64()), (key_col, pa.int64()), ("rnk", pa.int64()),
+    ])
+    sign = -1 if descending else 1
+
+    def to_kt(b: pa.Table) -> pa.Table:
+        k = b[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(k) and np.abs(k).max() >= (1 << 62):
+            raise ValueError("global_rank requires |key| < 2^62")
+        return pa.table({
+            "k": pa.array(sign * k, pa.int64()),
+            tie_col: pc.cast(b[tie_col], pa.int64()),
+        })
+
+    from ray.data.aggregate import Max, Min
+
+    kt = ds.map_batches(to_kt, batch_format="pyarrow")
+    mm = kt.aggregate(Min("k"), Max("k"))  # one stats pass, not two
+    gmin, gmax = mm["min(k)"], mm["max(k)"]
+    if gmin is None:
+        return rd.from_arrow(out_schema.empty_table())
+    chunk = max(1, -((gmin - gmax - 1) // num_parts))
+
+    def by_range(b: pa.Table) -> np.ndarray:
+        k = b["k"].to_numpy(zero_copy_only=False)
+        return (k - gmin) // chunk
+
+    stage = ex.make_stage("nse_rank_")
+    cnt_schema = pa.schema([("min_k", pa.int64()), ("n", pa.int64())])
+    try:
+        ex.write_exchange(kt, stage, by_range)
+
+        def part_count(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "min_k": pa.array(
+                    [int(t["k"].to_numpy(zero_copy_only=False).min())],
+                    pa.int64()),
+                "n": pa.array([t.num_rows], pa.int64()),
+            })
+
+        counts = ex.map_parts(stage, num_parts, part_count,
+                              cnt_schema).to_pandas()
+        counts = counts.sort_values("min_k", kind="stable")
+        mins = counts["min_k"].to_numpy(np.int64)
+        offs = np.concatenate([
+            [0], np.cumsum(counts["n"].to_numpy(np.int64))[:-1]])
+        ref = ray.put((mins, offs))
+
+        def rank_part(t: pa.Table) -> pa.Table:
+            m, o = get_broadcast(ref)
+            k = t["k"].to_numpy(zero_copy_only=False)
+            tie = t[tie_col].to_numpy(zero_copy_only=False)
+            order = np.lexsort((tie, k))
+            base = o[np.searchsorted(m, k.min())]
+            return pa.table({
+                tie_col: pa.array(tie[order], pa.int64()),
+                key_col: pa.array(sign * k[order], pa.int64()),
+                "rnk": pa.array(base + 1 + np.arange(len(k), dtype=np.int64),
+                                pa.int64()),
+            })
+
+        return ex.map_parts(stage, num_parts, rank_part,
+                            out_schema).materialize()
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+
+
+def docs_rank_by_length(sf_dir: str):
+    """Every document with its global rank by length (longest first,
+    doc_id tie-break) — the distributed ORDER BY primitive with an
+    observable output (a rank column makes the total order testable
+    where the driver's order-insensitive compare would hide it)."""
+    return global_rank(_docs(sf_dir, ["doc_id", "n_chars"]),
+                       "n_chars", "doc_id", descending=True)
+
+
 # -- M6: string normalization over a table column ---------------------------
 
 

@@ -85,7 +85,7 @@ def _pairs():
     "knn_lsh", "embeddings_kmeans", "embeddings_semdedup",
     "docs_url_canonicalize", "docs_lang_temperature_sample",
     "docs_dup_spans",
-    "docs_domain_stats", "docs_domain_filter",
+    "docs_domain_stats", "docs_domain_filter", "docs_rank_by_length",
 ])
 def test_query_matches_oracle(name, ray_session):
     import __ray_entry__ as e
