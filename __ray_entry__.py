@@ -33,7 +33,9 @@ from neurostore_text_extraction_ray.pipelines.extras import (  # noqa: E402
     _docs_top_terms_cms,
     _docs_normalize_text,
     _docs_training_mix,
+    _docs_outlinks,
     _docs_url_filter,
+    _host_indegree,
     _docs_langid_quality,
     _docs_token_count,
     _docs_url_canonicalize,
@@ -231,6 +233,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_dup_spans": _docs_dup_spans,
         "docs_pii_redact": _docs_pii_redact,
         "docs_url_filter": _docs_url_filter,
+        "docs_outlinks": _docs_outlinks,
+        "host_indegree": _host_indegree,
         "docs_normalize_text": _docs_normalize_text,
         "docs_training_mix": _docs_training_mix,
         "ngram_jaccard_dups": _ngram_jaccard_dups,
@@ -638,6 +642,40 @@ def oracle_sql() -> dict[str, str]:
             "  HAVING COUNT(*) >= 5) "
             "SELECT d.doc_id, d.domain, d.n_chars FROM d "
             "JOIN s USING (domain)"
+        ),
+        # Anchor/outlink extraction over planted link-rich pages:
+        # the SQL re-derives the exact plant (k = doc_id % 4 absolute
+        # anchors targeting site{(doc_id*j)%7}.example, plus a
+        # relative nav link with NULL host on doc_id % 5 == 0).
+        "docs_outlinks": (
+            "WITH j AS ("
+            "  SELECT doc_id, CAST(0 AS BIGINT) AS ord FROM documents "
+            "    WHERE doc_id % 4 >= 1 "
+            "  UNION ALL SELECT doc_id, CAST(1 AS BIGINT) FROM documents "
+            "    WHERE doc_id % 4 >= 2 "
+            "  UNION ALL SELECT doc_id, CAST(2 AS BIGINT) FROM documents "
+            "    WHERE doc_id % 4 >= 3) "
+            "SELECT doc_id, ord, "
+            "  'https://site' || ((doc_id * ord) % 7) || '.example/p/' "
+            "    || doc_id || '/' || ord AS href, "
+            "  'site' || ((doc_id * ord) % 7) || '.example' AS host "
+            "FROM j "
+            "UNION ALL "
+            "SELECT doc_id, CAST(doc_id % 4 AS BIGINT) AS ord, "
+            "  '/nav/local' AS href, CAST(NULL AS VARCHAR) AS host "
+            "FROM documents WHERE doc_id % 5 = 0"
+        ),
+        # Host-level in-degree over the same planted link graph.
+        "host_indegree": (
+            "WITH j AS ("
+            "  SELECT doc_id, 0 AS ord FROM documents WHERE doc_id % 4 >= 1 "
+            "  UNION ALL SELECT doc_id, 1 FROM documents WHERE doc_id % 4 >= 2 "
+            "  UNION ALL SELECT doc_id, 2 FROM documents WHERE doc_id % 4 >= 3), "
+            "a AS (SELECT doc_id, 'site' || ((doc_id * ord) % 7) "
+            "  || '.example' AS host FROM j) "
+            "SELECT host, COUNT(*) AS n_links, "
+            "  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs "
+            "FROM a GROUP BY host"
         ),
         # URL blocklist filter over planted urls: same host/domain
         # regex extraction re-expressed with RE2 (no lookaround).

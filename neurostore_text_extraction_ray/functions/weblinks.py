@@ -1,0 +1,64 @@
+"""Anchor/outlink extraction from raw HTML — the web-graph primitive
+of an extraction tier (outlink lists feed host-level in-degree /
+PageRank-ish quality signals in crawl pipelines).
+
+Pure kernels, no DOM build: a compiled attribute regex over the raw
+markup. That is deliberate — at 10^12 pages the link pass must not pay
+the full-DOM parse the text-extraction stage pays; href scanning is a
+single vectorizable regex. Lookaround-free so Python ``re`` and RE2
+agree (same constraint as ``functions/pii.py``).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+
+# <a ... href="..."> / <a ... href='...'>: anchor tags only, first
+# href attribute in the tag; unquoted hrefs are rare and skipped
+# (documented subset, mirrored by every oracle plant).
+HREF_RE = re.compile(
+    r"""<a\s[^>]*?href\s*=\s*["']([^"']+)["']""",
+    re.IGNORECASE | re.DOTALL,
+)
+
+# scheme://host/... -> host (same shape as extras._docs_url_filter)
+HOST_RE = re.compile(r"^[a-z][a-z0-9+.-]*://([^/?#]+)")
+
+
+def extract_hrefs(html: str) -> list[str]:
+    """All quoted anchor hrefs in document order."""
+    if not html:
+        return []
+    return HREF_RE.findall(html)
+
+
+def href_host(url: str) -> str | None:
+    """Host part of an absolute url, or None for relative links."""
+    m = HOST_RE.match(url or "")
+    return m.group(1).lower() if m else None
+
+
+def outlinks_frame(df: pd.DataFrame, id_col: str = "doc_id",
+                   html_col: str = "html") -> pd.DataFrame:
+    """Vectorized explode: one row per anchor — (id, ord, href, host).
+    ``ord`` is the anchor's document-order index, making the output a
+    deterministic total function of the input row."""
+    # positional explode: reset the index so level 0 is a row POSITION
+    # (batch frames usually carry a RangeIndex, but never rely on it)
+    links = (df[html_col].fillna("").reset_index(drop=True)
+             .str.extractall(HREF_RE))
+    out = pd.DataFrame({
+        "doc_id": df[id_col].to_numpy()[links.index.get_level_values(0)]
+        if len(links) else pd.Series(dtype="int64"),
+        "ord": links.index.get_level_values(1).to_numpy(dtype="int64")
+        if len(links) else pd.Series(dtype="int64"),
+        "href": links[0].to_numpy(dtype=object)
+        if len(links) else pd.Series(dtype=object),
+    })
+    out["host"] = out["href"].map(href_host) if len(out) else \
+        pd.Series(dtype=object)
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["ord"] = out["ord"].astype("int64")
+    return out.reset_index(drop=True)

@@ -1228,3 +1228,76 @@ def _abbrev_expand_planted(sf_dir: str):
         f, batch_format="pandas")
 
 
+
+
+def _plant_linked_html(df: pd.DataFrame) -> pd.DataFrame:
+    """Deterministic anchor plant: ``doc_id % 4`` absolute anchors
+    (target host ``site{(doc_id * j) % 7}.example`` — j = 0 always
+    hits site0, a hub host with realistic in-degree skew, and docs
+    with ``doc_id % 7 == 0`` repeat a host within one page so
+    n_links != n_docs) plus a relative nav link on ``doc_id % 5 == 0``
+    (host = NULL). The SQL oracle re-derives the same plant."""
+    rows_id, rows_html = [], []
+    for did in df["doc_id"].astype("int64"):
+        k = did % 4
+        anchors = "".join(
+            f'<a class="x" href="https://site{(did * j) % 7}.example'
+            f'/p/{did}/{j}">l{j}</a>' for j in range(k))
+        if did % 5 == 0:
+            anchors += '<a href="/nav/local">nav</a>'
+        rows_id.append(did)
+        rows_html.append(f"<html><body><p>t</p>{anchors}</body></html>")
+    return pd.DataFrame({"doc_id": rows_id, "html": rows_html})
+
+
+def _docs_outlinks(sf_dir: str):
+    """Anchor/outlink extraction over planted link-rich pages (the
+    documents table has no html column) — one row per anchor in
+    document order: (doc_id, ord, href, host); relative links keep
+    host = NULL. Kernel: ``functions/weblinks`` compiled-regex scan,
+    vectorized ``str.extractall`` explode — no DOM build on the link
+    pass by design."""
+    import ray.data as rd
+
+    from ..functions.weblinks import outlinks_frame
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id"])
+    return docs.map_batches(_plant_linked_html, batch_format="pandas") \
+               .map_batches(outlinks_frame, batch_format="pandas")
+
+
+def _host_indegree(sf_dir: str):
+    """Host-level in-degree over the extracted outlinks — the
+    link-graph aggregate (a PageRank-ish quality signal): per target
+    host, total inbound links and distinct linking docs. Per-batch
+    partials (each doc's links sit in one row, so per-batch
+    ``nunique(doc_id)`` partials are exactly summable), then the
+    shared ``grouped_sum_by_key`` combine (driver below
+    ``DOMAIN_DRIVER_LIMIT``, distributed-output host-hash exchange
+    above)."""
+    import numpy as np
+    import ray.data as rd
+
+    from ..functions.weblinks import outlinks_frame
+    from . import steps
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        links = outlinks_frame(_plant_linked_html(df)).dropna(
+            subset=["host"])
+        g = links.groupby("host", sort=False).agg(
+            n_links=("doc_id", "size"),
+            n_docs=("doc_id", "nunique")).reset_index()
+        g["n_links"] = g["n_links"].astype("int64")
+        g["n_docs"] = g["n_docs"].astype("int64")
+        g["b0"] = np.int64(df["doc_id"].min()) if len(df) else np.int64(0)
+        return g
+
+    partials_ds = docs.map_batches(
+        partial, batch_format="pandas").materialize()
+    return steps.grouped_sum_by_key(
+        partials_ds, "host", ["n_links", "n_docs"],
+        steps.DOMAIN_DRIVER_LIMIT)

@@ -293,6 +293,8 @@ def _register_builtins():
     register_op("docs_pii_redact")(extras._docs_pii_redact)
     register_op("top_terms_cms")(extras._docs_top_terms_cms)
     register_op("docs_url_filter")(extras._docs_url_filter)
+    register_op("docs_outlinks")(extras._docs_outlinks)
+    register_op("host_indegree")(extras._host_indegree)
     register_op("docs_normalize_text")(extras._docs_normalize_text)
     register_op("docs_training_mix")(extras._docs_training_mix)
     register_op("ngram_jaccard_dups")(extras._ngram_jaccard_dups)

@@ -837,12 +837,6 @@ def _top_terms_exchanged(partials_ds, k: int, num_parts: int = 32):
 # assume driver residency.
 DOMAIN_DRIVER_LIMIT = 5_000_000
 
-_DOMAIN_STATS_SCHEMA = pa.schema([
-    ("domain", pa.string()), ("n_docs", pa.int64()),
-    ("total_chars", pa.int64()), ("n_en", pa.int64()),
-])
-
-
 def _plant_domains(ids: pd.Series) -> pd.Series:
     """Deterministic registered-domain plant (the documents table has
     no url column): seven head domains plus a long tail of singleton
@@ -876,10 +870,56 @@ def _domain_partials(sf_dir: str):
             .materialize())
 
 
-def _combine_domain_partials(df: pd.DataFrame) -> pd.DataFrame:
-    return (df.groupby("domain", sort=False)
-            .agg(n_docs=("n_docs", "sum"), total_chars=("total_chars", "sum"),
-                 n_en=("n_en", "sum")).reset_index())
+def grouped_sum_by_key(partials_ds, key_col: str, sum_cols: list[str],
+                       driver_limit: int, num_parts: int = 32):
+    """Exact per-key sums over a stream of PARTIAL aggregate rows
+    keyed by a string column — the shared combine behind the
+    domain-stats and host-indegree aggregates. Below ``driver_limit``
+    partial rows: a small driver groupby. Beyond: a key-hash partition
+    exchange whose per-part combine output STAYS distributed (keys
+    co-locate, so per-part sums are exact global totals). CONTRACT:
+    partial batches must carry a batch-unique ``b0`` int64 column
+    (dropped here) so byte-identical partials from distinct batches
+    survive the content-addressed exchange."""
+    import shutil
+
+    import ray.data as rd
+
+    from ..stages import exchange as ex
+
+    schema = pa.schema([(key_col, pa.string())]
+                       + [(c, pa.int64()) for c in sum_cols])
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby(key_col, sort=False)[sum_cols].sum()
+                .reset_index())
+
+    if partials_ds.count() <= driver_limit:
+        pdf = partials_ds.to_pandas()
+        if pdf.empty:
+            return rd.from_arrow(schema.empty_table())
+        return rd.from_pandas(combine(pdf))
+
+    stage = ex.make_stage("nse_gsum_")
+    in_schema = schema.append(pa.field("b0", pa.int64()))
+    try:
+        ex.write_exchange(
+            partials_ds.map_batches(
+                lambda b: b.select(in_schema.names).cast(in_schema),
+                batch_format="pyarrow"),
+            stage,
+            lambda b: _term_part(
+                b[key_col].to_numpy(zero_copy_only=False), num_parts))
+
+        def part_combine(t: pa.Table) -> pa.Table:
+            return pa.Table.from_pandas(combine(t.to_pandas()),
+                                        schema=schema,
+                                        preserve_index=False)
+
+        return ex.map_parts(stage, num_parts, part_combine,
+                            schema).materialize()
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
 
 
 def docs_domain_stats(sf_dir: str):
@@ -887,58 +927,12 @@ def docs_domain_stats(sf_dir: str):
     English doc count) — the aggregate behind domain-level crawl
     hygiene (RefinedWeb/C4-style). Per-batch partial aggregate first
     (rows bounded by distinct domains per batch, never the doc
-    stream); below ``DOMAIN_DRIVER_LIMIT`` partial rows a small driver
-    combine, beyond it a domain-hash partition exchange whose per-part
-    combine output STAYS distributed (domains co-locate, so per-part
-    sums are exact global totals)."""
-    import ray.data as rd
-
-    partials_ds = _domain_partials(sf_dir)
-    if partials_ds.count() > DOMAIN_DRIVER_LIMIT:
-        return _domain_stats_exchanged(partials_ds)
-    agg = _combine_domain_partials(partials_ds.to_pandas())
-    if agg.empty:
-        return rd.from_arrow(_DOMAIN_STATS_SCHEMA.empty_table())
-    return rd.from_pandas(agg)
-
-
-def _domain_stats_exchanged(partials_ds, num_parts: int = 32):
-    """Scale path: domain-hash partition exchange; exact per-part
-    combine; the result is a Dataset of per-part outputs — no driver
-    materialization anywhere."""
-    import shutil
-
-    from ..stages import exchange as ex
-
-    stage = ex.make_stage("nse_dom_")
-    in_schema = pa.schema([
-        ("domain", pa.string()), ("n_docs", pa.int64()),
-        ("total_chars", pa.int64()), ("n_en", pa.int64()),
-        ("b0", pa.int64()),
-    ])
-    try:
-        ex.write_exchange(
-            partials_ds.map_batches(lambda b: b.cast(in_schema),
-                                    batch_format="pyarrow"),
-            stage,
-            lambda b: _term_part(
-                b["domain"].to_numpy(zero_copy_only=False), num_parts))
-
-        def part_combine(t: pa.Table) -> pa.Table:
-            g = _combine_domain_partials(t.to_pandas())
-            return pa.table({
-                "domain": pa.array(g["domain"].to_numpy(dtype=object),
-                                   pa.string()),
-                "n_docs": pa.array(g["n_docs"].to_numpy(), pa.int64()),
-                "total_chars": pa.array(g["total_chars"].to_numpy(),
-                                        pa.int64()),
-                "n_en": pa.array(g["n_en"].to_numpy(), pa.int64()),
-            })
-
-        return ex.map_parts(stage, num_parts, part_combine,
-                            _DOMAIN_STATS_SCHEMA).materialize()
-    finally:
-        shutil.rmtree(stage, ignore_errors=True)
+    stream), then the shared ``grouped_sum_by_key`` combine (driver
+    below ``DOMAIN_DRIVER_LIMIT``, distributed-output domain-hash
+    exchange above)."""
+    return grouped_sum_by_key(
+        _domain_partials(sf_dir), "domain",
+        ["n_docs", "total_chars", "n_en"], DOMAIN_DRIVER_LIMIT)
 
 
 def docs_domain_filter(sf_dir: str, min_docs: int = 5):

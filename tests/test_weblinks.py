@@ -1,0 +1,80 @@
+"""Outlink extraction kernel + host in-degree aggregate."""
+
+import pandas as pd
+import pytest
+
+from neurostore_text_extraction_ray.functions.weblinks import (
+    extract_hrefs, href_host, outlinks_frame)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_extract_hrefs_edge_cases():
+    assert extract_hrefs("") == []
+    assert extract_hrefs("<p>no links</p>") == []
+    # single + double quotes, attribute order, case, multiline tag
+    html = (
+        '<a href="https://a.example/x">1</a>'
+        "<a class='c' href='https://b.example/y'>2</a>"
+        '<A HREF="https://c.example/z">3</A>'
+        '<a rel="nofollow"\n   href="/rel/path">4</a>'
+        '<a name="no-href-anchor">5</a>'
+        '<area href="https://not-an-anchor.example">'
+    )
+    assert extract_hrefs(html) == [
+        "https://a.example/x", "https://b.example/y",
+        "https://c.example/z", "/rel/path"]
+
+
+def test_href_host():
+    assert href_host("https://Sub.Site.example/p?q#f") == "sub.site.example"
+    assert href_host("ftp://h.example/f") == "h.example"
+    assert href_host("/relative/only") is None
+    assert href_host("") is None
+
+
+def test_outlinks_frame_explode_and_order():
+    df = pd.DataFrame({
+        "doc_id": [10, 11, 12],
+        "html": [
+            '<a href="https://x.example/1">a</a><a href="/rel">b</a>',
+            "<p>none</p>",
+            '<a href="https://y.example/2">c</a>',
+        ],
+    }, index=[5, 9, 2])  # non-range index must not break the explode
+    out = outlinks_frame(df)
+    assert out["doc_id"].tolist() == [10, 10, 12]
+    assert out["ord"].tolist() == [0, 1, 0]
+    assert out["host"].tolist() == ["x.example", None, "y.example"]
+
+
+def test_outlinks_query_semantics(ray_session):
+    from neurostore_text_extraction_ray.pipelines.extras import (
+        _docs_outlinks)
+
+    out = _docs_outlinks(SF).to_pandas()
+    # absolute anchors: k = doc_id % 4 per doc; relative on doc_id % 5
+    rel = out[out["host"].isna()]
+    assert (rel["doc_id"] % 5 == 0).all()
+    assert rel["href"].eq("/nav/local").all()
+    absolute = out.dropna(subset=["host"])
+    per_doc = absolute.groupby("doc_id").size()
+    assert ((per_doc.index % 4) == per_doc.to_numpy()).all()
+
+
+def test_host_indegree_hub_and_equivalence(ray_session, monkeypatch):
+    from neurostore_text_extraction_ray.pipelines import steps
+    from neurostore_text_extraction_ray.pipelines.extras import (
+        _host_indegree)
+
+    drv = _host_indegree(SF).to_pandas().sort_values("host") \
+        .reset_index(drop=True)
+    # site0 is the planted hub (j = 0 always targets it) and some docs
+    # repeat a host within one page, so n_links > n_docs somewhere
+    hub = drv.set_index("host")
+    assert hub.loc["site0.example", "n_links"] == hub["n_links"].max()
+    assert (drv["n_links"] > drv["n_docs"]).any()
+    monkeypatch.setattr(steps, "DOMAIN_DRIVER_LIMIT", 0)
+    exch = _host_indegree(SF).to_pandas().sort_values("host") \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(drv, exch)
