@@ -213,6 +213,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_domain_stats": steps.docs_domain_stats,
         "docs_domain_filter": steps.docs_domain_filter,
         "docs_rank_by_length": steps.docs_rank_by_length,
+        "docs_quality_buckets": steps.docs_quality_buckets,
         "revenue_by_nation": steps.revenue_by_nation,
         "distinct_langs": steps.distinct_langs,
         "top_docs_by_length": steps.top_docs_by_length,
@@ -610,6 +611,19 @@ def oracle_sql() -> dict[str, str]:
             "  AS normalized_text, "
             "CAST(length(trim(t1, ' ' || chr(9) || chr(10))) AS BIGINT) "
             "  AS n_chars_norm FROM n"
+        ),
+        # Quantile-bucket assignment: thresholds re-derived with
+        # quantile_disc, the same discrete-quantile semantics the
+        # distributed value-histogram quantiles implement.
+        "docs_quality_buckets": (
+            "WITH t AS (SELECT quantile_disc(n_chars, 0.25) AS t25, "
+            "  quantile_disc(n_chars, 0.5) AS t50, "
+            "  quantile_disc(n_chars, 0.75) AS t75 FROM documents) "
+            "SELECT doc_id, n_chars, CAST(CASE "
+            "  WHEN n_chars <= t25 THEN 0 "
+            "  WHEN n_chars <= t50 THEN 1 "
+            "  WHEN n_chars <= t75 THEN 2 ELSE 3 END AS BIGINT) AS bucket "
+            "FROM documents, t"
         ),
         # Distributed global sort/rank: the rank column makes the
         # total order observable through the order-insensitive compare.

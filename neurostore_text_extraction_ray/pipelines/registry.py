@@ -267,6 +267,7 @@ def _register_builtins():
     register_op("docs_domain_stats")(steps.docs_domain_stats)
     register_op("docs_domain_filter")(steps.docs_domain_filter)
     register_op("docs_rank_by_length")(steps.docs_rank_by_length)
+    register_op("docs_quality_buckets")(steps.docs_quality_buckets)
 
     from . import extras
 

@@ -728,6 +728,44 @@ def docs_nchars_quantiles_sampled(sf_dir: str, qs=(0.25, 0.5, 0.75, 0.95),
     }))
 
 
+# -- Quantile-bucket assignment (two-phase stats -> broadcast) ---------------
+
+
+def docs_quality_buckets(sf_dir: str):
+    """Assign every document its corpus length quartile (bucket 0-3)
+    — the binning pass behind quality-stratified training mixes.
+    Two-phase: the distributed value-histogram quantiles
+    (``docs_nchars_quantiles``) produce three thresholds, broadcast as
+    a sorted int array; pass 2 is a stateless vectorized searchsorted
+    (side='left' == the SQL ``n_chars <= t`` CASE ladder, including
+    duplicated thresholds). Output (doc_id, n_chars, bucket)."""
+    import ray
+
+    qdf = docs_nchars_quantiles(sf_dir, qs=(0.25, 0.5, 0.75)).to_pandas()
+    if qdf.empty:
+        return _docs(sf_dir, ["doc_id", "n_chars"]).map_batches(
+            lambda b: b.append_column(
+                "bucket", pa.array(np.zeros(b.num_rows, np.int64))),
+            batch_format="pyarrow")
+    thr = np.sort(qdf["value"].to_numpy(np.int64))
+    ref = ray.put(thr)
+
+    def f(batch: pa.Table) -> pa.Table:
+        from ..stages.broadcast import get_broadcast
+
+        t = get_broadcast(ref)
+        n = batch["n_chars"].to_numpy(zero_copy_only=False)
+        b = np.searchsorted(t, n, side="left").astype(np.int64)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_chars": batch["n_chars"],
+            "bucket": pa.array(b, pa.int64()),
+        })
+
+    return _docs(sf_dir, ["doc_id", "n_chars"]).map_batches(
+        f, batch_format="pyarrow")
+
+
 # -- Heavy hitters: exact distributed top-k terms ---------------------------
 
 # above this many partial (term, n) rows the combine leaves the driver

@@ -86,7 +86,7 @@ def _pairs():
     "docs_url_canonicalize", "docs_lang_temperature_sample",
     "docs_dup_spans",
     "docs_domain_stats", "docs_domain_filter", "docs_rank_by_length",
-    "docs_outlinks", "host_indegree",
+    "docs_outlinks", "host_indegree", "docs_quality_buckets",
 ])
 def test_query_matches_oracle(name, ray_session):
     import __ray_entry__ as e
