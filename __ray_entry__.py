@@ -169,7 +169,41 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     from neurostore_text_extraction_ray.pipelines import steps
 
+    # Ordering contract: the driver's CORRECTNESS snapshot records the
+    # first ~50 entries only. Queries never yet driver-verified come
+    # first (9 as of r4), then the 15 last verified in r3, then the 50
+    # that were driver-green in r4 (see VERDICT.md round 4, next-round
+    # item 1).
     return {
+        # --- never driver-verified before r5 ---
+        "docs_url_filter": _docs_url_filter,
+        "docs_outlinks": _docs_outlinks,
+        "host_indegree": _host_indegree,
+        "docs_normalize_text": _docs_normalize_text,
+        "docs_training_mix": _docs_training_mix,
+        "knn_lsh": lambda sf: _round_cols(_knn_lsh(sf), {"score": 4}),
+        "embeddings_kmeans": lambda sf: _round_cols(
+            _embeddings_kmeans(sf), {"dist": 6}),
+        "embeddings_semdedup": lambda sf: _round_cols(
+            _embeddings_semdedup(sf), {"max_sim": 6}),
+        "docs_url_canonicalize": _docs_url_canonicalize,
+        # --- last driver-verified in r3 ---
+        "ngram_jaccard_dups": _ngram_jaccard_dups,
+        "embedding_cosine_dups": _embedding_cosine_dups,
+        "embed_documents": _embed_documents,
+        "llm_demographics": _llm_demographics,
+        "llm_task_metadata": _llm_task_metadata,
+        "entity_linking": _entity_linking,
+        "entity_linking_chained": _entity_linking_chained_query,
+        "umls_disease_groups": _umls_disease_groups,
+        "abbrev_expand": _abbrev_expand,
+        "abbrev_expand_planted": _abbrev_expand_planted,
+        "knn_ivf": lambda sf: _round_cols(_knn_ivf(sf), {"score": 4}),
+        "extract_jats_pages": _extract_jats,
+        "jats_extract_text": _jats_extract_text,
+        "pdf_extract_text": _pdf_extract_text,
+        "multimodal_features": _multimodal_features,
+        # --- driver-green in r4 ---
         "flagship_extract": _flagship,
         "flagship_titles": _flagship_titles,
         "word_count": steps.word_count,
@@ -233,32 +267,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_line_dedup": _docs_line_dedup,
         "docs_dup_spans": _docs_dup_spans,
         "docs_pii_redact": _docs_pii_redact,
-        "docs_url_filter": _docs_url_filter,
-        "docs_outlinks": _docs_outlinks,
-        "host_indegree": _host_indegree,
-        "docs_normalize_text": _docs_normalize_text,
-        "docs_training_mix": _docs_training_mix,
-        "ngram_jaccard_dups": _ngram_jaccard_dups,
-        "embedding_cosine_dups": _embedding_cosine_dups,
-        "embed_documents": _embed_documents,
-        "llm_demographics": _llm_demographics,
-        "llm_task_metadata": _llm_task_metadata,
-        "entity_linking": _entity_linking,
-        "entity_linking_chained": _entity_linking_chained_query,
-        "umls_disease_groups": _umls_disease_groups,
-        "abbrev_expand": _abbrev_expand,
-        "abbrev_expand_planted": _abbrev_expand_planted,
-        "knn_ivf": lambda sf: _round_cols(_knn_ivf(sf), {"score": 4}),
-        "knn_lsh": lambda sf: _round_cols(_knn_lsh(sf), {"score": 4}),
-        "embeddings_kmeans": lambda sf: _round_cols(
-            _embeddings_kmeans(sf), {"dist": 6}),
-        "embeddings_semdedup": lambda sf: _round_cols(
-            _embeddings_semdedup(sf), {"max_sim": 6}),
-        "docs_url_canonicalize": _docs_url_canonicalize,
-        "extract_jats_pages": _extract_jats,
-        "jats_extract_text": _jats_extract_text,
-        "pdf_extract_text": _pdf_extract_text,
-        "multimodal_features": _multimodal_features,
     }
 
 
