@@ -37,6 +37,22 @@ import pyarrow as pa
 
 from .similarity import _topk_group
 
+SEMDEDUP_CLUSTER_LIMIT = 8192
+"""Max rows whose pairwise similarity is materialized at once inside
+one cluster. Clusters at or below the limit take the single-matmul
+path (byte-identical to the historical kernel); larger clusters are
+processed in blocks of this size against the growing kept set, so
+per-task memory is O(c*d + limit*kept) instead of the O(c^2) matrix —
+the one guaranteed-OOM at 100x corpus scale. Same greedy semantics
+either way (equivalence-tested by patching the limit to 3 in
+tests/test_cluster.py). At scale also pass ``n_clusters=None`` so the
+cluster count grows with the corpus and expected cluster size stays
+near this limit."""
+
+SEMDEDUP_TARGET_CLUSTER_ROWS = 4096
+"""Auto mode (``n_clusters=None``): one cluster per this many corpus
+rows, mirroring the SemDeDup paper's ~50k clusters at 100M+ docs."""
+
 SEMDEDUP_SCHEMA = pa.schema([
     ("vec_id", pa.int64()),
     ("cluster_id", pa.int64()),
@@ -123,34 +139,63 @@ def kmeans_assign(ds, n_clusters: int = 10, iters: int = 10,
 
 
 def _semdedup_cluster(ids: np.ndarray, unit: np.ndarray,
-                      threshold: float) -> pd.DataFrame:
+                      threshold: float,
+                      block: int | None = None) -> pd.DataFrame:
     """Greedy keep-lowest-id pass inside one cluster: a member is a
     duplicate iff its cosine to an already-kept member is >= threshold;
     ``dup_of`` is the kept member with the highest similarity (ties ->
-    lowest id via stable argmax over id-sorted rows)."""
+    lowest id via stable argmax over id-sorted rows).
+
+    Rows are processed id-sorted in blocks of ``block`` (default
+    ``SEMDEDUP_CLUSTER_LIMIT``): each block computes one matmul against
+    the previously-kept vectors plus one block-local matmul, so the
+    full n x n similarity matrix is never materialized for clusters
+    larger than the limit. A cluster that fits one block reduces to the
+    single ``unit @ unit.T`` of the historical kernel — identical
+    float ops, byte-identical output."""
+    if block is None:
+        block = SEMDEDUP_CLUSTER_LIMIT
     order = np.argsort(ids, kind="stable")
     ids, unit = ids[order], unit[order]
-    sims = unit @ unit.T
-    kept: list[int] = []
-    keep = np.zeros(len(ids), dtype=bool)
-    dup_of = np.full(len(ids), -1, dtype=np.int64)
-    max_sim = np.zeros(len(ids), dtype=np.float64)
-    for i in range(len(ids)):
-        if kept:
-            s = sims[i, kept]
+    n = len(ids)
+    keep = np.zeros(n, dtype=bool)
+    dup_of = np.full(n, -1, dtype=np.int64)
+    max_sim = np.zeros(n, dtype=np.float64)
+    kept_idx: list[int] = []  # global row indices, in kept (= id) order
+    for start in range(0, n, block):
+        stop = min(start + block, n)
+        bu = unit[start:stop]
+        npri = len(kept_idx)
+        s_prior = bu @ unit[kept_idx].T if npri else None
+        s_blk = bu @ bu.T
+        blk_kept: list[int] = []  # block-local indices, kept order
+        for bi in range(stop - start):
+            i = start + bi
+            if npri and blk_kept:
+                s = np.concatenate([s_prior[bi], s_blk[bi, blk_kept]])
+            elif npri:
+                s = s_prior[bi]
+            elif blk_kept:
+                s = s_blk[bi, blk_kept]
+            else:
+                keep[i] = True
+                blk_kept.append(bi)
+                continue
             j = int(np.argmax(s))
             max_sim[i] = float(s[j])
             if s[j] >= threshold:
-                dup_of[i] = ids[kept[j]]
-                continue
-        keep[i] = True
-        kept.append(i)
+                src = kept_idx[j] if j < npri else start + blk_kept[j - npri]
+                dup_of[i] = ids[src]
+            else:
+                keep[i] = True
+                blk_kept.append(bi)
+        kept_idx.extend(start + b for b in blk_kept)
     return pd.DataFrame({
         "vec_id": ids, "keep": keep, "dup_of": dup_of, "max_sim": max_sim,
     })
 
 
-def semdedup(ds, n_clusters: int = 10, threshold: float = 0.99,
+def semdedup(ds, n_clusters: int | None = 10, threshold: float = 0.99,
              id_col: str = "vec_id", vec_col: str = "embedding",
              iters: int = 10, sample_rows: int = 2000,
              num_parts: int = 32):
@@ -158,6 +203,12 @@ def semdedup(ds, n_clusters: int = 10, threshold: float = 0.99,
     ``(vec_id, cluster_id, keep, dup_of, max_sim)``; ``dup_of`` is -1
     for kept rows, ``max_sim`` the cosine to the closest
     previously-kept cluster member (0.0 for a cluster's first member).
+
+    ``n_clusters=None`` scales the cluster count with the corpus
+    (one cluster per ``SEMDEDUP_TARGET_CLUSTER_ROWS`` rows, and the
+    centroid-fit sample widened to 2x the cluster count) so expected
+    cluster size stays near ``SEMDEDUP_CLUSTER_LIMIT`` at any scale;
+    per-cluster memory is bounded by the blockwise kernel either way.
 
     Unit vectors ride the partition exchange as float64 bytes (the
     ``embedding_cosine_dup`` payload convention, dedup.py:492) — the
@@ -168,6 +219,16 @@ def semdedup(ds, n_clusters: int = 10, threshold: float = 0.99,
     import ray
 
     from . import exchange as ex
+
+    if n_clusters is None:
+        n_clusters = max(
+            1, -(-ds.count() // SEMDEDUP_TARGET_CLUSTER_ROWS))
+        sample_rows = max(sample_rows, 2 * n_clusters)
+
+    # resolve the block limit ON THE DRIVER and capture it by value —
+    # dedup_part runs in worker processes where the module global is
+    # the import-time default (this is also what lets tests patch it)
+    cluster_block = SEMDEDUP_CLUSTER_LIMIT
 
     # fit on UNIT-normalized samples — the assignment runs on the unit
     # sphere (argmin euclidean == argmax cosine there), so the fit must
@@ -198,7 +259,8 @@ def semdedup(ds, n_clusters: int = 10, threshold: float = 0.99,
             unit = np.frombuffer(
                 b"".join(g["payload"]), dtype=np.float64).reshape(len(g), -1)
             res = _semdedup_cluster(
-                g["vec_id"].to_numpy(np.int64), unit, threshold)
+                g["vec_id"].to_numpy(np.int64), unit, threshold,
+                block=cluster_block)
             res.insert(1, "cluster_id", np.int64(cl))
             outs.append(res)
         if not outs:

@@ -112,6 +112,75 @@ def test_semdedup_threshold_and_locality(ray_session):
     assert kept["keep"].all()
 
 
+def test_semdedup_cluster_limit_path_equivalence():
+    """The blockwise kernel (cluster larger than SEMDEDUP_CLUSTER_LIMIT)
+    must reproduce the single-matmul path exactly: keep/dup_of
+    byte-identical, max_sim equal to BLAS-blocking tolerance. Mix of
+    exact copies, near-dups around the threshold, and distinct rows."""
+    from neurostore_text_extraction_ray.stages.cluster import (
+        _semdedup_cluster,
+    )
+
+    rng = np.random.RandomState(11)
+    base = rng.standard_normal((40, 16))
+    near = base[::4] + 0.001 * rng.standard_normal((10, 16))
+    vecs = np.concatenate([base, base[::3], near])
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    ids = rng.permutation(len(vecs)).astype(np.int64)
+    full = _semdedup_cluster(ids.copy(), vecs.copy(), 0.99,
+                             block=len(vecs) + 1)
+    for blk in (1, 3, 7):
+        blocked = _semdedup_cluster(ids.copy(), vecs.copy(), 0.99,
+                                    block=blk)
+        pd.testing.assert_frame_equal(
+            blocked[["vec_id", "keep", "dup_of"]],
+            full[["vec_id", "keep", "dup_of"]])
+        np.testing.assert_allclose(
+            blocked["max_sim"], full["max_sim"], rtol=0, atol=1e-12)
+
+
+def test_semdedup_limit_patched_end_to_end(ray_session, monkeypatch):
+    """Patch SEMDEDUP_CLUSTER_LIMIT to 3 (every fixture cluster
+    overflows it) and assert the planted-dup query output is unchanged
+    — the budget-gate path-equivalence pattern of the other operators."""
+    from neurostore_text_extraction_ray.pipelines.extras import (
+        _embeddings_semdedup,
+    )
+    from neurostore_text_extraction_ray.stages import cluster
+
+    full = (_embeddings_semdedup(SF).to_pandas()
+            .sort_values("vec_id").reset_index(drop=True))
+    monkeypatch.setattr(cluster, "SEMDEDUP_CLUSTER_LIMIT", 3)
+    capped = (_embeddings_semdedup(SF).to_pandas()
+              .sort_values("vec_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        capped[["vec_id", "cluster_id", "keep", "dup_of"]],
+        full[["vec_id", "cluster_id", "keep", "dup_of"]])
+    np.testing.assert_allclose(
+        capped["max_sim"], full["max_sim"], rtol=0, atol=1e-12)
+
+
+def test_semdedup_auto_n_clusters(ray_session):
+    """n_clusters=None scales the cluster count with the corpus and
+    still collapses exact planted copies onto their originals."""
+    from neurostore_text_extraction_ray.stages import cluster
+    from neurostore_text_extraction_ray.stages.cluster import semdedup
+
+    vecs, _ = _clustered_vectors(n_per=6, n_clusters=4, noise=0.01)
+    dup_idx = np.arange(0, len(vecs), 3)
+    all_vecs = np.concatenate([vecs, vecs[dup_idx]])
+    ids = np.concatenate([np.arange(len(vecs)), dup_idx + 10000])
+    out = semdedup(_as_ds(all_vecs, ids), n_clusters=None,
+                   threshold=0.999).to_pandas()
+    # 32 rows / 4096 target -> 1 cluster; the dedup still lands exactly
+    assert out["cluster_id"].nunique() == 1
+    byid = out.set_index("vec_id")
+    for i in dup_idx:
+        assert not byid.loc[i + 10000, "keep"]
+        assert byid.loc[i + 10000, "dup_of"] == i
+    assert cluster.SEMDEDUP_TARGET_CLUSTER_ROWS > 0
+
+
 def test_semdedup_greedy_chain_is_deterministic():
     """Driver-side check of the greedy kernel: in a chain a-b-c where
     consecutive sims pass the threshold, the lowest id wins and later
