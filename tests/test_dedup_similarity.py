@@ -128,6 +128,60 @@ def test_knn_ivf_recall(ray_session):
     assert np.mean(recalls) >= 0.5  # probing half the cells
 
 
+def test_pairs_from_band_rows_matches_bucket_spec():
+    """The vectorized bucket->pairs combine is set-equal to mapping the
+    per-bucket reference spec over groupby + drop_duplicates, on random
+    band rows with hot buckets past HOT_BUCKET_CAP, repeated pairs
+    across bands, singletons, and an empty input."""
+    import pandas as pd
+
+    from neurostore_text_extraction_ray.stages.dedup import (
+        HOT_BUCKET_CAP,
+        _emit_pairs_from_bucket,
+        _pairs_from_band_rows,
+    )
+
+    rng = np.random.RandomState(3)
+    frames = []
+    # dense random buckets (many repeat pairs across bands)
+    frames.append(pd.DataFrame({
+        "doc_id": rng.randint(0, 60, 4000).astype(np.int64),
+        "band": rng.randint(0, 6, 4000).astype(np.int32),
+        "key": rng.randint(0, 9, 4000).astype(np.int64),
+    }))
+    # one hot bucket well past the cap
+    frames.append(pd.DataFrame({
+        "doc_id": rng.permutation(HOT_BUCKET_CAP + 57).astype(np.int64),
+        "band": np.int32(99),
+        "key": np.int64(-5),
+    }))
+    # singletons only
+    frames.append(pd.DataFrame({
+        "doc_id": np.arange(1000, 1010, dtype=np.int64),
+        "band": np.arange(10, dtype=np.int32),
+        "key": np.int64(7),
+    }))
+    df = pd.concat(frames, ignore_index=True)
+
+    def reference(rows: pd.DataFrame) -> set:
+        out = set()
+        for _, g in rows.groupby(["band", "key"], sort=False):
+            if len(g) >= 2:
+                e = _emit_pairs_from_bucket(g)
+                out |= set(zip(e["a"].tolist(), e["b"].tolist()))
+        return out
+
+    got = _pairs_from_band_rows(df)
+    assert set(zip(got["a"].tolist(), got["b"].tolist())) == reference(df)
+    # deduped and (a, b)-sorted
+    assert not got.duplicated().any()
+    assert (got.sort_values(["a", "b"]).reset_index(drop=True)
+            .equals(got.reset_index(drop=True)))
+    # empty and all-singleton inputs
+    assert len(_pairs_from_band_rows(df.iloc[0:0])) == 0
+    assert len(_pairs_from_band_rows(frames[2])) == 0
+
+
 def test_bucket_pairs_exchange_path_equivalence(ray_session, monkeypatch):
     """Forcing the filesystem partition-exchange path (the >50M-row
     scale route) produces the SAME near-dup groups as the driver-side
