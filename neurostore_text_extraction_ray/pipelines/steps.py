@@ -908,11 +908,51 @@ def _domain_partials(sf_dir: str):
             .materialize())
 
 
-def grouped_sum_by_key(partials_ds, key_col: str, sum_cols: list[str],
+def _key_part(batch: pa.Table, key_cols: list[str],
+              num_parts: int) -> np.ndarray:
+    """Part id from arbitrary-typed key columns: strings hash through
+    the pandas 64-bit string hash, fixed-width values (ints,
+    timestamps, floats) ride their bit patterns — all mixed through
+    ``exchange.int_part``, so equal multi-column keys always co-locate
+    within a run."""
+    from ..stages import exchange as ex
+
+    cols = []
+    for c in key_cols:
+        arr = batch[c].to_numpy(zero_copy_only=False)
+        if arr.dtype.kind in "iu":
+            cols.append(arr.astype(np.int64))
+        elif arr.dtype.kind in "mMf" and arr.dtype.itemsize == 8:
+            cols.append(np.ascontiguousarray(arr).view(np.int64))
+        else:
+            cols.append(pd.util.hash_array(arr.astype(object)))
+    return ex.int_part(cols, num_parts)
+
+
+def _arrow_schema_of(ds) -> pa.Schema:
+    """Arrow schema of a Dataset regardless of block format: arrow
+    blocks report a pa.Schema directly; pandas blocks report numpy
+    dtypes (object means string for every partial stream here)."""
+    base = ds.schema().base_schema
+    if isinstance(base, pa.Schema):
+        return base
+    fields = []
+    for name, dt in zip(base.names, base.types):
+        if getattr(dt, "kind", None) == "O":
+            fields.append((name, pa.string()))
+        else:
+            fields.append((name, pa.from_numpy_dtype(dt)))
+    return pa.schema(fields)
+
+
+def grouped_sum_by_key(partials_ds, key_col, sum_cols: list[str],
                        driver_limit: int, num_parts: int = 32):
-    """Exact per-key sums over a stream of PARTIAL aggregate rows
-    keyed by a string column — the shared combine behind the
-    domain-stats and host-indegree aggregates. Below ``driver_limit``
+    """Exact per-key sums over a stream of PARTIAL aggregate rows —
+    the shared combine behind the domain-stats, host-indegree,
+    lineitem-pricing and hourly-window aggregates. ``key_col`` is one
+    column name or a list (string / int / timestamp keys all work);
+    key and sum dtypes come from the partials schema, so int sums stay
+    exact and float sums combine per-part. Below ``driver_limit``
     partial rows: a small driver groupby. Beyond: a key-hash partition
     exchange whose per-part combine output STAYS distributed (keys
     co-locate, so per-part sums are exact global totals). CONTRACT:
@@ -925,11 +965,12 @@ def grouped_sum_by_key(partials_ds, key_col: str, sum_cols: list[str],
 
     from ..stages import exchange as ex
 
-    schema = pa.schema([(key_col, pa.string())]
-                       + [(c, pa.int64()) for c in sum_cols])
+    key_cols = [key_col] if isinstance(key_col, str) else list(key_col)
+    base = _arrow_schema_of(partials_ds)
+    schema = pa.schema([base.field(c) for c in key_cols + sum_cols])
 
     def combine(df: pd.DataFrame) -> pd.DataFrame:
-        return (df.groupby(key_col, sort=False)[sum_cols].sum()
+        return (df.groupby(key_cols, sort=False)[sum_cols].sum()
                 .reset_index())
 
     if partials_ds.count() <= driver_limit:
@@ -946,8 +987,7 @@ def grouped_sum_by_key(partials_ds, key_col: str, sum_cols: list[str],
                 lambda b: b.select(in_schema.names).cast(in_schema),
                 batch_format="pyarrow"),
             stage,
-            lambda b: _term_part(
-                b[key_col].to_numpy(zero_copy_only=False), num_parts))
+            lambda b: _key_part(b, key_cols, num_parts))
 
         def part_combine(t: pa.Table) -> pa.Table:
             return pa.Table.from_pandas(combine(t.to_pandas()),
@@ -1411,18 +1451,30 @@ def normalize_part_names(sf_dir: str):
 # -- Engine sanity: grouped aggregate + windowed stream ---------------------
 
 
+# above this many partial (group-key, sums) rows the pricing/window
+# combines leave the driver for the shared grouped_sum_by_key exchange
+# (tests patch to 0). Group cardinality is structurally tiny here
+# (returnflag x linestatus = 6; event_type x hour), but the repo rule
+# is that NO driver collect goes ungated — a pathological key domain
+# (e.g. per-second windows over years) must not OOM the driver.
+AGG_PARTIALS_DRIVER_LIMIT = 5_000_000
+
+
 def lineitem_agg(sf_dir: str):
     """TPC-H Q1-style pricing summary: vectorized derived column +
-    per-batch partial aggregate + one small combine (group cardinality
-    is tiny — 6 rows — so the fact stream never shuffles; for
-    high-cardinality keys use the partition-exchange pattern in
-    pipelines/flagship.py instead)."""
+    per-batch partial aggregate, then the shared ``grouped_sum_by_key``
+    combine (driver groupby below ``AGG_PARTIALS_DRIVER_LIMIT`` partial
+    rows, key-hash partition exchange beyond). The fact stream itself
+    never shuffles — only one partial row per (flag, status) per batch
+    moves. b0 tag = batch-min (l_orderkey*8 + l_linenumber), unique
+    because the composite is row-unique and batches are disjoint."""
     import ray.data as rd
 
     ds = rd.read_parquet(
         f"{sf_dir}/lineitem.parquet",
-        columns=["l_returnflag", "l_linestatus", "l_quantity",
-                 "l_extendedprice", "l_discount"],
+        columns=["l_orderkey", "l_linenumber", "l_returnflag",
+                 "l_linestatus", "l_quantity", "l_extendedprice",
+                 "l_discount"],
     )
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
@@ -1433,31 +1485,39 @@ def lineitem_agg(sf_dir: str):
             sum_disc=("l_discount", "sum"),
             n_rows=("l_quantity", "size"),
         ).reset_index()
+        g["n_rows"] = g["n_rows"].astype("int64")
+        g["b0"] = (np.int64((df["l_orderkey"].to_numpy() * 8
+                             + df["l_linenumber"].to_numpy()).min())
+                   if len(df) else np.int64(0))
         return g
 
-    partials = ds.map_batches(partial, batch_format="pandas").to_pandas()
-    final = partials.groupby(["l_returnflag", "l_linestatus"], sort=False).agg(
-        sum_qty=("sum_qty", "sum"),
-        sum_revenue=("sum_revenue", "sum"),
-        sum_disc=("sum_disc", "sum"),
-        n_rows=("n_rows", "sum"),
-    ).reset_index()
-    final["avg_disc"] = final["sum_disc"] / final["n_rows"]
-    final["n_rows"] = final["n_rows"].astype("int64")
-    final = final[["l_returnflag", "l_linestatus", "sum_qty", "sum_revenue",
-                   "avg_disc", "n_rows"]]
-    return rd.from_pandas(final)
+    partials = ds.map_batches(partial, batch_format="pandas").materialize()
+    summed = grouped_sum_by_key(
+        partials, ["l_returnflag", "l_linestatus"],
+        ["sum_qty", "sum_revenue", "sum_disc", "n_rows"],
+        AGG_PARTIALS_DRIVER_LIMIT)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["avg_disc"] = df["sum_disc"] / df["n_rows"]
+        return df[["l_returnflag", "l_linestatus", "sum_qty",
+                   "sum_revenue", "avg_disc", "n_rows"]]
+
+    return summed.map_batches(finish, batch_format="pandas")
 
 
 def events_hourly(sf_dir: str):
     """Tumbling 1-hour window per event_type: count + value sum.
-    Event-time windows via truncation + per-batch partial aggregate +
-    small combine (bounded by event_type x hours cardinality; tumbling
-    windows need no ordering assumption)."""
+    Event-time windows via truncation + per-batch partial aggregate,
+    then the shared ``grouped_sum_by_key`` combine (driver below
+    ``AGG_PARTIALS_DRIVER_LIMIT`` partial rows, (type, hour)-hash
+    partition exchange beyond — tumbling windows need no ordering
+    assumption, so the window key partitions like any other key)."""
     import ray.data as rd
 
     ds = rd.read_parquet(
-        f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "event_type", "value"]
     )
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -1469,13 +1529,15 @@ def events_hourly(sf_dir: str):
         g = t.groupby(["event_type", "hour"], sort=False)["value"].agg(
             ["count", "sum"]).reset_index()
         g.columns = ["event_type", "hour", "n_events", "sum_value"]
+        g["n_events"] = g["n_events"].astype("int64")
+        g["b0"] = (np.int64(pc.min(batch["event_id"]).as_py())
+                   if len(batch) else np.int64(0))
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    partials = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
-    final = partials.groupby(["event_type", "hour"], sort=False).agg(
-        n_events=("n_events", "sum"), sum_value=("sum_value", "sum")).reset_index()
-    final["n_events"] = final["n_events"].astype("int64")
-    return rd.from_pandas(final)
+    partials = ds.map_batches(partial, batch_format="pyarrow").materialize()
+    return grouped_sum_by_key(
+        partials, ["event_type", "hour"], ["n_events", "sum_value"],
+        AGG_PARTIALS_DRIVER_LIMIT)
 
 
 # -- Streaming-shaped: session windows (gap-based) --------------------------

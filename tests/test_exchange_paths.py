@@ -108,6 +108,27 @@ def test_domain_stats_exchange_equivalence(ray_session, monkeypatch):
     assert (drv["n_docs"] == 1).any()
 
 
+def test_lineitem_agg_exchange_equivalence(ray_session, monkeypatch):
+    from neurostore_text_extraction_ray.pipelines import steps
+
+    drv = _canon(steps.lineitem_agg(SF).to_pandas())
+    monkeypatch.setattr(steps, "AGG_PARTIALS_DRIVER_LIMIT", 0)
+    exch = _canon(steps.lineitem_agg(SF).to_pandas())
+    pd.testing.assert_frame_equal(drv, exch)
+    assert len(drv) == 6
+
+
+def test_events_hourly_exchange_equivalence(ray_session, monkeypatch):
+    from neurostore_text_extraction_ray.pipelines import steps
+
+    drv = _canon(steps.events_hourly(SF).to_pandas())
+    monkeypatch.setattr(steps, "AGG_PARTIALS_DRIVER_LIMIT", 0)
+    exch = _canon(steps.events_hourly(SF).to_pandas())
+    pd.testing.assert_frame_equal(drv, exch)
+    assert len(drv) > 0
+    assert int(drv["n_events"].sum()) == 1000  # every sf0.001 event counted once
+
+
 def test_domain_filter_exchange_equivalence(ray_session, monkeypatch):
     from neurostore_text_extraction_ray.pipelines import steps
 
