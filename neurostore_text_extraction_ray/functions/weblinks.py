@@ -16,10 +16,17 @@ import re
 import pandas as pd
 
 # <a ... href="..."> / <a ... href='...'>: anchor tags only, first
-# href attribute in the tag; unquoted hrefs are rare and skipped
-# (documented subset, mirrored by every oracle plant).
+# href ATTRIBUTE in the tag — the name must start right after
+# whitespace so suffixed attributes (data-href=) never match, and each
+# quote style owns its value class so a double-quoted href may contain
+# apostrophes (and vice versa) without truncating at the opposite
+# quote (ADVICE r04 #1). Remaining documented subset: unquoted hrefs
+# are skipped, values never span a ">", and a quoted attribute VALUE
+# containing " href=" (quote-blind regex) can still false-match —
+# acceptable for a link-graph signal that deliberately skips the
+# full-DOM parse.
 HREF_RE = re.compile(
-    r"""<a\s[^>]*?href\s*=\s*["']([^"']+)["']""",
+    r"""<a\s(?:[^>]*?\s)?href\s*=\s*(?:"([^">]*)"|'([^'>]*)')""",
     re.IGNORECASE | re.DOTALL,
 )
 
@@ -31,7 +38,9 @@ def extract_hrefs(html: str) -> list[str]:
     """All quoted anchor hrefs in document order."""
     if not html:
         return []
-    return HREF_RE.findall(html)
+    # two alternation groups (one per quote style); exactly one
+    # participates per match — findall fills the other with ""
+    return [a or b for a, b in HREF_RE.findall(html)]
 
 
 def href_host(url: str) -> str | None:
@@ -49,12 +58,15 @@ def outlinks_frame(df: pd.DataFrame, id_col: str = "doc_id",
     # (batch frames usually carry a RangeIndex, but never rely on it)
     links = (df[html_col].fillna("").reset_index(drop=True)
              .str.extractall(HREF_RE))
+    # per-quote-style capture groups: one column per group, the
+    # non-participating one NaN — coalesce into a single href column
+    hrefs = links[0].fillna(links[1]) if len(links) else None
     out = pd.DataFrame({
         "doc_id": df[id_col].to_numpy()[links.index.get_level_values(0)]
         if len(links) else pd.Series(dtype="int64"),
         "ord": links.index.get_level_values(1).to_numpy(dtype="int64")
         if len(links) else pd.Series(dtype="int64"),
-        "href": links[0].to_numpy(dtype=object)
+        "href": hrefs.to_numpy(dtype=object)
         if len(links) else pd.Series(dtype=object),
     })
     out["host"] = out["href"].map(href_host) if len(out) else \

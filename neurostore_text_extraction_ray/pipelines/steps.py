@@ -1205,9 +1205,16 @@ def docs_lang_temperature_sample(sf_dir: str, rate_pct: int = 40):
         if len(ids) and not ((ids >= 0).all() and ids.max() < (1 << 31)):
             raise ValueError("requires 0 <= doc_id < 2^31")
         h = (ids * 2654435761) % (1 << 31) % (1 << 20)
-        # every batch lang is present in the pass-1 map by construction
-        idx = np.searchsorted(bl, np.asarray(batch["lang"].to_pylist(),
-                                             dtype="U32"))
+        # every batch lang is present in the pass-1 map by
+        # construction — verify exact membership so a nondeterministic
+        # upstream batch fails loudly instead of sampling with a
+        # neighbor language's threshold (ADVICE r04 #3)
+        langs = np.asarray(batch["lang"].to_pylist(), dtype="U32")
+        idx = np.minimum(np.searchsorted(bl, langs), max(len(bl) - 1, 0))
+        if len(langs) and (len(bl) == 0 or not (bl[idx] == langs).all()):
+            raise ValueError(
+                "temperature sample: lang absent from the pass-1 count "
+                "map — upstream batch fn changed between passes")
         return batch.filter(pa.array(h <= bthr[idx]))
 
     return docs.map_batches(keep, batch_format="pyarrow")
@@ -1353,7 +1360,9 @@ def global_rank(ds, key_col: str, tie_col: str, descending: bool = False,
 
     def to_kt(b: pa.Table) -> pa.Table:
         k = b[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        if len(k) and np.abs(k).max() >= (1 << 62):
+        # explicit bounds, not np.abs: np.abs(int64 min) wraps to int64
+        # min and would slip past an abs-based guard (ADVICE r04 #2)
+        if len(k) and (int(k.min()) <= -(1 << 62) or int(k.max()) >= (1 << 62)):
             raise ValueError("global_rank requires |key| < 2^62")
         return pa.table({
             "k": pa.array(sign * k, pa.int64()),

@@ -236,9 +236,22 @@ def _dup_spans_broadcast(corpus, partials, k, id_col, text_col):
         bhu, bwin = get_broadcast(ref)
         ids, starts, ends, hs, counts = _batch_windows(
             batch, id_col, text_col, k)
-        # every window hash is present in the pass-1 map by construction
-        winners = bwin[np.searchsorted(bhu, hs)] if len(hs) else \
-            np.empty(0, np.int64)
+        # every window hash is present in the pass-1 map by
+        # construction — but that relies on the corpus Dataset
+        # re-executing identically between passes, so verify exact
+        # membership and fail loudly instead of silently marking with
+        # a neighbor's winner (ADVICE r04 #3)
+        if len(hs):
+            idx = np.minimum(np.searchsorted(bhu, hs),
+                             max(len(bhu) - 1, 0))
+            if len(bhu) == 0 or not (bhu[idx] == hs).all():
+                raise ValueError(
+                    "dup-spans mark pass: window hash absent from the "
+                    "pass-1 winner map — upstream batch fn produced "
+                    "different text between passes")
+            winners = bwin[idx]
+        else:
+            winners = np.empty(0, np.int64)
         dup = winners != ids
         out = {c: [] for c in ("doc_id", "n_windows", "n_dup_windows",
                                "dup_nchars", "dup_spans")}

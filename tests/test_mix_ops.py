@@ -112,8 +112,7 @@ def test_lang_temperature_sample_semantics(ray_session, synth_dir):
     docs = pd.read_parquet(
         os.path.join(synth_dir, "documents.parquet"),
         columns=["doc_id", "lang", "n_chars"])
-    n = docs.groupby("lang")["n"].sum() if "n" in docs else \
-        docs.groupby("lang").size()
+    n = docs.groupby("lang").size()
     sw = int(sum(math.isqrt(int(v)) for v in n))
     target = (int(n.sum()) * 40) // 100
     thr = {}

@@ -26,6 +26,38 @@ def test_extract_hrefs_edge_cases():
         "https://c.example/z", "/rel/path"]
 
 
+def test_extract_hrefs_attribute_boundary_and_quotes():
+    # ADVICE r04 #1: suffixed attribute names must NOT match — the
+    # real href wins over data-href
+    html = '<a data-href="https://wrong.example" href="https://right.example/p">x</a>'
+    assert extract_hrefs(html) == ["https://right.example/p"]
+    # a double-quoted value may contain the opposite quote char
+    assert extract_hrefs('<a href="https://h.example/O\'Brien">x</a>') == [
+        "https://h.example/O'Brien"]
+    assert extract_hrefs("<a href='https://h.example/a\"b'>x</a>") == [
+        'https://h.example/a"b']
+    # mismatched quotes never match (no cross-quote truncation)
+    assert extract_hrefs("<a href=\"https://h.example/m'>x</a>") == []
+    # href as the FIRST attribute still matches (optional prefix)
+    assert extract_hrefs('<a href="/first">x</a>') == ["/first"]
+    # empty href is extracted as an empty string, not dropped
+    assert extract_hrefs('<a href="">x</a>') == [""]
+    # hreflang is not href
+    assert extract_hrefs('<a hreflang="en">x</a>') == []
+
+
+def test_outlinks_frame_mixed_quote_styles():
+    df = pd.DataFrame({
+        "doc_id": [1],
+        "html": ["<a href='https://s.example/one'>a</a>"
+                 '<a href="https://s.example/two">b</a>'],
+    })
+    out = outlinks_frame(df)
+    assert out["href"].tolist() == [
+        "https://s.example/one", "https://s.example/two"]
+    assert out["ord"].tolist() == [0, 1]
+
+
 def test_href_host():
     assert href_host("https://Sub.Site.example/p?q#f") == "sub.site.example"
     assert href_host("ftp://h.example/f") == "h.example"
