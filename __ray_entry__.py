@@ -161,6 +161,21 @@ def _round_cols(ds, spec: dict[str, int]):
     return ds.map_batches(r, batch_format="pandas")
 
 
+def _evaluation_golden_metrics(sf_dir: str):
+    """Committed-golden replay (VERDICT r04 #5): score the reference's
+    1.0.0 pipeline outputs against its 1.1.0 outputs through the full
+    loader -> best-match alignment -> P/R/F1 chain. Corpus-independent
+    (reads only the reference's committed results.json files), so the
+    golden oracle is undiscriminated."""
+    from neurostore_text_extraction_ray.pipelines.evaluation import (
+        golden_replay_metrics)
+
+    df = golden_replay_metrics("/root/reference/evaluation/results")
+    for c in ("precision", "recall", "f1"):
+        df[c] = df[c].round(6)
+    return df
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001."""
     return _flagship("/root/testdata/sf0.001")
@@ -176,6 +191,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # item 1).
     return {
         # --- never driver-verified before r5 ---
+        "evaluation_golden_metrics": _evaluation_golden_metrics,
         "docs_url_filter": _docs_url_filter,
         "docs_outlinks": _docs_outlinks,
         "host_indegree": _host_indegree,
@@ -829,6 +845,8 @@ def oracle_sql() -> dict[str, str]:
         "umls_disease_groups": _golden_sql("umls_disease_groups"),
         "abbrev_expand": _golden_sql("abbrev_expand"),
         "multimodal_features": _golden_sql("multimodal_features", discriminated=False),
+        "evaluation_golden_metrics": _golden_sql(
+            "evaluation_golden_metrics", discriminated=False),
         "distinct_langs": "SELECT DISTINCT lang FROM documents",
         "top_docs_by_length": (
             "SELECT doc_id, n_chars FROM documents "

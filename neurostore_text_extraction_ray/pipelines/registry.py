@@ -315,6 +315,13 @@ def _register_builtins():
     register_op("docs_url_canonicalize")(extras._docs_url_canonicalize)
     register_op("multimodal_features", version="2.0.0")(extras._multimodal_features)
 
+    def _evaluation_golden_metrics_op(sf_dir: str):
+        from ..pipelines.evaluation import golden_replay_metrics
+
+        return golden_replay_metrics("/root/reference/evaluation/results")
+
+    register_op("evaluation_golden_metrics")(_evaluation_golden_metrics_op)
+
     # Reference pipeline-name aliases (snake-cased extractor class
     # names a reference user types at the CLI, cli/run.py:13-33):
     # ParticipantDemographicsExtractor 1.1.0, TaskExtractor 1.1.0,

@@ -108,3 +108,134 @@ def test_flatten_empty_outputs_keep_columns():
     gt = pd.DataFrame({"key": ["0:0"], "count": [1.0]})
     acc = field_accuracy(demo, gt, "key", ["count"])
     assert acc.loc[0, "n"] == 0
+
+
+# ---------------------------------------------------------------------------
+# Committed-golden replay (VERDICT r04 #5): the reference's own
+# results.json files flow through loader -> alignment -> metrics.
+# ---------------------------------------------------------------------------
+
+REF_RESULTS = "/root/reference/evaluation/results"
+
+
+def test_load_pipeline_results_demographics_pinned():
+    import os
+
+    import pytest
+
+    from neurostore_text_extraction_ray.pipelines.evaluation import (
+        load_pipeline_results)
+
+    if not os.path.isdir(REF_RESULTS):
+        pytest.skip("reference goldens unavailable")
+    df = load_pipeline_results(REF_RESULTS, "participant_demographics",
+                               "1.1.0")
+    # 15 committed study dirs, one without a pmcid -> 14 studies,
+    # 19 group records (pinned against the committed files)
+    assert len(df) == 19
+    assert df["pmcid"].nunique() == 14
+    # hand-read from 3XC7fFxU7Sn6/results.json + info.json
+    row = df[df["pmcid"] == "5776089"].iloc[0]
+    assert row["group_name"] == "healthy"
+    assert row["count"] == 21
+    assert row["age_mean"] == 25.77
+    assert row["male_count"] == 21
+    # default version = latest by reverse-sorted path (1.1.0 > 1.0.0)
+    latest = load_pipeline_results(REF_RESULTS, "participant_demographics")
+    pd.testing.assert_frame_equal(df, latest)
+
+
+def test_load_pipeline_results_task_pinned():
+    import os
+
+    import pytest
+
+    from neurostore_text_extraction_ray.pipelines.evaluation import (
+        load_pipeline_results)
+
+    if not os.path.isdir(REF_RESULTS):
+        pytest.skip("reference goldens unavailable")
+    df = load_pipeline_results(REF_RESULTS, "task", "1.1.0")
+    assert len(df) == 14                      # one record per study
+    row = df[df["pmcid"] == "5776089"].iloc[0]
+    assert row["HasRestingState"] is False or row["HasRestingState"] == False  # noqa: E712
+    assert row["TaskName"] == ["Ankle Dorsiflexion Task"]
+    assert row["Modality"] == ["fMRI-BOLD"]
+    old = load_pipeline_results(REF_RESULTS, "task", "1.0.0")
+    # the two committed versions genuinely differ (replay is non-trivial)
+    assert old[old["pmcid"] == "5776089"].iloc[0]["TaskName"] == [
+        "Dorsiflexion Task"]
+
+
+def test_field_prf_semantics():
+    from neurostore_text_extraction_ray.pipelines.evaluation import (
+        field_prf, normalize_numeric, normalize_text_multi)
+
+    # numeric with tolerance; NaN never matches and shrinks the totals
+    gt = pd.Series([20.0, 15.0, np.nan, 8.0])
+    ex = pd.Series([20.4, 16.0, 3.0, np.nan])
+    m = field_prf(gt, ex, normalize=normalize_numeric, tolerance=0.5)
+    assert m["matches"] == 1                   # only |20-20.4| <= 0.5
+    assert m["total_ground_truth"] == 3 and m["total_extracted"] == 3
+    assert m["precision"] == m["recall"] == 1 / 3
+    # list fields compare as normalized SETS (order/case insensitive)
+    gt = pd.Series([["Stroop Task", "rest"], ["N-Back"]])
+    ex = pd.Series([["REST", "stroop  task"], ["Go/NoGo"]])
+    m = field_prf(gt, ex, normalize=normalize_text_multi)
+    assert m["matches"] == 1 and m["f1"] == 0.5
+    # string normalization collapses whitespace/case
+    m = field_prf(pd.Series(["Major  Depression"]),
+                  pd.Series(["major depression"]),
+                  normalize=normalize_text_multi)
+    assert m["f1"] == 1.0
+
+
+def test_golden_replay_self_identity():
+    """v1.1.0 scored against itself is a perfect extraction: every
+    field with any non-missing values scores P=R=F1=1."""
+    import os
+
+    import pytest
+
+    from neurostore_text_extraction_ray.pipelines.evaluation import (
+        DEMOGRAPHICS_FIELD_CONFIG, align_best_match,
+        calculate_metrics_frame, load_pipeline_results)
+
+    if not os.path.isdir(REF_RESULTS):
+        pytest.skip("reference goldens unavailable")
+    df = load_pipeline_results(REF_RESULTS, "participant_demographics",
+                               "1.1.0")
+    gt, ex = align_best_match(df, df, DEMOGRAPHICS_FIELD_CONFIG)
+    m = calculate_metrics_frame(gt, ex, DEMOGRAPHICS_FIELD_CONFIG)
+    per_field = m[m["field"] != "aggregate"]
+    nonempty = per_field[per_field["total_ground_truth"] > 0]
+    assert (nonempty["precision"] == 1.0).all()
+    assert (nonempty["recall"] == 1.0).all()
+    assert (nonempty["f1"] == 1.0).all()
+
+
+def test_golden_replay_cross_version_pinned():
+    """The full replay (1.0.0 scored against 1.1.0) reproduces pinned
+    per-field values hand-checked against the committed files."""
+    import os
+
+    import pytest
+
+    from neurostore_text_extraction_ray.pipelines.evaluation import (
+        golden_replay_metrics)
+
+    if not os.path.isdir(REF_RESULTS):
+        pytest.skip("reference goldens unavailable")
+    m = golden_replay_metrics(REF_RESULTS).set_index(["dataset", "field"])
+    demo = m.loc["participant_demographics"]
+    assert demo.loc["age_mean", "matches"] == 10
+    assert demo.loc["age_mean", "f1"] == 1.0
+    assert demo.loc["group_name", "f1"] == 1.0
+    assert demo.loc["diagnosis", "matches"] == 11
+    assert demo.loc["count", "matches"] == 12
+    task = m.loc["task"]
+    assert task.loc["HasRestingState", "f1"] == 1.0
+    assert task.loc["Modality", "f1"] == 1.0
+    # 'Dorsiflexion Task' vs 'Ankle Dorsiflexion Task' divergences
+    assert task.loc["TaskName", "matches"] == 10
+    assert abs(task.loc["TaskName", "f1"] - 10 / 14) < 1e-12

@@ -87,6 +87,8 @@ def _pairs():
     "docs_dup_spans",
     "docs_domain_stats", "docs_domain_filter", "docs_rank_by_length",
     "docs_outlinks", "host_indegree", "docs_quality_buckets",
+    # round-5 additions
+    "evaluation_golden_metrics",
 ])
 def test_query_matches_oracle(name, ray_session):
     import __ray_entry__ as e

@@ -48,7 +48,7 @@ SF_QUERIES = [
     "docs_dup_spans",
 ]
 # corpus-independent queries (single file)
-GLOBAL_QUERIES = ["multimodal_features"]
+GLOBAL_QUERIES = ["multimodal_features", "evaluation_golden_metrics"]
 
 SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 
