@@ -498,6 +498,12 @@ def run_flagship_to_parquet(
     def write_fragments(batch: pa.Table) -> pa.Table:
         import pyarrow.parquet as pq
 
+        from ..stages import exchange as ex
+
+        # same execution-time multi-node validation the generic
+        # exchange performs: this embedded variant writes fragments to
+        # the run dir, which must be shared storage on a cluster
+        ex.assert_shared_visibility("flagship stage dir")
         batch = partial_dedup_batch(batch)
         parts_np = batch["part"].to_numpy(zero_copy_only=False)
         for part in np.unique(parts_np):

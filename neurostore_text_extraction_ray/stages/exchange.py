@@ -67,6 +67,29 @@ def _assert_single_node() -> None:
             )
 
 
+def assert_shared_visibility(what: str) -> None:
+    """Multi-node guard for NON-exchange fragment writers (the
+    flagship pipeline's embedded stage/output dirs, incremental state
+    dirs): those paths must be shared storage on a multi-node cluster,
+    but unlike the exchange root there is no env var the engine can
+    inspect to know a user-supplied path is shared — so the user
+    promises it explicitly with ``NSE_SHARED_STORAGE=1``. Single-node
+    (and not-yet-initialized Ray): no-op."""
+    if os.environ.get("NSE_SHARED_STORAGE"):
+        return
+    import ray
+
+    if ray.is_initialized():
+        alive = [n for n in ray.nodes() if n.get("Alive")]
+        if len(alive) > 1:
+            raise RuntimeError(
+                f"{what} writes per-node fragments to a user-supplied "
+                "path; on a multi-node cluster that path must be shared "
+                "storage visible to every node. Point it at NFS/object "
+                "storage and set NSE_SHARED_STORAGE=1 to confirm."
+            )
+
+
 _LIVE_STAGES: set[str] = set()
 _ATEXIT_REGISTERED = False
 _NODE_CHECKED = False  # per-process: worker-side single-node check ran

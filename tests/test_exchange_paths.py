@@ -139,3 +139,100 @@ def test_domain_filter_exchange_equivalence(ray_session, monkeypatch):
     # every tail singleton dropped, every kept domain is a head domain
     assert len(drv) > 0
     assert drv["domain"].str.startswith("site").all()
+
+
+# ---------------------------------------------------------------------------
+# Multi-node dress rehearsal (VERDICT r04 #7): the exchange validates
+# its shared-storage precondition at execution time, runs correctly
+# against an explicit shared root while a second node is simulated, and
+# every non-exchange fragment writer carries the same validation.
+# ---------------------------------------------------------------------------
+
+
+def _fake_two_nodes(monkeypatch):
+    import ray
+
+    monkeypatch.setattr(
+        ray, "nodes",
+        lambda: [{"Alive": True, "NodeID": "a"},
+                 {"Alive": True, "NodeID": "b"}])
+
+
+def test_exchange_multinode_guard_raises(ray_session, monkeypatch):
+    """Simulated second node + no NSE_EXCHANGE_ROOT: the exchange path
+    must fail loudly at stage creation, not silently drop rows."""
+    from neurostore_text_extraction_ray.pipelines import steps
+    from neurostore_text_extraction_ray.stages import exchange as ex
+
+    monkeypatch.delenv("NSE_EXCHANGE_ROOT", raising=False)
+    _fake_two_nodes(monkeypatch)
+    with pytest.raises(RuntimeError, match="shared"):
+        ex._assert_single_node()
+    monkeypatch.setattr(steps, "DOMAIN_DRIVER_LIMIT", 0)
+    with pytest.raises(RuntimeError, match="shared"):
+        steps.docs_domain_stats(SF).to_pandas()
+
+
+def test_exchange_shared_root_multinode_rehearsal(ray_session, tmp_path,
+                                                  monkeypatch):
+    """Simulated second node WITH a shared exchange root: the run
+    proceeds, every stage dir lands under the root, and the result
+    equals the single-node driver path."""
+    from neurostore_text_extraction_ray.pipelines import steps
+    from neurostore_text_extraction_ray.stages import exchange as ex
+
+    drv = _canon(steps.docs_domain_stats(SF).to_pandas())
+    root = tmp_path / "shared_x"
+    monkeypatch.setenv("NSE_EXCHANGE_ROOT", str(root))
+    _fake_two_nodes(monkeypatch)
+    made = []
+    real_make = ex.make_stage
+
+    def recording_make(prefix):
+        s = real_make(prefix)
+        made.append(s)
+        return s
+
+    monkeypatch.setattr(ex, "make_stage", recording_make)
+    monkeypatch.setattr(steps, "DOMAIN_DRIVER_LIMIT", 0)
+    exch = _canon(steps.docs_domain_stats(SF).to_pandas())
+    pd.testing.assert_frame_equal(drv, exch)
+    assert made and all(s.startswith(str(root)) for s in made)
+
+
+def test_shared_visibility_guard(ray_session, monkeypatch):
+    """Non-exchange fragment writers (flagship run dir, incremental
+    state): multi-node without the NSE_SHARED_STORAGE promise raises;
+    with it (or single-node) it is a no-op."""
+    from neurostore_text_extraction_ray.stages import exchange as ex
+
+    monkeypatch.delenv("NSE_SHARED_STORAGE", raising=False)
+    ex.assert_shared_visibility("x")  # single-node: no-op
+    _fake_two_nodes(monkeypatch)
+    with pytest.raises(RuntimeError, match="NSE_SHARED_STORAGE"):
+        ex.assert_shared_visibility("flagship stage dir")
+    monkeypatch.setenv("NSE_SHARED_STORAGE", "1")
+    ex.assert_shared_visibility("flagship stage dir")
+
+
+def test_fragment_writers_route_through_validation():
+    """Static invariant: every module that writes part= fragment dirs
+    either routes rows through write_exchange (whose execution-time
+    check runs on driver and workers) or calls
+    assert_shared_visibility itself."""
+    import glob
+    import os
+
+    import neurostore_text_extraction_ray as pkg
+
+    pkg_dir = os.path.dirname(pkg.__file__)
+    offenders = []
+    for path in glob.glob(f"{pkg_dir}/**/*.py", recursive=True):
+        if path.endswith(os.path.join("stages", "exchange.py")):
+            continue
+        src = open(path).read()
+        writes = 'f"part={' in src and "os.makedirs(frag_dir" in src
+        if writes and "write_exchange" not in src \
+                and "assert_shared_visibility" not in src:
+            offenders.append(path)
+    assert not offenders, offenders
