@@ -192,6 +192,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- never driver-verified before r5 ---
         "evaluation_golden_metrics": _evaluation_golden_metrics,
+        "docs_domain_cap": steps.docs_domain_cap,
         "docs_url_filter": _docs_url_filter,
         "docs_outlinks": _docs_outlinks,
         "host_indegree": _host_indegree,
@@ -668,6 +669,19 @@ def oracle_sql() -> dict[str, str]:
             "  CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) "
             "    AS n_en "
             "FROM d GROUP BY domain"
+        ),
+        # Per-domain CAP: keep at most 3 docs per domain, ordered by
+        # the house sampling hash then doc_id (exact window analog).
+        "docs_domain_cap": (
+            "WITH d AS (SELECT doc_id, "
+            "  CASE WHEN doc_id % 11 = 0 THEN 'tail' || doc_id || '.example' "
+            "    ELSE 'site' || (doc_id % 7) || '.example' END AS domain, "
+            "  ((doc_id * 2654435761) % 2147483648) % 1048576 AS h "
+            "  FROM documents), "
+            "r AS (SELECT doc_id, domain, "
+            "  ROW_NUMBER() OVER (PARTITION BY domain ORDER BY h, doc_id) "
+            "    AS rn FROM d) "
+            "SELECT doc_id, domain FROM r WHERE rn <= 3"
         ),
         # Domain-level filter: keep docs whose domain has >= 5 docs
         # corpus-wide (drops the singleton tail at every scale).

@@ -321,6 +321,7 @@ def _register_builtins():
         return golden_replay_metrics("/root/reference/evaluation/results")
 
     register_op("evaluation_golden_metrics")(_evaluation_golden_metrics_op)
+    register_op("docs_domain_cap")(steps.docs_domain_cap)
 
     # Reference pipeline-name aliases (snake-cased extractor class
     # names a reference user types at the CLI, cli/run.py:13-33):

@@ -1105,6 +1105,71 @@ def _domain_filter_exchanged(sf_dir: str, kept_ds, num_parts: int = 32):
             shutil.rmtree(s, ignore_errors=True)
 
 
+def docs_domain_cap(sf_dir: str, cap: int = 3, num_parts: int = 32):
+    """Per-domain document CAP (RefinedWeb-style domain quota): keep at
+    most ``cap`` documents per registered domain, chosen by the house
+    sampling hash then doc_id — a deterministic, input-order-free
+    total order within each domain, so the kept set is stable across
+    runs and cluster shapes. Output (doc_id, domain).
+
+    Scale shape: rank-within-domain needs every id of a domain in one
+    place, so this is inherently a co-partition op — there is no
+    bounded driver/broadcast variant to gate (unlike the stats/filter
+    pair above, whose exchanged rows are domain-bounded). Only
+    (doc_id) int64 rows travel: the domain string and the hash are
+    both pure functions of doc_id and recompute per part, keeping the
+    exchange ~8 bytes/row at any corpus size. Per-part kernel is one
+    factorize + lexsort + offset cumcount — no per-domain Python
+    loop."""
+    import shutil
+
+    import ray.data as rd
+
+    from ..stages import exchange as ex
+
+    out_schema = pa.schema([("doc_id", pa.int64()), ("domain", pa.string())])
+    stage = ex.make_stage("nse_domcap_")
+
+    def check_ids(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(ids) and not ((ids >= 0).all() and ids.max() < (1 << 31)):
+            raise ValueError("docs_domain_cap requires 0 <= doc_id < 2^31")
+        return pa.table({"doc_id": pa.array(ids, pa.int64())})
+
+    def by_domain(b: pa.Table) -> np.ndarray:
+        dom = _plant_domains(
+            pd.Series(b["doc_id"].to_numpy(zero_copy_only=False)))
+        return _term_part(dom.to_numpy(dtype=object), num_parts)
+
+    try:
+        ex.write_exchange(
+            _docs(sf_dir, ["doc_id"]).map_batches(
+                check_ids, batch_format="pyarrow"),
+            stage, by_domain)
+
+        def keep_part(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            dom = _plant_domains(pd.Series(ids)).to_numpy(dtype=object)
+            h = (ids * 2654435761) % (1 << 31) % (1 << 20)
+            codes, _ = pd.factorize(dom, sort=False)
+            order = np.lexsort((ids, h, codes))
+            sorted_codes = codes[order]
+            starts = np.flatnonzero(
+                np.r_[True, sorted_codes[1:] != sorted_codes[:-1]])
+            sizes = np.diff(np.r_[starts, len(order)])
+            cum = np.arange(len(order)) - np.repeat(starts, sizes)
+            keep = order[cum < cap]
+            return pa.table({
+                "doc_id": pa.array(ids[keep], pa.int64()),
+                "domain": pa.array(dom[keep], pa.string()),
+            })
+
+        return ex.map_parts(stage, num_parts, keep_part,
+                            out_schema).materialize()
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+
+
 # -- Stratified deterministic sampling (per-group quotas) -------------------
 
 

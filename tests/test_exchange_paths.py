@@ -2,6 +2,7 @@
 paths (VERDICT r02 next-round #3/#4): dedup_exact winner combine and
 the events->orders as-of join."""
 
+import numpy as np
 import pandas as pd
 import pytest
 
@@ -236,3 +237,30 @@ def test_fragment_writers_route_through_validation():
                 and "assert_shared_visibility" not in src:
             offenders.append(path)
     assert not offenders, offenders
+
+
+def test_docs_domain_cap_semantics(ray_session):
+    """Per-domain cap: at most `cap` docs per domain, chosen by the
+    sampling hash then doc_id; kept set invariant to the part count."""
+    from neurostore_text_extraction_ray.pipelines import steps
+
+    out = _canon(steps.docs_domain_cap(SF, cap=3).to_pandas())
+    per_dom = out.groupby("domain").size()
+    assert (per_dom <= 3).all()
+    # head domains (>= 5 docs each at sf0.001) hit the cap exactly
+    heads = per_dom[per_dom.index.str.startswith("site")]
+    assert len(heads) == 7 and (heads == 3).all()
+    # tail singletons survive untouched
+    tails = per_dom[per_dom.index.str.startswith("tail")]
+    assert (tails == 1).all()
+    # deterministic + independent of partitioning
+    out1 = _canon(steps.docs_domain_cap(SF, cap=3, num_parts=1).to_pandas())
+    pd.testing.assert_frame_equal(out, out1)
+    # the chosen ids are the hash-minimal ones per domain (spot-check)
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id"])
+    ids = docs["doc_id"].to_numpy()
+    dom0 = ids[(ids % 11 != 0) & (ids % 7 == 0)]
+    h = (dom0 * 2654435761) % (1 << 31) % (1 << 20)
+    expect = set(dom0[np.lexsort((dom0, h))][:3])
+    got = set(out[out["domain"] == "site0.example"]["doc_id"])
+    assert got == expect

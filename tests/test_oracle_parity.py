@@ -88,7 +88,7 @@ def _pairs():
     "docs_domain_stats", "docs_domain_filter", "docs_rank_by_length",
     "docs_outlinks", "host_indegree", "docs_quality_buckets",
     # round-5 additions
-    "evaluation_golden_metrics",
+    "evaluation_golden_metrics", "docs_domain_cap",
 ])
 def test_query_matches_oracle(name, ray_session):
     import __ray_entry__ as e
