@@ -71,6 +71,13 @@ def word_deviance(sf_dir: str):
 
 # -- A2: TF-IDF (document-frequency aggregate + broadcast scoring) ----------
 
+# hard ceiling on the post-min_df vocabulary the scoring pass may
+# broadcast (16 bytes/term as sorted hash+idf arrays). TF-IDF scoring
+# fundamentally requires the vocab everywhere, so past this budget the
+# fix is semantic (raise min_df / supply a vocabulary), not a bigger
+# driver — raising loudly beats an OOM mid-job. Tests patch to 0.
+TFIDF_VOCAB_DRIVER_LIMIT = 20_000_000
+
 
 def tfidf(sf_dir: str, min_df: int = 2, vocabulary: dict | None = None,
           custom_terms: list[str] | None = None,
@@ -124,26 +131,49 @@ def tfidf(sf_dir: str, min_df: int = 2, vocabulary: dict | None = None,
         return ex
 
     # document-frequency aggregate: vectorized tokenize+explode, one
-    # partial DF-count row per distinct term per batch, one small final
-    # combine — the A2 partial+final split without a Ray-native shuffle
+    # partial DF-count row per distinct term per batch, then the
+    # shared grouped_sum_by_key combine (driver below
+    # TERMS_DRIVER_LIMIT partial rows — web text has an unbounded
+    # vocabulary, so the combine may not assume driver residency —
+    # term-hash exchange beyond). min_df filters DISTRIBUTED (exact:
+    # all of a term's rows co-locate per part) before the vocab is
+    # collected; the collect itself is hard-gated because scoring
+    # fundamentally broadcasts the vocab — past the budget the job
+    # must be re-run with a custom vocabulary, not silently OOM.
     def df_partial(df: pd.DataFrame) -> pd.DataFrame:
         ex = _explode_terms(df).drop_duplicates()
         c = ex["term"].value_counts()
-        return pd.DataFrame({"term": c.index.to_numpy(dtype=object),
-                             "n": c.to_numpy().astype(np.int64)})
+        out = pd.DataFrame({"term": c.index.to_numpy(dtype=object),
+                            "n": c.to_numpy().astype(np.int64)})
+        # b0 contract (write_exchange): batch-min doc_id keeps
+        # byte-identical partials from distinct batches distinct
+        out["b0"] = np.int64(df["doc_id"].min()) if len(df) else np.int64(0)
+        return out
 
-    partials = docs.map_batches(df_partial, batch_format="pandas").to_pandas()
-    if partials.empty:
-        # an all-empty partial stream (e.g. a vocabulary disjoint from
-        # the corpus) loses its columns through to_pandas
-        partials = pd.DataFrame({"term": pd.Series(dtype=object),
-                                 "n": pd.Series(dtype="int64")})
-    df_counts = partials.groupby("term", sort=False)["n"].sum()
-    # min_df applies only without an explicit vocabulary (sklearn
-    # TfidfVectorizer ignores min_df when vocabulary is given)
-    vocab = df_counts if vocab_set is not None else df_counts[df_counts >= min_df]
-    terms_arr = vocab.index.to_numpy(dtype=object)
-    idf_arr = np.log((1 + n_docs) / (1 + vocab.to_numpy())) + 1.0
+    partials_ds = docs.map_batches(
+        df_partial, batch_format="pandas").materialize()
+    summed = grouped_sum_by_key(partials_ds, "term", ["n"],
+                                TERMS_DRIVER_LIMIT)
+    if vocab_set is None:
+        # min_df applies only without an explicit vocabulary (sklearn
+        # TfidfVectorizer ignores min_df when vocabulary is given)
+        summed = summed.map_batches(
+            lambda t: t.filter(pc.greater_equal(t["n"], min_df)),
+            batch_format="pyarrow")
+    kept = summed.materialize()
+    if kept.count() > TFIDF_VOCAB_DRIVER_LIMIT:
+        raise RuntimeError(
+            "tfidf vocabulary exceeds the broadcast budget "
+            f"({TFIDF_VOCAB_DRIVER_LIMIT} terms): raise min_df, supply "
+            "a custom vocabulary, or raise TFIDF_VOCAB_DRIVER_LIMIT")
+    vdf = kept.to_pandas()
+    if vdf.empty:
+        # a zero-block Dataset drops its columns through to_pandas
+        # (e.g. a vocabulary disjoint from the corpus)
+        vdf = pd.DataFrame({"term": pd.Series(dtype=object),
+                            "n": pd.Series(dtype="int64")})
+    terms_arr = vdf["term"].to_numpy(dtype=object)
+    idf_arr = np.log((1 + n_docs) / (1 + vdf["n"].to_numpy())) + 1.0
     # broadcast as sorted term-HASH + idf arrays (BASELINE.md rule: no
     # big python dicts). 64-bit term hashes: a collision (p ~ |vocab|^2
     # / 2^64) could map one out-of-vocab term onto a vocab idf; same
@@ -2210,19 +2240,30 @@ def _revenue_by_nation_exchanged(sf_dir: str, num_parts: int = 32):
 
 def distinct_langs(sf_dir: str):
     """DISTINCT over a column without a Ray-native shuffle: per-batch
-    unique (vectorized) then one tiny combine."""
+    unique (vectorized), then the shared ``grouped_sum_by_key``
+    combine keyed by the value itself (driver below
+    ``AGG_PARTIALS_DRIVER_LIMIT`` partial rows, value-hash exchange
+    with distributed output beyond — DISTINCT over a high-cardinality
+    column must not assume driver residency)."""
     import ray.data as rd
 
     def partial(batch: pa.Table) -> pa.Table:
         u = pc.unique(batch["lang"])
-        return pa.table({"lang": u})
+        t = pa.table({"lang": u})
+        # b0 contract (write_exchange): batches with identical distinct
+        # sets must not collapse in the content-addressed exchange
+        b0 = pc.min(batch["doc_id"]).as_py() if len(batch) else 0
+        return t.append_column(
+            "b0", pa.array([b0] * len(t), pa.int64()))
 
     partials = (
-        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang"])
+        rd.read_parquet(f"{sf_dir}/documents.parquet",
+                        columns=["doc_id", "lang"])
         .map_batches(partial, batch_format="pyarrow")
-        .to_pandas()
+        .materialize()
     )
-    return rd.from_pandas(partials.drop_duplicates().reset_index(drop=True))
+    return grouped_sum_by_key(partials, "lang", [],
+                              AGG_PARTIALS_DRIVER_LIMIT)
 
 
 # -- Top-k (partial top-k per batch + merge) --------------------------------

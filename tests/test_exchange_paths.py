@@ -264,3 +264,31 @@ def test_docs_domain_cap_semantics(ray_session):
     expect = set(dom0[np.lexsort((dom0, h))][:3])
     got = set(out[out["domain"] == "site0.example"]["doc_id"])
     assert got == expect
+
+
+def test_tfidf_df_combine_exchange_equivalence(ray_session, monkeypatch):
+    from neurostore_text_extraction_ray.pipelines import steps
+
+    drv = _canon(steps.tfidf(SF).to_pandas())
+    monkeypatch.setattr(steps, "TERMS_DRIVER_LIMIT", 0)
+    exch = _canon(steps.tfidf(SF).to_pandas())
+    pd.testing.assert_frame_equal(drv, exch)
+    assert len(drv) > 0
+
+
+def test_tfidf_vocab_budget_raises(ray_session, monkeypatch):
+    from neurostore_text_extraction_ray.pipelines import steps
+
+    monkeypatch.setattr(steps, "TFIDF_VOCAB_DRIVER_LIMIT", 0)
+    with pytest.raises(RuntimeError, match="broadcast budget"):
+        steps.tfidf(SF).to_pandas()
+
+
+def test_distinct_langs_exchange_equivalence(ray_session, monkeypatch):
+    from neurostore_text_extraction_ray.pipelines import steps
+
+    drv = _canon(steps.distinct_langs(SF).to_pandas())
+    monkeypatch.setattr(steps, "AGG_PARTIALS_DRIVER_LIMIT", 0)
+    exch = _canon(steps.distinct_langs(SF).to_pandas())
+    pd.testing.assert_frame_equal(drv, exch)
+    assert len(drv) == 5
