@@ -604,21 +604,75 @@ def _topk_rows(df: pd.DataFrame, k: int, by: str | None) -> pd.DataFrame:
     return s.groupby(by, sort=False, dropna=False).head(k)
 
 
+# above this many partial top-k rows the merge leaves the driver for a
+# two-level combine (tests patch to 0): doc-hash partition exchange,
+# per-part local top-k under the SAME total order — top-k of a union
+# equals the top-k of per-part top-ks — then a tiny driver merge of at
+# most num_parts x k x groups rows. Partial top-k streams are bounded
+# by k x groups x BATCHES, which at 10^6+ blocks is no longer
+# driver-sized.
+TOPK_PARTIALS_DRIVER_LIMIT = 5_000_000
+
+
+def _topk_combine(partials_ds, local_topk, driver_limit, num_parts=32):
+    """Shared gated merge for partial top-k streams: ``local_topk``
+    (pd.DataFrame -> pd.DataFrame) must be idempotent and associative
+    under row-union (true for 'k best under a total order, optionally
+    per group'). Rows must carry a unique ``doc_id`` — the part key,
+    and what keeps distinct batches' fragments distinct under the
+    content-addressed exchange (write_exchange CONTRACT). Returns the
+    exact merged top-k as a small pandas frame."""
+    import shutil
+
+    from ..stages import exchange as ex
+
+    if partials_ds.count() <= driver_limit:
+        pdf = partials_ds.to_pandas()
+        if pdf.empty:
+            sch = _arrow_schema_of(partials_ds)
+            return sch.empty_table().to_pandas()
+        return local_topk(pdf).reset_index(drop=True)
+
+    schema = _arrow_schema_of(partials_ds)
+    stage = ex.make_stage("nse_topk_")
+    try:
+        ex.write_exchange(
+            partials_ds.map_batches(
+                lambda b: b.select(schema.names).cast(schema),
+                batch_format="pyarrow"),
+            stage,
+            lambda b: ex.int_part(
+                [b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)],
+                num_parts))
+
+        def part_topk(t: pa.Table) -> pa.Table:
+            return pa.Table.from_pandas(local_topk(t.to_pandas()),
+                                        schema=schema, preserve_index=False)
+
+        cand = ex.map_parts(stage, num_parts, part_topk, schema).to_pandas()
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+    return local_topk(cand).reset_index(drop=True)
+
+
 def top_docs_per_lang(sf_dir: str, k: int = 3):
     """Top-``k`` docs per language by (n_chars desc, doc_id asc) — the
     ``row_number() OVER (PARTITION BY lang ORDER BY ...)`` analog as a
-    per-batch partial top-k per group + one tiny driver combine
-    (group-cardinality × k rows; no shuffle, no window sort)."""
+    per-batch partial top-k per group + the shared gated merge
+    (driver below ``TOPK_PARTIALS_DRIVER_LIMIT`` partial rows,
+    two-level exchange combine beyond; no shuffle of the doc stream,
+    no window sort)."""
     import ray.data as rd
 
-    partials = (
+    partials_ds = (
         _docs(sf_dir, ["doc_id", "lang", "n_chars"])
         .map_batches(lambda df: _topk_rows(df, k, "lang"),
                      batch_format="pandas")
-        .to_pandas()
+        .materialize()
     )
     final = (
-        _topk_rows(partials, k, "lang")
+        _topk_combine(partials_ds, lambda df: _topk_rows(df, k, "lang"),
+                      TOPK_PARTIALS_DRIVER_LIMIT)
         .sort_values(["lang", "n_chars", "doc_id"],
                      ascending=[True, False, True])
         .reset_index(drop=True)
@@ -2298,29 +2352,38 @@ def docs_sample_weighted(sf_dir: str, k: int = 100):
         return out.sort_values(
             ["priority", "doc_id"], ascending=[False, True]).head(k)
 
-    partials = (
+    partials_ds = (
         rd.read_parquet(f"{sf_dir}/documents.parquet",
                         columns=["doc_id", "n_chars"])
         .map_batches(partial, batch_format="pandas")
-        .to_pandas()
+        .materialize()
     )
-    final = partials.sort_values(
-        ["priority", "doc_id"], ascending=[False, True]).head(k)
+
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(
+            ["priority", "doc_id"], ascending=[False, True]).head(k)
+
+    final = _topk_combine(partials_ds, local_topk,
+                          TOPK_PARTIALS_DRIVER_LIMIT)
     final["priority"] = final["priority"].round(6)
     return rd.from_pandas(final.reset_index(drop=True))
 
 
 def top_docs_by_length(sf_dir: str, k: int = 10):
     """Global top-k by n_chars with a deterministic tie-break
-    (n_chars desc, doc_id asc): per-batch partial top-k rows then one
-    small merge — no global sort (shared ``_topk_rows`` kernel)."""
+    (n_chars desc, doc_id asc): per-batch partial top-k rows then the
+    shared gated merge — no global sort (shared ``_topk_rows``
+    kernel, ``_topk_combine`` two-level exchange beyond the driver
+    budget)."""
     import ray.data as rd
 
-    partials = (
-        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"])
+    partials_ds = (
+        rd.read_parquet(f"{sf_dir}/documents.parquet",
+                        columns=["doc_id", "n_chars"])
         .map_batches(lambda df: _topk_rows(df, k, None),
                      batch_format="pandas")
-        .to_pandas()
+        .materialize()
     )
-    final = _topk_rows(partials, k, None).reset_index(drop=True)
+    final = _topk_combine(partials_ds, lambda df: _topk_rows(df, k, None),
+                          TOPK_PARTIALS_DRIVER_LIMIT)
     return rd.from_pandas(final)

@@ -292,3 +292,23 @@ def test_distinct_langs_exchange_equivalence(ray_session, monkeypatch):
     exch = _canon(steps.distinct_langs(SF).to_pandas())
     pd.testing.assert_frame_equal(drv, exch)
     assert len(drv) == 5
+
+
+def test_topk_combine_exchange_equivalence(ray_session, monkeypatch):
+    """The three partial top-k merges (global, per-group, weighted
+    priority) beyond the driver budget equal the driver path."""
+    from neurostore_text_extraction_ray.pipelines import steps
+
+    drv = {
+        "bylen": _canon(steps.top_docs_by_length(SF).to_pandas()),
+        "perlang": _canon(steps.top_docs_per_lang(SF).to_pandas()),
+        "weighted": _canon(steps.docs_sample_weighted(SF).to_pandas()),
+    }
+    monkeypatch.setattr(steps, "TOPK_PARTIALS_DRIVER_LIMIT", 0)
+    pd.testing.assert_frame_equal(
+        drv["bylen"], _canon(steps.top_docs_by_length(SF).to_pandas()))
+    pd.testing.assert_frame_equal(
+        drv["perlang"], _canon(steps.top_docs_per_lang(SF).to_pandas()))
+    pd.testing.assert_frame_equal(
+        drv["weighted"], _canon(steps.docs_sample_weighted(SF).to_pandas()))
+    assert len(drv["bylen"]) == 10 and len(drv["weighted"]) == 100
