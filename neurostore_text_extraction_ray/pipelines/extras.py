@@ -329,8 +329,9 @@ def _docs_training_mix(sf_dir: str, quality_min: float = 0.5,
          the filter applies to the ROUNDED score on both sides),
          keep lang_pred == 'en' AND quality_score >= ``quality_min``;
       2. exact-dedup survivors (min doc_id per 16-byte blake2b content
-         hash — per-batch partials, driver combine, broadcast winner
-         ids; the budget-gated exchange variant is ``dedup_exact``);
+         hash — per-batch partials, then driver combine + broadcast
+         winner ids below ``steps.DEDUP_WINNERS_DRIVER_LIMIT`` partial
+         rows, or ``dedup_exact``'s co-partitioned exchange beyond);
       3. pack winners into ~``budget``-char shards in doc_id order via
          the generic two-phase ``steps.pack_shards``.
 
@@ -370,8 +371,18 @@ def _docs_training_mix(sf_dir: str, quality_min: float = 0.5,
                             "doc_id": df["doc_id"].to_numpy()})
         return out.groupby(["h1", "h2"], sort=False)["doc_id"].min().reset_index()
 
-    partials = surv.map_batches(
-        hash_partial, batch_format="pandas").to_pandas()
+    partials_ds = surv.map_batches(
+        hash_partial, batch_format="pandas").materialize()
+    from . import steps as _steps
+
+    if partials_ds.count() > _steps.DEDUP_WINNERS_DRIVER_LIMIT:
+        # same budget + exchange fallback as the standalone dedup_exact
+        # (winner combine content-hash-partitioned, semi-join filter
+        # co-partitioned on doc_id; text never enters the exchange)
+        kept = _steps._dedup_exact_exchanged(surv, partials_ds)
+        return pack_shards(kept, "doc_id", "n_chars", budget)
+
+    partials = partials_ds.to_pandas()
     if len(partials):
         winners = partials.groupby(["h1", "h2"], sort=False)["doc_id"].min()
         ref = ray.put(np_.sort(winners.to_numpy().astype(np_.int64)))

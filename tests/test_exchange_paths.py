@@ -312,3 +312,18 @@ def test_topk_combine_exchange_equivalence(ray_session, monkeypatch):
     pd.testing.assert_frame_equal(
         drv["weighted"], _canon(steps.docs_sample_weighted(SF).to_pandas()))
     assert len(drv["bylen"]) == 10 and len(drv["weighted"]) == 100
+
+
+def test_training_mix_dedup_exchange_equivalence(ray_session, monkeypatch):
+    """The composite training-mix pipeline's embedded winner combine
+    beyond the budget routes through dedup_exact's exchange and stays
+    byte-equal."""
+    from neurostore_text_extraction_ray.pipelines import steps
+    from neurostore_text_extraction_ray.pipelines.extras import (
+        _docs_training_mix)
+
+    drv = _canon(_docs_training_mix(SF).to_pandas())
+    monkeypatch.setattr(steps, "DEDUP_WINNERS_DRIVER_LIMIT", 0)
+    exch = _canon(_docs_training_mix(SF).to_pandas())
+    pd.testing.assert_frame_equal(drv, exch)
+    assert len(drv) > 0
