@@ -1006,7 +1006,11 @@ def _key_part(batch: pa.Table, key_cols: list[str],
         arr = batch[c].to_numpy(zero_copy_only=False)
         if arr.dtype.kind in "iu":
             cols.append(arr.astype(np.int64))
-        elif arr.dtype.kind in "mMf" and arr.dtype.itemsize == 8:
+        elif arr.dtype.kind == "f" and arr.dtype.itemsize == 8:
+            # -0.0 == 0.0 in a groupby but differs bitwise: normalize
+            # before viewing so equal keys always co-locate
+            cols.append(np.ascontiguousarray(arr + 0.0).view(np.int64))
+        elif arr.dtype.kind in "mM" and arr.dtype.itemsize == 8:
             cols.append(np.ascontiguousarray(arr).view(np.int64))
         else:
             cols.append(pd.util.hash_array(arr.astype(object)))

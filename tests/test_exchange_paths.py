@@ -327,3 +327,14 @@ def test_training_mix_dedup_exchange_equivalence(ray_session, monkeypatch):
     exch = _canon(_docs_training_mix(SF).to_pandas())
     pd.testing.assert_frame_equal(drv, exch)
     assert len(drv) > 0
+
+
+def test_key_part_negative_zero_colocates():
+    """-0.0 == 0.0 in a groupby, so they must hash to the same part."""
+    import pyarrow as pa
+
+    from neurostore_text_extraction_ray.pipelines.steps import _key_part
+
+    t = pa.table({"k": pa.array([0.0, -0.0, 1.5, -1.5], pa.float64())})
+    parts = _key_part(t, ["k"], 32)
+    assert parts[0] == parts[1]
