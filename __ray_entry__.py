@@ -34,6 +34,7 @@ from neurostore_text_extraction_ray.pipelines.extras import (  # noqa: E402
     _docs_normalize_text,
     _docs_training_mix,
     _docs_outlinks,
+    _docs_outlinks_anchored,
     _docs_url_filter,
     _host_indegree,
     _docs_langid_quality,
@@ -193,6 +194,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- never driver-verified before r5 ---
         "evaluation_golden_metrics": _evaluation_golden_metrics,
         "docs_domain_cap": steps.docs_domain_cap,
+        "docs_outlinks_anchored": _docs_outlinks_anchored,
         "docs_url_filter": _docs_url_filter,
         "docs_outlinks": _docs_outlinks,
         "host_indegree": _host_indegree,
@@ -715,6 +717,28 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL "
             "SELECT doc_id, CAST(doc_id % 4 AS BIGINT) AS ord, "
             "  '/nav/local' AS href, CAST(NULL AS VARCHAR) AS host "
+            "FROM documents WHERE doc_id % 5 = 0"
+        ),
+        # Same planted link graph with the anchor text ('l' || ord for
+        # absolute anchors, 'nav' for the relative nav link).
+        "docs_outlinks_anchored": (
+            "WITH j AS ("
+            "  SELECT doc_id, CAST(0 AS BIGINT) AS ord FROM documents "
+            "    WHERE doc_id % 4 >= 1 "
+            "  UNION ALL SELECT doc_id, CAST(1 AS BIGINT) FROM documents "
+            "    WHERE doc_id % 4 >= 2 "
+            "  UNION ALL SELECT doc_id, CAST(2 AS BIGINT) FROM documents "
+            "    WHERE doc_id % 4 >= 3) "
+            "SELECT doc_id, ord, "
+            "  'https://site' || ((doc_id * ord) % 7) || '.example/p/' "
+            "    || doc_id || '/' || ord AS href, "
+            "  'site' || ((doc_id * ord) % 7) || '.example' AS host, "
+            "  'l' || ord AS anchor "
+            "FROM j "
+            "UNION ALL "
+            "SELECT doc_id, CAST(doc_id % 4 AS BIGINT) AS ord, "
+            "  '/nav/local' AS href, CAST(NULL AS VARCHAR) AS host, "
+            "  'nav' AS anchor "
             "FROM documents WHERE doc_id % 5 = 0"
         ),
         # Host-level in-degree over the same planted link graph.

@@ -30,6 +30,18 @@ HREF_RE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 
+# full anchor element incl. inner content: the href groups of HREF_RE
+# plus a lazy body up to the closing tag. Inner markup is stripped to
+# text afterwards; nested <a> elements are outside the documented
+# subset (the lazy body stops at the FIRST </a>).
+ANCHOR_RE = re.compile(
+    r"""<a\s(?:[^>]*?\s)?href\s*=\s*(?:"([^">]*)"|'([^'>]*)')[^>]*>(.*?)</a\s*>""",
+    re.IGNORECASE | re.DOTALL,
+)
+
+_TAG_RE = re.compile(r"<[^>]+>")
+_WS_RE = re.compile(r"\s+")
+
 # scheme://host/... -> host (same shape as extras._docs_url_filter)
 HOST_RE = re.compile(r"^[a-z][a-z0-9+.-]*://([^/?#]+)")
 
@@ -74,3 +86,38 @@ def outlinks_frame(df: pd.DataFrame, id_col: str = "doc_id",
     out["doc_id"] = out["doc_id"].astype("int64")
     out["ord"] = out["ord"].astype("int64")
     return out.reset_index(drop=True)
+
+
+def anchor_text(inner: str) -> str:
+    """Anchor ELEMENT body -> visible text: strip inner markup,
+    collapse whitespace, trim (the anchor-text feature link-graph
+    quality models consume)."""
+    return _WS_RE.sub(" ", _TAG_RE.sub(" ", inner or "")).strip()
+
+
+def anchors_frame(df: pd.DataFrame, id_col: str = "doc_id",
+                  html_col: str = "html") -> pd.DataFrame:
+    """``outlinks_frame`` plus the anchor text: one row per anchor —
+    (doc_id, ord, href, host, anchor). ``ord`` counts ANCHOR_RE
+    matches, which requires a closing ``</a>``; pages in the
+    documented subset (every planted oracle) have identical ord
+    numbering in both frames."""
+    links = (df[html_col].fillna("").reset_index(drop=True)
+             .str.extractall(ANCHOR_RE))
+    hrefs = links[0].fillna(links[1]) if len(links) else None
+    out = pd.DataFrame({
+        "doc_id": df[id_col].to_numpy()[links.index.get_level_values(0)]
+        if len(links) else pd.Series(dtype="int64"),
+        "ord": links.index.get_level_values(1).to_numpy(dtype="int64")
+        if len(links) else pd.Series(dtype="int64"),
+        "href": hrefs.to_numpy(dtype=object)
+        if len(links) else pd.Series(dtype=object),
+        "anchor": links[2].map(anchor_text).to_numpy(dtype=object)
+        if len(links) else pd.Series(dtype=object),
+    })
+    out["host"] = out["href"].map(href_host) if len(out) else \
+        pd.Series(dtype=object)
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["ord"] = out["ord"].astype("int64")
+    return out[["doc_id", "ord", "href", "host", "anchor"]] \
+        .reset_index(drop=True)

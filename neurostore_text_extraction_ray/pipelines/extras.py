@@ -1278,6 +1278,22 @@ def _docs_outlinks(sf_dir: str):
                .map_batches(outlinks_frame, batch_format="pandas")
 
 
+def _docs_outlinks_anchored(sf_dir: str):
+    """Outlink extraction WITH anchor text (the link-graph feature
+    quality models consume) over the same planted link-rich pages —
+    one row per anchor: (doc_id, ord, href, host, anchor). Kernel:
+    ``weblinks.anchors_frame`` (full-element regex + tag strip +
+    whitespace collapse), still no DOM build."""
+    import ray.data as rd
+
+    from ..functions.weblinks import anchors_frame
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id"])
+    return docs.map_batches(_plant_linked_html, batch_format="pandas") \
+               .map_batches(anchors_frame, batch_format="pandas")
+
+
 def _host_indegree(sf_dir: str):
     """Host-level in-degree over the extracted outlinks — the
     link-graph aggregate (a PageRank-ish quality signal): per target

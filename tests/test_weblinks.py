@@ -110,3 +110,47 @@ def test_host_indegree_hub_and_equivalence(ray_session, monkeypatch):
     exch = _host_indegree(SF).to_pandas().sort_values("host") \
         .reset_index(drop=True)
     pd.testing.assert_frame_equal(drv, exch)
+
+
+def test_anchor_text_kernel():
+    from neurostore_text_extraction_ray.functions.weblinks import (
+        anchor_text, anchors_frame, extract_hrefs)
+
+    # inner markup stripped, whitespace collapsed
+    assert anchor_text("  click   <b>here</b>\n now ") == "click here now"
+    assert anchor_text("") == ""
+    df = pd.DataFrame({
+        "doc_id": [1, 2],
+        "html": [
+            '<a href="https://a.example/x"><img src="i.png"/> Logo '
+            "<span>text</span></a>"
+            "<a href='/rel'>plain</a>",
+            "<p>no links</p>",
+        ],
+    })
+    out = anchors_frame(df)
+    assert out["doc_id"].tolist() == [1, 1]
+    assert out["anchor"].tolist() == ["Logo text", "plain"]
+    assert out["host"].tolist() == ["a.example", None]
+    # an anchor without a closing tag is outside the subset: dropped by
+    # anchors_frame but still seen by the href-only kernel
+    html = '<a href="https://x.example/1">unclosed'
+    assert extract_hrefs(html) == ["https://x.example/1"]
+    assert len(anchors_frame(pd.DataFrame({"doc_id": [9],
+                                           "html": [html]}))) == 0
+
+
+def test_anchors_query_semantics(ray_session):
+    from neurostore_text_extraction_ray.pipelines.extras import (
+        _docs_outlinks, _docs_outlinks_anchored)
+
+    anch = _docs_outlinks_anchored(SF).to_pandas()
+    plain = _docs_outlinks(SF).to_pandas()
+    # same link set as the href-only pass, plus the anchor text
+    a = anch[["doc_id", "ord", "href", "host"]].sort_values(
+        ["doc_id", "ord"]).reset_index(drop=True)
+    b = plain.sort_values(["doc_id", "ord"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    absolute = anch[anch["host"].notna()]
+    assert (absolute["anchor"] == "l" + absolute["ord"].astype(str)).all()
+    assert (anch[anch["host"].isna()]["anchor"] == "nav").all()
