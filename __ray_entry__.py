@@ -35,6 +35,7 @@ from neurostore_text_extraction_ray.pipelines.extras import (  # noqa: E402
     _docs_training_mix,
     _docs_outlinks,
     _docs_outlinks_anchored,
+    _warc_source_roundtrip,
     _docs_url_filter,
     _host_indegree,
     _docs_langid_quality,
@@ -195,6 +196,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "evaluation_golden_metrics": _evaluation_golden_metrics,
         "docs_domain_cap": steps.docs_domain_cap,
         "docs_outlinks_anchored": _docs_outlinks_anchored,
+        "warc_source_roundtrip": _warc_source_roundtrip,
         "docs_url_filter": _docs_url_filter,
         "docs_outlinks": _docs_outlinks,
         "host_indegree": _host_indegree,
@@ -718,6 +720,18 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, CAST(doc_id % 4 AS BIGINT) AS ord, "
             "  '/nav/local' AS href, CAST(NULL AS VARCHAR) AS host "
             "FROM documents WHERE doc_id % 5 = 0"
+        ),
+        # WARC round-trip: the synthesized segment content is a pure
+        # function of the documents table, so the whole
+        # write->parse->read chain re-expresses as SQL.
+        "warc_source_roundtrip": (
+            "SELECT 'https://site' || (doc_id % 7) || '.example/d/' "
+            "    || doc_id AS url, "
+            "  TIMESTAMP '2020-01-01' + INTERVAL (doc_id) SECOND "
+            "    AS warc_ts, "
+            "  LENGTH('<html><body>' || COALESCE(text, '') "
+            "    || '</body></html>') AS n_chars "
+            "FROM documents"
         ),
         # Same planted link graph with the anchor text ('l' || ord for
         # absolute anchors, 'nav' for the relative nav link).

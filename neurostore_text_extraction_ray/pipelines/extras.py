@@ -1278,6 +1278,63 @@ def _docs_outlinks(sf_dir: str):
                .map_batches(outlinks_frame, batch_format="pandas")
 
 
+def _warc_source_roundtrip(sf_dir: str):
+    """WARC source round-trip (sources/warc.py): synthesize gzipped
+    WARC/1.0 segments from the documents table — one .warc.gz file per
+    input batch, written distributed with content-addressed names —
+    then read them back through ``read_warc`` (one task per file, the
+    WARC parallelism unit) and emit (url, warc_ts, n_chars). Oracled
+    as pure SQL over documents, so the whole write->parse->read chain
+    is value-verified."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+    from datetime import datetime, timedelta
+
+    import ray.data as rd
+
+    from ..sources import warc as W
+
+    scratch = tempfile.mkdtemp(
+        prefix="nse_warc_",
+        dir="/dev/shm" if os.path.isdir("/dev/shm") else None)
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    def write_part(df: pd.DataFrame) -> pd.DataFrame:
+        epoch = datetime(2020, 1, 1)
+        rows = [{
+            "url": f"https://site{did % 7}.example/d/{did}",
+            "warc_ts": epoch + timedelta(seconds=int(did)),
+            "html": f"<html><body>{text}</body></html>",
+        } for did, text in zip(df["doc_id"].astype("int64"),
+                               df["text"].fillna(""))]
+        # content-addressed file name: task retries rewrite the same
+        # bytes; distinct batches never collide (urls are unique)
+        name = hashlib.blake2b(
+            "|".join(r["url"] for r in rows).encode(),
+            digest_size=8).hexdigest()
+        W.write_warc(rows, os.path.join(scratch, f"{name}.warc.gz"),
+                     gzip_members=True)
+        return pd.DataFrame({"n": [len(rows)]})
+
+    try:
+        docs.map_batches(write_part, batch_format="pandas").count()
+
+        def project(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "url": df["url"].to_numpy(dtype=object),
+                "warc_ts": pd.to_datetime(df["warc_ts"]),
+                "n_chars": df["html"].str.len().astype("int64"),
+            })
+
+        return W.read_warc(scratch).map_batches(
+            project, batch_format="pandas").materialize()
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
 def _docs_outlinks_anchored(sf_dir: str):
     """Outlink extraction WITH anchor text (the link-graph feature
     quality models consume) over the same planted link-rich pages —

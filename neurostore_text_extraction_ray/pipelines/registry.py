@@ -323,6 +323,7 @@ def _register_builtins():
     register_op("evaluation_golden_metrics")(_evaluation_golden_metrics_op)
     register_op("docs_domain_cap")(steps.docs_domain_cap)
     register_op("docs_outlinks_anchored")(extras._docs_outlinks_anchored)
+    register_op("warc_source_roundtrip")(extras._warc_source_roundtrip)
 
     # Reference pipeline-name aliases (snake-cased extractor class
     # names a reference user types at the CLI, cli/run.py:13-33):

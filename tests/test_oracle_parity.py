@@ -89,7 +89,7 @@ def _pairs():
     "docs_outlinks", "host_indegree", "docs_quality_buckets",
     # round-5 additions
     "evaluation_golden_metrics", "docs_domain_cap",
-    "docs_outlinks_anchored",
+    "docs_outlinks_anchored", "warc_source_roundtrip",
 ])
 def test_query_matches_oracle(name, ray_session):
     import __ray_entry__ as e

@@ -1,0 +1,82 @@
+"""WARC source (sources/warc.py): pure-stdlib WARC/1.0 parser +
+writer round-trip, malformed-stream contracts, Dataset reader."""
+
+import gzip
+from datetime import datetime
+
+import pandas as pd
+import pytest
+
+from neurostore_text_extraction_ray.sources.warc import (
+    iter_warc_records, parse_warc_bytes, read_warc, warc_date_to_ts,
+    write_warc)
+
+ROWS = [
+    {"url": "https://a.example/1", "warc_ts": datetime(2020, 1, 1, 0, 0, 7),
+     "html": "<html><body>hello</body></html>"},
+    {"url": "https://b.example/2", "warc_ts": datetime(2021, 6, 2, 3, 4, 5),
+     "html": "<html><body>wörld — utf8</body></html>"},
+]
+
+
+def test_write_read_roundtrip(tmp_path):
+    for gz in (False, True):
+        p = str(tmp_path / ("x.warc.gz" if gz else "x.warc"))
+        write_warc(ROWS, p, gzip_members=gz)
+        got = parse_warc_bytes(open(p, "rb").read())
+        assert [r["url"] for r in got] == [r["url"] for r in ROWS]
+        assert [r["html"] for r in got] == [r["html"] for r in ROWS]
+        assert [r["warc_ts"] for r in got] == [r["warc_ts"] for r in ROWS]
+
+
+def test_gzip_members_are_concatenated(tmp_path):
+    """One gzip member per record (the CommonCrawl layout) reads back
+    as a whole: stdlib gzip handles concatenated members."""
+    p = str(tmp_path / "m.warc.gz")
+    write_warc(ROWS, p, gzip_members=True)
+    raw = open(p, "rb").read()
+    # two independent members, not one stream
+    assert raw.count(b"\x1f\x8b\x08") >= 2
+    assert len(parse_warc_bytes(raw)) == 2
+
+
+def test_non_response_records_skipped():
+    rec = (b"WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Length: 4\r\n"
+           b"\r\ninfo\r\n\r\n")
+    assert parse_warc_bytes(rec) == []
+    # iter still yields it (reader-level filtering, not parser-level)
+    assert len(list(iter_warc_records(rec))) == 1
+
+
+def test_malformed_streams_raise():
+    with pytest.raises(ValueError, match="magic"):
+        list(iter_warc_records(b"NOTWARC/1.0\r\n\r\n"))
+    with pytest.raises(ValueError, match="Content-Length"):
+        list(iter_warc_records(b"WARC/1.0\r\nWARC-Type: response\r\n\r\n"))
+    with pytest.raises(ValueError, match="truncated WARC record content"):
+        list(iter_warc_records(
+            b"WARC/1.0\r\nContent-Length: 999\r\n\r\nshort"))
+
+
+def test_http_headerless_payload_and_dates():
+    rec = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+           b"WARC-Target-URI: https://c.example/3\r\n"
+           b"WARC-Date: 2022-02-02T02:02:02Z\r\n"
+           b"Content-Length: 3\r\n\r\nraw\r\n\r\n")
+    got = parse_warc_bytes(rec)
+    assert got[0]["html"] == "raw"  # no HTTP head: payload as-is
+    assert got[0]["warc_ts"] == datetime(2022, 2, 2, 2, 2, 2)
+    assert warc_date_to_ts("2020-01-01T00:00:07Z") == \
+        datetime(2020, 1, 1, 0, 0, 7)
+
+
+def test_read_warc_dataset(ray_session, tmp_path):
+    write_warc(ROWS, str(tmp_path / "a.warc"), gzip_members=False)
+    write_warc([{"url": "https://d.example/4",
+                 "warc_ts": datetime(2023, 1, 1),
+                 "html": "<p>x</p>"}],
+               str(tmp_path / "b.warc.gz"), gzip_members=True)
+    df = read_warc(str(tmp_path)).to_pandas()
+    assert sorted(df["url"]) == [
+        "https://a.example/1", "https://b.example/2", "https://d.example/4"]
+    assert set(df.columns) == {"url", "warc_ts", "html"}
