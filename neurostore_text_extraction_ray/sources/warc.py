@@ -110,14 +110,32 @@ def parse_warc_bytes(data: bytes, encoding: str = "utf-8") -> list[dict]:
 
 
 def read_warc(paths, encoding: str = "utf-8"):
-    """WARC file(s) -> Dataset (url, warc_ts, html): one read task per
-    file, records exploded with ``flat_map`` — the file is the
-    parallelism unit, so a directory of standard ~1 GB WARC segments
-    saturates a cluster without any record-level coordination."""
+    """WARC file(s) -> Dataset (url, warc_ts, html): one parse task
+    per file (``batch_size=1`` over binary file rows) — the file is
+    the parallelism unit, so a directory of standard ~1 GB WARC
+    segments saturates a cluster without record-level coordination.
+    Each task emits ONE Arrow table for its whole file (never
+    per-record Python dicts — the map_batches zero-copy path)."""
+    import pyarrow as pa
     import ray.data as rd
 
-    ds = rd.read_binary_files(paths)
-    return ds.flat_map(lambda row: parse_warc_bytes(row["bytes"], encoding))
+    def parse(batch: pa.Table) -> pa.Table:
+        urls: list[str] = []
+        tss: list = []
+        htmls: list[str] = []
+        for data in batch["bytes"].to_pylist():
+            for r in parse_warc_bytes(data, encoding):
+                urls.append(r["url"])
+                tss.append(r["warc_ts"])
+                htmls.append(r["html"])
+        return pa.table({
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array(tss, pa.timestamp("us")),
+            "html": pa.array(htmls, pa.string()),
+        })
+
+    return rd.read_binary_files(paths).map_batches(
+        parse, batch_format="pyarrow", batch_size=1)
 
 
 def write_warc(rows, path: str, gzip_members: bool = False) -> None:
