@@ -72,14 +72,60 @@ def iter_warc_records(data: bytes):
         pos = body_start + length
 
 
-def _http_body(content: bytes) -> bytes:
-    """HTTP response message -> body (headers dropped). A content
-    block without an HTTP status line is returned as-is (some archives
-    store raw payloads)."""
+def _http_split(content: bytes) -> tuple[dict[str, str], bytes]:
+    """HTTP response message -> (headers, body). A content block
+    without an HTTP status line is returned as-is with empty headers
+    (some archives store raw payloads)."""
     if not content.startswith(b"HTTP/"):
-        return content
+        return {}, content
     sep = content.find(_CRLF + _CRLF)
-    return content[sep + 4:] if sep >= 0 else b""
+    if sep < 0:
+        return _parse_header_block(content), b""
+    return _parse_header_block(content[:sep]), content[sep + 4:]
+
+
+_CHARSET_HTTP = None  # compiled lazily below
+_META_CHARSET = None
+
+
+def sniff_charset(http_headers: dict[str, str], body: bytes,
+                  default: str = "utf-8") -> str:
+    """Charset resolution in the order real fetch pipelines use:
+    (1) BOM, (2) HTTP Content-Type charset parameter, (3) an HTML
+    ``<meta charset>`` / ``http-equiv`` declaration in the first 1024
+    bytes (the HTML5 prescan window), (4) ``default``. Unknown
+    declared encodings fall through to the next source."""
+    import codecs
+    import re as _re
+
+    global _CHARSET_HTTP, _META_CHARSET
+    if _CHARSET_HTTP is None:
+        _CHARSET_HTTP = _re.compile(r"charset\s*=\s*\"?'?([\w.:-]+)")
+        _META_CHARSET = _re.compile(
+            rb"<meta[^>]+charset\s*=\s*[\"']?([\w.:-]+)", _re.IGNORECASE)
+
+    if body.startswith(b"\xef\xbb\xbf"):
+        return "utf-8-sig"
+    if body.startswith(b"\xff\xfe") or body.startswith(b"\xfe\xff"):
+        return "utf-16"
+
+    def _valid(name: str | bytes) -> str | None:
+        if isinstance(name, bytes):
+            name = name.decode("latin-1")
+        try:
+            codecs.lookup(name)
+            return name
+        except LookupError:
+            return None
+
+    ct = http_headers.get("content-type", "")
+    m = _CHARSET_HTTP.search(ct)
+    if m and _valid(m.group(1)):
+        return m.group(1)
+    m = _META_CHARSET.search(body[:1024])
+    if m and _valid(m.group(1)):
+        return m.group(1).decode("latin-1")
+    return default
 
 
 def warc_date_to_ts(value: str):
@@ -89,10 +135,13 @@ def warc_date_to_ts(value: str):
             .astimezone(timezone.utc).replace(tzinfo=None))
 
 
-def parse_warc_bytes(data: bytes, encoding: str = "utf-8") -> list[dict]:
+def parse_warc_bytes(data: bytes, encoding: str | None = "utf-8") -> list[dict]:
     """All ``response`` records of one WARC file as page rows
     (url, warc_ts, html). Non-response records (warcinfo, request,
-    metadata) are skipped per the WARC processing convention."""
+    metadata) are skipped per the WARC processing convention.
+    ``encoding=None`` sniffs per record (BOM -> HTTP Content-Type ->
+    HTML meta prescan -> utf-8); a fixed encoding skips the sniff.
+    Decode errors never drop a page (``errors='replace'``)."""
     rows = []
     for headers, content in iter_warc_records(data):
         if headers.get("warc-type") != "response":
@@ -100,16 +149,18 @@ def parse_warc_bytes(data: bytes, encoding: str = "utf-8") -> list[dict]:
         url = headers.get("warc-target-uri")
         if not url:
             continue
+        http_headers, body = _http_split(content)
+        enc = encoding or sniff_charset(http_headers, body)
         rows.append({
             "url": url,
             "warc_ts": warc_date_to_ts(headers.get(
                 "warc-date", "1970-01-01T00:00:00Z")),
-            "html": _http_body(content).decode(encoding, errors="replace"),
+            "html": body.decode(enc, errors="replace"),
         })
     return rows
 
 
-def read_warc(paths, encoding: str = "utf-8"):
+def read_warc(paths, encoding: str | None = "utf-8"):
     """WARC file(s) -> Dataset (url, warc_ts, html): one parse task
     per file (``batch_size=1`` over binary file rows) — the file is
     the parallelism unit, so a directory of standard ~1 GB WARC

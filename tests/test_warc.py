@@ -80,3 +80,44 @@ def test_read_warc_dataset(ray_session, tmp_path):
     assert sorted(df["url"]) == [
         "https://a.example/1", "https://b.example/2", "https://d.example/4"]
     assert set(df.columns) == {"url", "warc_ts", "html"}
+
+
+def test_charset_sniffing():
+    from neurostore_text_extraction_ray.sources.warc import sniff_charset
+
+    # BOM wins over everything
+    assert sniff_charset({"content-type": "text/html; charset=latin-1"},
+                         b"\xef\xbb\xbfabc") == "utf-8-sig"
+    # HTTP Content-Type charset parameter
+    assert sniff_charset({"content-type": 'text/html; charset="ISO-8859-1"'},
+                         b"<html>") == "ISO-8859-1"
+    # meta prescan (first 1024 bytes), http-equiv style
+    body = (b'<html><head><meta http-equiv="Content-Type" '
+            b'content="text/html; charset=windows-1252"></head>')
+    assert sniff_charset({}, body) == "windows-1252"
+    # html5 style
+    assert sniff_charset({}, b"<meta charset='koi8-r'>") == "koi8-r"
+    # unknown declared charset falls through to the default
+    assert sniff_charset({"content-type": "text/html; charset=bogus-enc"},
+                         b"<html>") == "utf-8"
+    # meta past the 1024-byte prescan window is ignored
+    assert sniff_charset({}, b" " * 1100 + b"<meta charset='koi8-r'>") == \
+        "utf-8"
+
+
+def test_parse_with_sniffed_encoding():
+    from neurostore_text_extraction_ray.sources.warc import parse_warc_bytes
+
+    text = "café"  # latin-1 encodable, invalid utf-8 bytes
+    body = text.encode("latin-1")
+    http = (b"HTTP/1.1 200 OK\r\n"
+            b"Content-Type: text/html; charset=latin-1\r\n\r\n" + body)
+    rec = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+           b"WARC-Target-URI: https://e.example/5\r\n"
+           b"WARC-Date: 2020-01-01T00:00:00Z\r\n"
+           b"Content-Length: " + str(len(http)).encode() + b"\r\n\r\n"
+           + http + b"\r\n\r\n")
+    # sniffed: exact text back
+    assert parse_warc_bytes(rec, encoding=None)[0]["html"] == text
+    # forced utf-8: replacement char, page not dropped
+    assert "�" in parse_warc_bytes(rec, encoding="utf-8")[0]["html"]
