@@ -35,6 +35,7 @@ from neurostore_text_extraction_ray.pipelines.extras import (  # noqa: E402
     _docs_training_mix,
     _docs_outlinks,
     _docs_outlinks_anchored,
+    _docs_robots_filter,
     _warc_source_roundtrip,
     _docs_url_filter,
     _host_indegree,
@@ -197,6 +198,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_domain_cap": steps.docs_domain_cap,
         "docs_outlinks_anchored": _docs_outlinks_anchored,
         "warc_source_roundtrip": _warc_source_roundtrip,
+        "docs_robots_filter": _docs_robots_filter,
         "docs_url_filter": _docs_url_filter,
         "docs_outlinks": _docs_outlinks,
         "host_indegree": _host_indegree,
@@ -720,6 +722,20 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, CAST(doc_id % 4 AS BIGINT) AS ord, "
             "  '/nav/local' AS href, CAST(NULL AS VARCHAR) AS host "
             "FROM documents WHERE doc_id % 5 = 0"
+        ),
+        # robots.txt filter over planted paths: the plant makes the
+        # decision a pure function of doc_id % 4 (public allowed,
+        # /private/ disallowed, /private/archive/ re-allowed by the
+        # longer Allow, *.tmp$ disallowed).
+        "docs_robots_filter": (
+            "SELECT doc_id, "
+            "  CASE doc_id % 4 "
+            "    WHEN 0 THEN '/public/' || doc_id "
+            "    WHEN 1 THEN '/private/' || doc_id "
+            "    WHEN 2 THEN '/private/archive/' || doc_id "
+            "    ELSE '/cache/' || doc_id || '.tmp' END AS path, "
+            "  (doc_id % 4) IN (0, 2) AS allowed "
+            "FROM documents"
         ),
         # WARC round-trip: the synthesized segment content is a pure
         # function of the documents table, so the whole

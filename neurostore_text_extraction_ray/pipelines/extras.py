@@ -469,6 +469,55 @@ def _docs_url_filter(sf_dir: str):
     return docs.map_batches(f, batch_format="pandas")
 
 
+_ROBOTS_TXT = """\
+# planted site policy (the documents table has no fetch metadata)
+User-agent: badbot
+Disallow: /
+
+User-agent: *
+Disallow: /private/
+Allow: /private/archive/
+Disallow: /*.tmp$
+"""
+
+
+def _docs_robots_filter(sf_dir: str):
+    """robots.txt compliance filter (RFC 9309 kernel in
+    ``functions/robots.py``): per-doc planted paths checked against a
+    planted site policy — longest-match rules with wildcard and
+    end-anchor, Allow-beats-Disallow ties. The ruleset compiles ONCE
+    on the driver and rides into tasks by closure (per-HOST rulesets
+    on a real crawl broadcast via ray.put like the url blocklist).
+    Output (doc_id, path, allowed); the plant makes `allowed` a pure
+    function of doc_id % 4, so the oracle is exact ANSI SQL while the
+    kernel semantics are covered by unit tests."""
+    import numpy as np_
+    import ray.data as rd
+
+    from ..functions.robots import allowed_mask, parse_robots
+
+    rules = parse_robots(_ROBOTS_TXT, agent="graftbot/1.0")
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].astype("int64")
+        m = ids % 4
+        path = pd.Series(
+            np_.where(m == 0, "/public/" + ids.astype(str),
+            np_.where(m == 1, "/private/" + ids.astype(str),
+            np_.where(m == 2, "/private/archive/" + ids.astype(str),
+                      "/cache/" + ids.astype(str) + ".tmp"))),
+            index=df.index)
+        return pd.DataFrame({
+            "doc_id": ids,
+            "path": path,
+            "allowed": allowed_mask(rules, path.tolist()),
+        })
+
+    return rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id"]).map_batches(
+        f, batch_format="pandas")
+
+
 def _docs_top_terms_cms(sf_dir: str):
     """Approximate heavy hitters over the documents text via the
     Count-Min sketch (golden-oracled: the estimate depends on sketch

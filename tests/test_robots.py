@@ -1,0 +1,57 @@
+"""robots.txt kernel (functions/robots.py): RFC 9309 parsing and
+longest-match semantics."""
+
+from neurostore_text_extraction_ray.functions.robots import (
+    allowed_mask, is_allowed, parse_robots)
+
+POLICY = """\
+# comment
+User-agent: badbot
+Disallow: /
+
+User-agent: *
+Disallow: /private/
+Allow: /private/archive/
+Disallow: /*.tmp$
+Crawl-delay: 5
+"""
+
+
+def test_group_selection_and_longest_match():
+    rules = parse_robots(POLICY, agent="graftbot/1.0")
+    assert is_allowed(rules, "/public/x")
+    assert not is_allowed(rules, "/private/x")
+    # longer Allow overrides the shorter Disallow
+    assert is_allowed(rules, "/private/archive/x")
+    # wildcard + end anchor
+    assert not is_allowed(rules, "/cache/9.tmp")
+    assert is_allowed(rules, "/cache/9.tmp.bak")  # $ anchors the end
+    # specific agent group wins over *
+    bad = parse_robots(POLICY, agent="BadBot/2.0")
+    assert not is_allowed(bad, "/public/x")
+
+
+def test_tie_allow_wins_and_empty_disallow():
+    pol = ("User-agent: *\n"
+           "Disallow: /a/\n"
+           "Allow: /a*\n"     # same length (3): Allow wins the tie
+           "Disallow:\n")     # empty Disallow matches nothing
+    rules = parse_robots(pol)
+    assert is_allowed(rules, "/a/x")
+    assert is_allowed(rules, "/anything")
+
+
+def test_no_group_and_vector_form():
+    assert parse_robots("User-agent: other\nDisallow: /\n",
+                        agent="me") == []
+    assert is_allowed([], "/whatever")
+    rules = parse_robots(POLICY)
+    assert allowed_mask(rules, ["/public/1", "/private/2"]) == [True, False]
+
+
+def test_multi_agent_group_and_case():
+    pol = ("User-agent: A\n"
+           "User-agent: B\n"
+           "Disallow: /x/\n")
+    assert not is_allowed(parse_robots(pol, agent="b"), "/x/1")
+    assert is_allowed(parse_robots(pol, agent="c"), "/x/1")
