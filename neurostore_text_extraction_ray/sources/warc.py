@@ -72,16 +72,57 @@ def iter_warc_records(data: bytes):
         pos = body_start + length
 
 
+def _dechunk(body: bytes) -> bytes:
+    """Transfer-Encoding: chunked -> raw bytes (size line in hex,
+    optional extensions after ';', terminated by a 0-size chunk).
+    Malformed chunking raises ValueError (caught per file upstream)."""
+    out, pos = [], 0
+    while True:
+        nl = body.find(_CRLF, pos)
+        if nl < 0:
+            raise ValueError("truncated chunked body")
+        size_tok = body[pos:nl].split(b";", 1)[0].strip()
+        try:
+            size = int(size_tok, 16)
+        except ValueError:
+            raise ValueError(f"bad chunk size {size_tok!r}")
+        pos = nl + 2
+        if size == 0:
+            break
+        if pos + size > len(body):
+            raise ValueError("truncated chunk")
+        out.append(body[pos:pos + size])
+        pos += size + 2  # chunk data + CRLF
+    return b"".join(out)
+
+
 def _http_split(content: bytes) -> tuple[dict[str, str], bytes]:
     """HTTP response message -> (headers, body). A content block
     without an HTTP status line is returned as-is with empty headers
-    (some archives store raw payloads)."""
+    (some archives store raw payloads). Stored-as-fetched framing is
+    undone: chunked transfer-encoding is reassembled and a
+    gzip/deflate Content-Encoding is decompressed — both common in
+    web archives that save the wire bytes."""
     if not content.startswith(b"HTTP/"):
         return {}, content
     sep = content.find(_CRLF + _CRLF)
     if sep < 0:
         return _parse_header_block(content), b""
-    return _parse_header_block(content[:sep]), content[sep + 4:]
+    headers = _parse_header_block(content[:sep])
+    body = content[sep + 4:]
+    if "chunked" in headers.get("transfer-encoding", "").lower():
+        body = _dechunk(body)
+    enc = headers.get("content-encoding", "").lower().strip()
+    if enc in ("gzip", "x-gzip"):
+        body = gzip.GzipFile(fileobj=io.BytesIO(body)).read()
+    elif enc == "deflate":
+        import zlib
+
+        try:
+            body = zlib.decompress(body)
+        except zlib.error:  # raw-deflate variant (no zlib wrapper)
+            body = zlib.decompress(body, -zlib.MAX_WBITS)
+    return headers, body
 
 
 _CHARSET_HTTP = None  # compiled lazily below

@@ -121,3 +121,43 @@ def test_parse_with_sniffed_encoding():
     assert parse_warc_bytes(rec, encoding=None)[0]["html"] == text
     # forced utf-8: replacement char, page not dropped
     assert "�" in parse_warc_bytes(rec, encoding="utf-8")[0]["html"]
+
+
+def _wrap_record(http: bytes) -> bytes:
+    return (b"WARC/1.0\r\nWARC-Type: response\r\n"
+            b"WARC-Target-URI: https://f.example/6\r\n"
+            b"WARC-Date: 2020-01-01T00:00:00Z\r\n"
+            b"Content-Length: " + str(len(http)).encode() + b"\r\n\r\n"
+            + http + b"\r\n\r\n")
+
+
+def test_chunked_and_content_encoded_payloads():
+    import gzip as _gzip
+    import zlib
+
+    from neurostore_text_extraction_ray.sources.warc import (
+        parse_warc_bytes)
+
+    # chunked transfer-encoding (with a chunk extension)
+    body = b"4;ext=1\r\nWiki\r\n5\r\npedia\r\n0\r\n\r\n"
+    http = (b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n" + body)
+    assert parse_warc_bytes(_wrap_record(http))[0]["html"] == "Wikipedia"
+    # gzip content-encoding
+    http = (b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\n"
+            + _gzip.compress(b"<p>zipped</p>"))
+    assert parse_warc_bytes(_wrap_record(http))[0]["html"] == "<p>zipped</p>"
+    # raw-deflate content-encoding (no zlib wrapper)
+    raw = zlib.compressobj(wbits=-zlib.MAX_WBITS)
+    payload = raw.compress(b"deflated") + raw.flush()
+    http = (b"HTTP/1.1 200 OK\r\nContent-Encoding: deflate\r\n\r\n" + payload)
+    assert parse_warc_bytes(_wrap_record(http))[0]["html"] == "deflated"
+    # chunked THEN gzip (encodings compose in wire order)
+    gz = _gzip.compress(b"both")
+    chunk = (hex(len(gz))[2:].encode() + b"\r\n" + gz + b"\r\n0\r\n\r\n")
+    http = (b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n"
+            b"Content-Encoding: gzip\r\n\r\n" + chunk)
+    assert parse_warc_bytes(_wrap_record(http))[0]["html"] == "both"
+    # malformed chunking raises (caught per file by the extract stage)
+    http = b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\nZZ\r\nx"
+    with pytest.raises(ValueError):
+        parse_warc_bytes(_wrap_record(http))
