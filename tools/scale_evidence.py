@@ -1,0 +1,134 @@
+"""Sustained-scale evidence runner (SCALE.md "Round-5 sustained-scale
+evidence" table): run the wide operators' EXCHANGE paths over a
+2M-doc synthetic corpus on /dev/shm at 32 CPUs, reporting wall time
+and peak worker RSS (max summed VmRSS over ray workers at 2 Hz).
+Driver limits are patched to 0 so the scale path — not the driver
+combine — is what's measured. Reproduce with:
+
+    PYTHONPATH=. python tools/scale_evidence.py
+"""
+import glob
+import json
+import os
+import resource
+import sys
+import threading
+import time
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+OUT = "/dev/shm/nse_scale_r5"
+N = 2_000_000
+UNIQUE = 200_000          # 10x duplication for the dup-spans run
+WORDS_PER_DOC = 12
+
+
+def build_corpus():
+    os.makedirs(OUT, exist_ok=True)
+    path = f"{OUT}/documents.parquet"
+    if os.path.exists(path):
+        return path
+    rng = np.random.default_rng(7)
+    vocab = np.array([f"w{i:05d}" for i in range(50_000)], dtype=object)
+    w = np.minimum(rng.zipf(1.3, size=(UNIQUE, WORDS_PER_DOC)) - 1, 49_999)
+    base = np.array([" ".join(vocab[row]) for row in w], dtype=object)
+    texts = np.tile(base, N // UNIQUE)
+    ids = np.arange(N, dtype=np.int64)
+    langs = np.array(["en", "de", "fr", "es", "zz"], dtype=object)[ids % 5]
+    n_chars = pd.Series(texts).str.len().to_numpy().astype(np.int64)
+    t = pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "lang": pa.array(langs, pa.string()),
+        "n_chars": pa.array(n_chars, pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+    pq.write_table(t, path, row_group_size=125_000)
+    return path
+
+
+class RssSampler:
+    """Max summed VmRSS over ray worker processes, sampled at 2 Hz."""
+
+    def __init__(self):
+        self.max_kb = 0
+        self._stop = threading.Event()
+        self._t = threading.Thread(target=self._run, daemon=True)
+
+    def _run(self):
+        while not self._stop.is_set():
+            total = 0
+            for p in glob.glob("/proc/[0-9]*/cmdline"):
+                try:
+                    cmd = open(p, "rb").read()
+                    if b"ray::" not in cmd and b"raylet" not in cmd \
+                            and b"default_worker" not in cmd:
+                        continue
+                    for line in open(p.replace("cmdline", "status")):
+                        if line.startswith("VmRSS:"):
+                            total += int(line.split()[1])
+                            break
+                except OSError:
+                    continue
+            self.max_kb = max(self.max_kb, total)
+            time.sleep(0.5)
+
+    def __enter__(self):
+        self._t.start()
+        return self
+
+    def __exit__(self, *a):
+        self._stop.set()
+        self._t.join()
+
+
+def main():
+    build_corpus()
+    import ray
+    import ray.data as rd
+
+    os.environ.setdefault("PYTHONPATH", "/root/repo")
+    os.environ["NSE_EXCHANGE_ROOT"] = "/dev/shm/nse_x_r5"
+    ray.init(address="local", num_cpus=32, include_dashboard=False)
+    from neurostore_text_extraction_ray.pipelines import steps
+    from neurostore_text_extraction_ray.stages import dupspans
+
+    steps.TERMS_DRIVER_LIMIT = 0
+    steps.DOMAIN_DRIVER_LIMIT = 0
+    dupspans.DUPSPANS_BROADCAST_LIMIT = 0
+
+    results = {}
+
+    def run(name, fn):
+        with RssSampler() as s:
+            t0 = time.monotonic()
+            n = fn()
+            dt = time.monotonic() - t0
+        results[name] = {"sec": round(dt, 1), "rows": int(n),
+                         "peak_worker_rss_gb": round(s.max_kb / 1e6, 2)}
+        print(json.dumps({name: results[name]}), flush=True)
+
+    run("docs_domain_stats_exchange",
+        lambda: steps.docs_domain_stats(OUT).materialize().count())
+    run("docs_domain_filter_exchange",
+        lambda: steps.docs_domain_filter(OUT).materialize().count())
+    run("top_terms_exchange",
+        lambda: steps.top_terms(OUT).materialize().count())
+    run("docs_rank_by_length",
+        lambda: steps.docs_rank_by_length(OUT).materialize().count())
+    run("dup_spans_exchange",
+        lambda: dupspans.dup_spans(
+            rd.read_parquet(f"{OUT}/documents.parquet",
+                            columns=["doc_id", "text"]),
+            k=5).materialize().count())
+
+    results["driver_maxrss_gb"] = round(
+        resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6, 2)
+    print(json.dumps(results), flush=True)
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()
