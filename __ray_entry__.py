@@ -173,10 +173,9 @@ def _evaluation_golden_metrics(sf_dir: str):
     from neurostore_text_extraction_ray.pipelines.evaluation import (
         golden_replay_metrics)
 
-    df = golden_replay_metrics("/root/reference/evaluation/results")
-    for c in ("precision", "recall", "f1"):
-        df[c] = df[c].round(6)
-    return df
+    # rounding + results-root resolution live inside the shared
+    # implementation so the registry op emits identical values
+    return golden_replay_metrics()
 
 
 def entry() -> Any:

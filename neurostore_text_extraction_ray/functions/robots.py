@@ -6,12 +6,18 @@ spec only:
 
 - groups start with one or more ``User-agent`` lines; ``Allow`` /
   ``Disallow`` rules belong to the preceding group (RFC 9309 §2.2.1);
-  the most specific matching group wins, with ``*`` the fallback;
+  the crawler's product token is compared case-insensitively for
+  EXACT equality against each group token (§2.2.1 — never substring:
+  a group named ``a`` must not capture ``graftbot``), ``*`` is the
+  fallback, and ALL groups naming the chosen token are merged into
+  one ruleset (§2.2.1: "crawlers MUST merge groups with the same
+  user-agent");
 - rule matching is longest-match in pattern octets, ``Allow`` wins
   ties (§2.2.2); ``*`` matches any octet sequence and ``$`` anchors
   the pattern end (§2.2.3);
-- an empty ``Disallow:`` matches nothing; no matching rule means
-  allowed.
+- an empty ``Disallow:`` OR ``Allow:`` pattern matches nothing (the
+  RFC treats zero-length patterns as no rule); no matching rule
+  means allowed.
 
 Patterns compile ONCE per ruleset (the broadcast unit — per host on a
 real crawl, shipped via ray.put exactly like the blocklist in
@@ -26,9 +32,11 @@ import re
 
 def parse_robots(text: str, agent: str = "*") -> list[tuple[int, bool, "re.Pattern[str]"]]:
     """robots.txt text -> compiled rules ``(specificity, allow,
-    pattern_re)`` for the most specific matching user-agent group
-    (``agent`` is compared case-insensitively as a product token;
-    ``*`` matches any). Returns an empty list (everything allowed)
+    pattern_re)`` for the matching user-agent groups. ``agent``'s
+    product token (the part before ``/``) is compared for exact
+    case-insensitive equality against each group token; all groups
+    naming that token are merged (RFC 9309 §2.2.1), with ``*`` the
+    merged fallback. Returns an empty list (everything allowed)
     when no group applies."""
     groups: list[tuple[list[str], list[tuple[bool, str]]]] = []
     cur_agents: list[str] = []
@@ -57,27 +65,28 @@ def parse_robots(text: str, agent: str = "*") -> list[tuple[int, bool, "re.Patte
     if cur_agents:
         groups.append((cur_agents, cur_rules))
 
-    agent_l = agent.lower()
-    chosen: list[tuple[bool, str]] | None = None
-    chosen_len = -1
-    for agents, rules in groups:
-        for a in agents:
-            if a != "*" and a in agent_l and len(a) > chosen_len:
-                chosen, chosen_len = rules, len(a)
-    if chosen is None:
+    # Product token: RFC 9309 §2.2.1 compares the token before any
+    # "/version" suffix, case-insensitively, for EXACT equality.
+    token = agent.split("/", 1)[0].strip().lower()
+    chosen: list[tuple[bool, str]] = []
+    matched = False
+    if token != "*":
         for agents, rules in groups:
-            if "*" in agents:
-                chosen = rules
-                break
-    if chosen is None:
+            if token in agents:  # merge ALL groups naming this token
+                chosen.extend(rules)
+                matched = True
+    if not matched:
+        for agents, rules in groups:
+            if "*" in agents:  # merge ALL fallback groups too
+                chosen.extend(rules)
+                matched = True
+    if not matched:
         return []
 
     compiled = []
     for allow, pat in chosen:
         if not pat:
-            if not allow:
-                continue  # empty Disallow: matches nothing
-            pat = "/"  # empty Allow behaves like "Allow: /"
+            continue  # empty Allow:/Disallow: matches nothing
         anchored = pat.endswith("$")
         body = pat[:-1] if anchored else pat
         rx = ".*".join(re.escape(piece) for piece in body.split("*"))

@@ -406,12 +406,25 @@ def _collapse_task_lists(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
-def golden_replay_metrics(results_root: str) -> pd.DataFrame:
+def golden_replay_metrics(results_root: str | None = None,
+                          round_to: int | None = 6) -> pd.DataFrame:
     """End-to-end replay over the reference's committed pipeline
     outputs: score the 1.0.0 extraction run against the 1.1.0 run as
     ground truth for both extractor families, through the full loader
     -> best-match alignment -> field-metrics chain. Deterministic
-    (committed inputs only). Output one row per (dataset, field)."""
+    (committed inputs only). Output one row per (dataset, field).
+
+    This is the ONE implementation behind both the registry op and the
+    ``queries()`` entry — ``results_root=None`` resolves through
+    ``NSE_GOLDEN_RESULTS_ROOT`` then the in-sandbox reference path, and
+    P/R/F1 round to ``round_to`` digits here so every surface emits
+    identical values (the committed golden was generated rounded)."""
+    if results_root is None:
+        import os
+
+        results_root = os.environ.get(
+            "NSE_GOLDEN_RESULTS_ROOT",
+            "/root/reference/evaluation/results")
     frames = []
     for dataset_type, configs in (
             ("participant_demographics", DEMOGRAPHICS_FIELD_CONFIG),
@@ -424,7 +437,11 @@ def golden_replay_metrics(results_root: str) -> pd.DataFrame:
         m = calculate_metrics_frame(gt_a, ex_a, configs)
         m.insert(0, "dataset", dataset_type)
         frames.append(m)
-    return pd.concat(frames, ignore_index=True)
+    out = pd.concat(frames, ignore_index=True)
+    if round_to is not None:
+        for c in ("precision", "recall", "f1"):
+            out[c] = out[c].round(round_to)
+    return out
 
 
 def run_standard_evaluation(

@@ -1338,16 +1338,18 @@ def _warc_source_roundtrip(sf_dir: str):
     import hashlib
     import os
     import shutil
-    import tempfile
     from datetime import datetime, timedelta
 
     import ray.data as rd
 
     from ..sources import warc as W
+    from ..stages import exchange as ex
 
-    scratch = tempfile.mkdtemp(
-        prefix="nse_warc_",
-        dir="/dev/shm" if os.path.isdir("/dev/shm") else None)
+    # write tasks on ANY node must see what read tasks read: the
+    # scratch is an exchange-visibility path, so it comes from
+    # make_stage (NSE_EXCHANGE_ROOT on multi-node, asserted-single-
+    # node tmpfs otherwise) — never a driver-local mkdtemp
+    scratch = ex.make_stage("nse_warc_")
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text"])
 

@@ -316,9 +316,13 @@ def _register_builtins():
     register_op("multimodal_features", version="2.0.0")(extras._multimodal_features)
 
     def _evaluation_golden_metrics_op(sf_dir: str):
+        # sf_dir unused by design: the op replays COMMITTED golden
+        # outputs (root via NSE_GOLDEN_RESULTS_ROOT), not corpus data.
+        # One shared implementation with __ray_entry__ — rounding and
+        # path resolution live inside golden_replay_metrics.
         from ..pipelines.evaluation import golden_replay_metrics
 
-        return golden_replay_metrics("/root/reference/evaluation/results")
+        return golden_replay_metrics()
 
     register_op("evaluation_golden_metrics")(_evaluation_golden_metrics_op)
     register_op("docs_domain_cap")(steps.docs_domain_cap)

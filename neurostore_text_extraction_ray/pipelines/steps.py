@@ -1058,8 +1058,10 @@ def grouped_sum_by_key(partials_ds, key_col, sum_cols: list[str],
     schema = pa.schema([base.field(c) for c in key_cols + sum_cols])
 
     def combine(df: pd.DataFrame) -> pd.DataFrame:
-        return (df.groupby(key_cols, sort=False)[sum_cols].sum()
-                .reset_index())
+        # dropna=False: a null key is a group like any other (SQL
+        # GROUP BY keeps NULL; pandas' default silently drops it).
+        return (df.groupby(key_cols, sort=False, dropna=False)[sum_cols]
+                .sum().reset_index())
 
     if partials_ds.count() <= driver_limit:
         pdf = partials_ds.to_pandas()

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import gzip
 import io
+import zlib
 from datetime import datetime, timezone
 
 _CRLF = b"\r\n"
@@ -42,34 +43,53 @@ def _parse_header_block(blob: bytes) -> dict[str, str]:
 
 
 def iter_warc_records(data: bytes):
-    """Yield (warc_headers, content_bytes) per record. Raises
-    ValueError on a malformed stream (bad magic, truncated content) —
-    the extract stage catches per-file and counts, same contract as
-    the HTML/JATS parse failures."""
+    """Yield (warc_headers, content_bytes) per record, STREAMING: a
+    ``.warc.gz`` file decompresses member-by-member through
+    ``gzip.GzipFile`` as records are consumed, so peak memory is the
+    compressed bytes plus ONE record — never the full uncompressed
+    segment (a standard ~1 GB gz segment expands 4-5x). Every
+    malformed-input mode (bad magic, truncated header/content, gzip /
+    zlib stream corruption) raises ValueError — one normalized
+    exception type so ``read_warc(skip_malformed=True)`` can catch
+    per file, same contract as the HTML/JATS parse failures."""
+    stream: io.BufferedIOBase
     if data[:2] == b"\x1f\x8b":  # gzip magic: concatenated members
-        data = gzip.GzipFile(fileobj=io.BytesIO(data)).read()
-    pos, n = 0, len(data)
-    while pos < n:
-        # skip inter-record blank lines
-        while data.startswith(_CRLF, pos):
-            pos += 2
-        if pos >= n:
-            break
-        if not data.startswith(b"WARC/", pos):
-            raise ValueError(f"bad WARC record magic at offset {pos}")
-        head_end = data.find(_CRLF + _CRLF, pos)
-        if head_end < 0:
-            raise ValueError("truncated WARC header block")
-        headers = _parse_header_block(data[pos:head_end])
-        try:
-            length = int(headers["content-length"])
-        except (KeyError, ValueError):
-            raise ValueError("WARC record without a valid Content-Length")
-        body_start = head_end + 4
-        if body_start + length > n:
-            raise ValueError("truncated WARC record content")
-        yield headers, data[body_start:body_start + length]
-        pos = body_start + length
+        stream = gzip.GzipFile(fileobj=io.BytesIO(data))
+    else:
+        stream = io.BytesIO(data)
+    try:
+        while True:
+            line = stream.readline()
+            while line in (b"\r\n", b"\n"):  # inter-record blank lines
+                line = stream.readline()
+            if not line:
+                return
+            if not line.startswith(b"WARC/"):
+                raise ValueError(
+                    f"bad WARC record magic {line[:20]!r}")
+            head = [line]
+            while True:
+                line = stream.readline()
+                if not line:
+                    raise ValueError("truncated WARC header block")
+                if line in (b"\r\n", b"\n"):
+                    break
+                head.append(line)
+            headers = _parse_header_block(b"".join(head))
+            try:
+                length = int(headers["content-length"])
+            except (KeyError, ValueError):
+                raise ValueError(
+                    "WARC record without a valid Content-Length")
+            body = stream.read(length)
+            if len(body) != length:
+                raise ValueError("truncated WARC record content")
+            yield headers, body
+    except (EOFError, zlib.error, gzip.BadGzipFile, OSError) as e:
+        # gzip member / zlib stream corruption surfaces as these from
+        # inside readline()/read(); normalize to the documented
+        # malformed-input ValueError
+        raise ValueError(f"corrupt WARC gzip stream: {e}") from e
 
 
 def _dechunk(body: bytes) -> bytes:
@@ -114,14 +134,20 @@ def _http_split(content: bytes) -> tuple[dict[str, str], bytes]:
         body = _dechunk(body)
     enc = headers.get("content-encoding", "").lower().strip()
     if enc in ("gzip", "x-gzip"):
-        body = gzip.GzipFile(fileobj=io.BytesIO(body)).read()
+        try:
+            body = gzip.GzipFile(fileobj=io.BytesIO(body)).read()
+        except (EOFError, zlib.error, gzip.BadGzipFile, OSError) as e:
+            raise ValueError(
+                f"corrupt gzip Content-Encoding body: {e}") from e
     elif enc == "deflate":
-        import zlib
-
         try:
             body = zlib.decompress(body)
         except zlib.error:  # raw-deflate variant (no zlib wrapper)
-            body = zlib.decompress(body, -zlib.MAX_WBITS)
+            try:
+                body = zlib.decompress(body, -zlib.MAX_WBITS)
+            except zlib.error as e:
+                raise ValueError(
+                    f"corrupt deflate Content-Encoding body: {e}") from e
     return headers, body
 
 
@@ -201,13 +227,20 @@ def parse_warc_bytes(data: bytes, encoding: str | None = "utf-8") -> list[dict]:
     return rows
 
 
-def read_warc(paths, encoding: str | None = "utf-8"):
+def read_warc(paths, encoding: str | None = "utf-8",
+              skip_malformed: bool = False):
     """WARC file(s) -> Dataset (url, warc_ts, html): one parse task
     per file (``batch_size=1`` over binary file rows) — the file is
     the parallelism unit, so a directory of standard ~1 GB WARC
     segments saturates a cluster without record-level coordination.
     Each task emits ONE Arrow table for its whole file (never
-    per-record Python dicts — the map_batches zero-copy path)."""
+    per-record Python dicts — the map_batches zero-copy path).
+
+    ``skip_malformed=True`` catches the normalized ValueError a
+    corrupt file raises (bad framing, truncated record, gzip/zlib
+    corruption) and drops THAT FILE, logging its path — one bad
+    segment in a 100 TB crawl must not abort the read. The default
+    raises (fail-loud for curated inputs)."""
     import pyarrow as pa
     import ray.data as rd
 
@@ -215,8 +248,19 @@ def read_warc(paths, encoding: str | None = "utf-8"):
         urls: list[str] = []
         tss: list = []
         htmls: list[str] = []
-        for data in batch["bytes"].to_pylist():
-            for r in parse_warc_bytes(data, encoding):
+        paths_col = batch["path"].to_pylist()
+        for path, data in zip(paths_col, batch["bytes"].to_pylist()):
+            try:
+                recs = parse_warc_bytes(data, encoding)
+            except ValueError:
+                if not skip_malformed:
+                    raise
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "skipping malformed WARC file %s", path)
+                continue
+            for r in recs:
                 urls.append(r["url"])
                 tss.append(r["warc_ts"])
                 htmls.append(r["html"])
@@ -226,8 +270,26 @@ def read_warc(paths, encoding: str | None = "utf-8"):
             "html": pa.array(htmls, pa.string()),
         })
 
-    return rd.read_binary_files(paths).map_batches(
-        parse, batch_format="pyarrow", batch_size=1)
+    # The reader must hand over RAW bytes: Ray/pyarrow otherwise
+    # auto-gunzip on the .gz extension inside the read task, where a
+    # corrupt member aborts the read BEFORE our per-file ValueError
+    # contract can catch it (and buffers the whole expansion). The
+    # detection re-triggers whenever compression is None, so a
+    # datasource subclass opens the stream with decompression
+    # explicitly off; our streaming gzip path owns decompression.
+    try:
+        from ray.data._internal.datasource.binary_datasource import (
+            BinaryDatasource)
+
+        class _RawBinaryDatasource(BinaryDatasource):
+            def _open_input_source(self, filesystem, path, **open_args):
+                return filesystem.open_input_stream(path, compression=None)
+
+        ds = rd.read_datasource(
+            _RawBinaryDatasource(paths, include_paths=True))
+    except ImportError:  # private module moved: fall back (no skip
+        ds = rd.read_binary_files(paths, include_paths=True)  # contract)
+    return ds.map_batches(parse, batch_format="pyarrow", batch_size=1)
 
 
 def write_warc(rows, path: str, gzip_members: bool = False) -> None:

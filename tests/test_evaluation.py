@@ -226,7 +226,8 @@ def test_golden_replay_cross_version_pinned():
 
     if not os.path.isdir(REF_RESULTS):
         pytest.skip("reference goldens unavailable")
-    m = golden_replay_metrics(REF_RESULTS).set_index(["dataset", "field"])
+    m = golden_replay_metrics(REF_RESULTS, round_to=None).set_index(
+        ["dataset", "field"])
     demo = m.loc["participant_demographics"]
     assert demo.loc["age_mean", "matches"] == 10
     assert demo.loc["age_mean", "f1"] == 1.0

@@ -338,3 +338,27 @@ def test_key_part_negative_zero_colocates():
     t = pa.table({"k": pa.array([0.0, -0.0, 1.5, -1.5], pa.float64())})
     parts = _key_part(t, ["k"], 32)
     assert parts[0] == parts[1]
+
+
+def test_grouped_sum_null_keys_kept(ray_session):
+    """SQL GROUP BY keeps NULL keys; the shared combine must too, on
+    BOTH the driver and the exchange path (pandas groupby's default
+    dropna=True silently dropped them — regression)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from neurostore_text_extraction_ray.pipelines.steps import (
+        grouped_sum_by_key)
+
+    partials = rd.from_arrow(pa.table({
+        "lang": pa.array(["en", None, "de", None, "en"], pa.string()),
+        "n": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "b0": pa.array([0, 1, 2, 3, 4], pa.int64()),
+    }))
+    for limit in (10**9, 0):  # driver path, then exchange path
+        out = grouped_sum_by_key(partials, "lang", ["n"], limit)
+        df = out.to_pandas()
+        null_rows = df[df["lang"].isna()]
+        assert len(null_rows) == 1, f"limit={limit}: null key dropped"
+        assert int(null_rows["n"].iloc[0]) == 6
+        assert int(df["n"].sum()) == 15 and len(df) == 3

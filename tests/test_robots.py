@@ -55,3 +55,35 @@ def test_multi_agent_group_and_case():
            "Disallow: /x/\n")
     assert not is_allowed(parse_robots(pol, agent="b"), "/x/1")
     assert is_allowed(parse_robots(pol, agent="c"), "/x/1")
+
+
+def test_same_agent_groups_merge():
+    # RFC 9309 2.2.1: groups naming the same agent MUST be merged —
+    # rules from the second '*' group still apply.
+    pol = ("User-agent: *\nDisallow: /a/\n\n"
+           "User-agent: *\nDisallow: /b/\n")
+    rules = parse_robots(pol)
+    assert not is_allowed(rules, "/a/x")
+    assert not is_allowed(rules, "/b/x")
+    # named groups merge the same way
+    pol2 = ("User-agent: bot\nDisallow: /a/\n\n"
+            "User-agent: bot\nDisallow: /b/\n")
+    rules2 = parse_robots(pol2, agent="Bot/3.1")
+    assert not is_allowed(rules2, "/a/x") and not is_allowed(rules2, "/b/x")
+
+
+def test_empty_allow_matches_nothing():
+    # An empty Allow: pattern is no rule at all — it must NOT
+    # compile to "Allow: /" and override "Disallow: /".
+    pol = "User-agent: *\nDisallow: /\nAllow:\n"
+    assert not is_allowed(parse_robots(pol), "/anything")
+
+
+def test_product_token_exact_not_substring():
+    # A group token that is a substring of the crawler's product
+    # token ("a" in "graftbot") must not capture it.
+    pol = ("User-agent: a\nDisallow: /\n\n"
+           "User-agent: *\nAllow: /\n")
+    assert is_allowed(parse_robots(pol, agent="graftbot/1.0"), "/x")
+    # but the exact token (any case, version stripped) does match
+    assert not is_allowed(parse_robots(pol, agent="A/2.0"), "/x")

@@ -161,3 +161,55 @@ def test_chunked_and_content_encoded_payloads():
     http = b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\nZZ\r\nx"
     with pytest.raises(ValueError):
         parse_warc_bytes(_wrap_record(http))
+
+
+def test_corrupt_gzip_raises_valueerror():
+    """Every corruption mode surfaces as the ONE documented exception
+    type, so per-file catching is possible (r5 review finding)."""
+    import gzip as _gz
+
+    import pytest
+
+    from neurostore_text_extraction_ray.sources.warc import (
+        _http_split, parse_warc_bytes)
+
+    # truncated gzip member (EOFError internally)
+    good = _gz.compress(b"WARC/1.0\r\nContent-Length: 0\r\n\r\n\r\n\r\n")
+    with pytest.raises(ValueError):
+        parse_warc_bytes(good[:10])
+    # garbage after the gzip magic
+    with pytest.raises(ValueError):
+        parse_warc_bytes(b"\x1f\x8bGARBAGE-NOT-GZIP")
+    # corrupt gzip Content-Encoding body
+    http = (b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\n"
+            b"\x1f\x8bNOT-REALLY-GZIP")
+    with pytest.raises(ValueError):
+        _http_split(http)
+    # corrupt deflate body (neither zlib-wrapped nor raw deflate)
+    http2 = (b"HTTP/1.1 200 OK\r\nContent-Encoding: deflate\r\n\r\n"
+             b"\x00\x01\x02NOT-DEFLATE-EITHER")
+    with pytest.raises(ValueError):
+        _http_split(http2)
+
+
+def test_read_warc_skip_malformed(ray_session, tmp_path):
+    """One corrupt segment must not abort the directory read when
+    skip_malformed=True; the default still raises."""
+    import datetime
+
+    import pytest
+
+    from neurostore_text_extraction_ray.sources.warc import (
+        read_warc, write_warc)
+
+    ts = datetime.datetime(2024, 1, 1)
+    write_warc([{"url": "https://a.example/1", "warc_ts": ts,
+                 "html": "<html>ok</html>"}],
+               str(tmp_path / "good.warc.gz"), gzip_members=True)
+    (tmp_path / "bad.warc.gz").write_bytes(b"\x1f\x8bTRUNCATED")
+
+    out = read_warc(str(tmp_path), skip_malformed=True).to_pandas()
+    assert list(out["url"]) == ["https://a.example/1"]
+
+    with pytest.raises(Exception):  # ray wraps the ValueError
+        read_warc(str(tmp_path)).to_pandas()
