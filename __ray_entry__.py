@@ -37,6 +37,7 @@ from neurostore_text_extraction_ray.pipelines.extras import (  # noqa: E402
     _docs_outlinks_anchored,
     _docs_robots_filter,
     _warc_source_roundtrip,
+    _warc_extract_text,
     _docs_url_filter,
     _host_indegree,
     _docs_langid_quality,
@@ -197,6 +198,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_domain_cap": steps.docs_domain_cap,
         "docs_outlinks_anchored": _docs_outlinks_anchored,
         "warc_source_roundtrip": _warc_source_roundtrip,
+        "warc_extract_text": _warc_extract_text,
         "docs_robots_filter": _docs_robots_filter,
         "docs_url_filter": _docs_url_filter,
         "docs_outlinks": _docs_outlinks,
@@ -746,6 +748,18 @@ def oracle_sql() -> dict[str, str]:
             "    AS warc_ts, "
             "  LENGTH('<html><body>' || COALESCE(text, '') "
             "    || '</body></html>') AS n_chars "
+            "FROM documents"
+        ),
+        # Crawl tier end to end: the planted body wrapper extracts
+        # byte-identically to documents.text through the frozen html
+        # kernel, so the WHOLE WARC -> decode -> extract chain
+        # re-expresses as SQL.
+        "warc_extract_text": (
+            "SELECT 'https://site' || (doc_id % 7) || '.example/d/' "
+            "    || doc_id AS url, "
+            "  TIMESTAMP '2020-01-01' + INTERVAL (doc_id) SECOND "
+            "    AS warc_ts, "
+            "  COALESCE(text, '') AS extracted_text "
             "FROM documents"
         ),
         # Same planted link graph with the anchor text ('l' || ord for

@@ -1327,17 +1327,18 @@ def _docs_outlinks(sf_dir: str):
                .map_batches(outlinks_frame, batch_format="pandas")
 
 
-def _warc_source_roundtrip(sf_dir: str):
-    """WARC source round-trip (sources/warc.py): synthesize gzipped
-    WARC/1.0 segments from the documents table — one .warc.gz file per
-    input batch, written distributed with content-addressed names —
-    then read them back through ``read_warc`` (one task per file, the
-    WARC parallelism unit) and emit (url, warc_ts, n_chars). Oracled
-    as pure SQL over documents, so the whole write->parse->read chain
-    is value-verified."""
+def _write_warc_segments(sf_dir: str) -> str:
+    """Synthesize gzipped WARC/1.0 segments from the documents table —
+    one .warc.gz file per input batch, written DISTRIBUTED with
+    content-addressed names (task retries rewrite the same bytes;
+    distinct batches never collide, urls are unique). Returns the
+    scratch dir; callers own cleanup (try/finally rmtree). The scratch
+    is an exchange-visibility path (write tasks on ANY node must see
+    what read tasks read), so it comes from ``make_stage``
+    (NSE_EXCHANGE_ROOT on multi-node, asserted-single-node tmpfs
+    otherwise) — never a driver-local mkdtemp."""
     import hashlib
     import os
-    import shutil
     from datetime import datetime, timedelta
 
     import ray.data as rd
@@ -1345,10 +1346,6 @@ def _warc_source_roundtrip(sf_dir: str):
     from ..sources import warc as W
     from ..stages import exchange as ex
 
-    # write tasks on ANY node must see what read tasks read: the
-    # scratch is an exchange-visibility path, so it comes from
-    # make_stage (NSE_EXCHANGE_ROOT on multi-node, asserted-single-
-    # node tmpfs otherwise) — never a driver-local mkdtemp
     scratch = ex.make_stage("nse_warc_")
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text"])
@@ -1361,8 +1358,6 @@ def _warc_source_roundtrip(sf_dir: str):
             "html": f"<html><body>{text}</body></html>",
         } for did, text in zip(df["doc_id"].astype("int64"),
                                df["text"].fillna(""))]
-        # content-addressed file name: task retries rewrite the same
-        # bytes; distinct batches never collide (urls are unique)
         name = hashlib.blake2b(
             "|".join(r["url"] for r in rows).encode(),
             digest_size=8).hexdigest()
@@ -1372,7 +1367,27 @@ def _warc_source_roundtrip(sf_dir: str):
 
     try:
         docs.map_batches(write_part, batch_format="pandas").count()
+    except BaseException:
+        import shutil
 
+        shutil.rmtree(scratch, ignore_errors=True)
+        raise
+    return scratch
+
+
+def _warc_source_roundtrip(sf_dir: str):
+    """WARC source round-trip (sources/warc.py): synthesize gzipped
+    WARC/1.0 segments from the documents table, then read them back
+    through ``read_warc`` (one task per file, the WARC parallelism
+    unit) and emit (url, warc_ts, n_chars). Oracled as pure SQL over
+    documents, so the whole write->parse->read chain is
+    value-verified."""
+    import shutil
+
+    from ..sources import warc as W
+
+    scratch = _write_warc_segments(sf_dir)
+    try:
         def project(df: pd.DataFrame) -> pd.DataFrame:
             return pd.DataFrame({
                 "url": df["url"].to_numpy(dtype=object),
@@ -1382,6 +1397,47 @@ def _warc_source_roundtrip(sf_dir: str):
 
         return W.read_warc(scratch).map_batches(
             project, batch_format="pandas").materialize()
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+def _warc_extract_text(sf_dir: str):
+    """The full crawl-to-text tier END TO END: WARC segments ->
+    ``read_warc`` (file = parallelism unit, streaming gzip, charset
+    sniff) -> the FROZEN html kernel inside an autoscaling
+    ``ExtractActor`` pool -> (url, warc_ts, extracted_text). The
+    planted ``<html><body>{text}</body></html>`` wrapper extracts
+    BYTE-IDENTICALLY to ``documents.text`` (asserted over both test
+    corpora), so the whole chain — WARC framing, gzip members, HTTP
+    header split, charset decode, DOM strip — is value-verified by
+    exact ANSI SQL. Scale shape: same actor-pool contract as the
+    flagship (state in ``__init__``, ``concurrency=(1, k)`` per the
+    no-fixed-pool rule, Arrow batches throughout)."""
+    import shutil
+
+    from ..sources import warc as W
+    from ..stages.extract import ExtractActor
+
+    scratch = _write_warc_segments(sf_dir)
+    try:
+        pages = W.read_warc(scratch)
+        out = pages.map_batches(
+            ExtractActor,
+            fn_constructor_kwargs={"payload_column": "html",
+                                   "mode": "html",
+                                   "keep_columns": ("url", "warc_ts")},
+            batch_format="pyarrow",
+            batch_size=64,
+            concurrency=(1, 4),
+        )
+
+        def project(t: pa.Table) -> pa.Table:
+            if t["parse_failed"].to_pandas().any():
+                raise ValueError("planted WARC page failed to parse")
+            return t.select(["url", "warc_ts", "extracted_text"])
+
+        return out.map_batches(
+            project, batch_format="pyarrow").materialize()
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
 

@@ -328,6 +328,7 @@ def _register_builtins():
     register_op("docs_domain_cap")(steps.docs_domain_cap)
     register_op("docs_outlinks_anchored")(extras._docs_outlinks_anchored)
     register_op("warc_source_roundtrip")(extras._warc_source_roundtrip)
+    register_op("warc_extract_text")(extras._warc_extract_text)
     register_op("docs_robots_filter")(extras._docs_robots_filter)
 
     # Reference pipeline-name aliases (snake-cased extractor class

@@ -59,8 +59,13 @@ def _sniff_mode(payload: bytes) -> str:
 
 def extract_one(payload: bytes, mode: str = "auto", fold_unicode: bool = False) -> dict:
     """Extract a single document. Returns extracted_text/spans/metadata/
-    title/parse_failed/empty. Never raises."""
+    title/parse_failed/empty. Never raises. ``payload`` is the page
+    blob (``html:binary`` in the pages table); a str payload (sources
+    that decode early, e.g. ``read_warc``'s charset-sniffed html) is
+    normalized to utf-8 bytes — identical downstream semantics."""
     try:
+        if isinstance(payload, str):
+            payload = payload.encode("utf-8")
         if not payload:
             return {
                 "extracted_text": "", "spans": [], "metadata": dict(_EMPTY_METADATA),

@@ -90,7 +90,7 @@ def _pairs():
     # round-5 additions
     "evaluation_golden_metrics", "docs_domain_cap",
     "docs_outlinks_anchored", "warc_source_roundtrip",
-    "docs_robots_filter",
+    "docs_robots_filter", "warc_extract_text",
 ])
 def test_query_matches_oracle(name, ray_session):
     import __ray_entry__ as e

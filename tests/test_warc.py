@@ -213,3 +213,35 @@ def test_read_warc_skip_malformed(ray_session, tmp_path):
 
     with pytest.raises(Exception):  # ray wraps the ValueError
         read_warc(str(tmp_path)).to_pandas()
+
+
+def test_extract_one_str_payload_normalized():
+    """Sources that decode early (read_warc) hand str payloads; the
+    extract stage must treat them exactly like utf-8 bytes."""
+    from neurostore_text_extraction_ray.stages.extract import extract_one
+
+    html = "<html><body>Hello world.</body></html>"
+    a = extract_one(html)
+    b = extract_one(html.encode("utf-8"))
+    assert not a["parse_failed"] and not b["parse_failed"]
+    assert a["extracted_text"] == b["extracted_text"] == "Hello world."
+
+
+def test_warc_extract_text_byte_identity(ray_session):
+    """Crawl tier end to end: WARC segments -> read_warc -> frozen
+    html kernel actor pool; extracted text byte-identical to the
+    documents table's text column per planted url."""
+    import pandas as pd
+
+    from neurostore_text_extraction_ray.pipelines.extras import (
+        _warc_extract_text)
+
+    sf = "/root/testdata/sf0.001"
+    out = _warc_extract_text(sf).to_pandas()
+    docs = pd.read_parquet(sf + "/documents.parquet",
+                           columns=["doc_id", "text"])
+    docs["url"] = ("https://site" + (docs["doc_id"] % 7).astype(str)
+                   + ".example/d/" + docs["doc_id"].astype(str))
+    m = out.merge(docs, on="url", validate="one_to_one")
+    assert len(m) == len(docs) == len(out)
+    assert (m["extracted_text"] == m["text"].fillna("")).all()
