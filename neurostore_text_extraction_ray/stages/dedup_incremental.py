@@ -416,21 +416,16 @@ def minhash_near_dup_incremental(
     # bucket size (the hot-bucket cap in _emit_pairs_from_bucket bounds
     # the last factor)
     bucket_rows = _for_parts(state_parts, scan_part, band_schema).to_pandas()
-    out_pairs = []
-    for _, g in bucket_rows.groupby(["band", "key"], sort=False):
-        if len(g) >= 2:
-            out_pairs.append(D._emit_pairs_from_bucket(g))
-    if out_pairs:
-        pairs_df = pd.concat(out_pairs, ignore_index=True).drop_duplicates()
-        if changed_ids is not None:
-            # only pairs with >= 1 changed endpoint are NEW; the rest
-            # were candidates before and live in the stored edges
-            a_ch = np.isin(pairs_df["a"].to_numpy(np.int64), changed_ids)
-            b_ch = np.isin(pairs_df["b"].to_numpy(np.int64), changed_ids)
-            pairs_df = pairs_df[a_ch | b_ch]
-    else:
-        pairs_df = pd.DataFrame({"a": pd.Series(dtype="int64"),
-                                 "b": pd.Series(dtype="int64")})
+    # vectorized bucket->pairs combine (same kernel as the batch path;
+    # set-equal to the per-bucket loop, property-tested in
+    # test_dedup_similarity) — no Python iteration over buckets
+    pairs_df = D._pairs_from_band_rows(bucket_rows)
+    if len(pairs_df) and changed_ids is not None:
+        # only pairs with >= 1 changed endpoint are NEW; the rest
+        # were candidates before and live in the stored edges
+        a_ch = np.isin(pairs_df["a"].to_numpy(np.int64), changed_ids)
+        b_ch = np.isin(pairs_df["b"].to_numpy(np.int64), changed_ids)
+        pairs_df = pairs_df[a_ch | b_ch]
 
     # ---- phase 5: verify new pairs against the updated signatures ----
     sig_files = sorted(glob.glob(os.path.join(staging, "sigs", "*.parquet")))
