@@ -211,6 +211,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embeddings_semdedup": lambda sf: _round_cols(
             _embeddings_semdedup(sf), {"max_sim": 6}),
         "docs_url_canonicalize": _docs_url_canonicalize,
+        # --- new in r5 (inside the driver window for first-run
+        #     verification; displaces r4-green entries whose evidence
+        #     already exists in CORRECTNESS_r04.json) ---
+        "docs_chunk_windows": steps.docs_chunk_windows,
         # --- last driver-verified in r3 ---
         "ngram_jaccard_dups": _ngram_jaccard_dups,
         "embedding_cosine_dups": _embedding_cosine_dups,
@@ -346,6 +350,19 @@ def oracle_sql() -> dict[str, str]:
             "WHERE doc_id % 101 <> 3 AND doc_id % 97 <> 5"
         ),
         "word_count": wc,
+        "docs_chunk_windows": (
+            # window=64 / stride=48 fixed-token training windows; the
+            # M5 whitespace-token convention (trim + \s+ split), tail
+            # window short, zero-token docs emit nothing
+            "WITH w AS (SELECT doc_id, "
+            "regexp_split_to_array(trim(text), '\\s+') AS ws "
+            "FROM documents WHERE trim(coalesce(text,'')) <> ''), "
+            "g AS (SELECT doc_id, ws, unnest(range(0, len(ws), 48)) AS s "
+            "FROM w) "
+            "SELECT doc_id, s // 48 AS chunk_id, s AS start_tok, "
+            "least(64, len(ws) - s) AS n_tok, "
+            "array_to_string(ws[s+1 : s+64], ' ') AS chunk_text FROM g"
+        ),
         "word_deviance": (
             f"WITH wc AS ({wc}) "
             "SELECT doc_id, CAST(abs(word_count - "

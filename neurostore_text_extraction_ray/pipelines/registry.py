@@ -268,6 +268,7 @@ def _register_builtins():
     register_op("docs_domain_filter")(steps.docs_domain_filter)
     register_op("docs_rank_by_length")(steps.docs_rank_by_length)
     register_op("docs_quality_buckets")(steps.docs_quality_buckets)
+    register_op("docs_chunk_windows")(steps.docs_chunk_windows)
 
     from . import extras
 

@@ -2393,3 +2393,51 @@ def top_docs_by_length(sf_dir: str, k: int = 10):
     final = _topk_combine(partials_ds, lambda df: _topk_rows(df, k, None),
                           TOPK_PARTIALS_DRIVER_LIMIT)
     return rd.from_pandas(final)
+
+
+# -- Training-example chunking: fixed token windows with stride --------------
+
+
+def docs_chunk_windows(sf_dir: str, window: int = 64, stride: int = 48):
+    """Split each document into fixed-size token windows with overlap —
+    the training-example creation step between cleaning and shard
+    packing (``docs_pack_shards`` budgets whole docs; this op produces
+    the model-context-sized pieces). Tokens are whitespace runs of the
+    trimmed text (the ``word_count`` M5 convention); window ``i`` covers
+    tokens ``[i*stride, i*stride + window)`` for every start below the
+    token count, so consecutive windows share ``window - stride``
+    tokens of context and the tail window is short rather than padded.
+    Docs with no tokens emit no rows.
+
+    Output: (doc_id, chunk_id, start_tok, n_tok, chunk_text).
+
+    Scale shape: a stateless vectorized flat-map — no shuffle, no
+    aggregate, no driver state. Chunk counts and offsets come from one
+    numpy pass (ceil-div + repeat + cumsum); only the final token join
+    touches Python strings, proportional to output size. Output rows
+    are ~window/stride x the token volume of the input, so the batch
+    size is the only memory knob — blocks stay bounded regardless of
+    corpus size."""
+    if window <= 0 or stride <= 0:
+        raise ValueError("window and stride must be positive")
+
+    def chunk(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].fillna("").str.strip().str.split()
+        lens = toks.map(len).to_numpy(dtype=np.int64)
+        k = np.where(lens > 0, -(-lens // stride), 0).astype(np.int64)
+        doc_rep = np.repeat(np.arange(len(df)), k)
+        cum = np.concatenate([[0], np.cumsum(k)])
+        ci = (np.arange(int(k.sum())) - np.repeat(cum[:-1], k)).astype(np.int64)
+        starts = ci * stride
+        tok_arr = toks.to_numpy()
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy()[doc_rep],
+            "chunk_id": ci,
+            "start_tok": starts,
+            "n_tok": np.minimum(window, lens[doc_rep] - starts),
+            "chunk_text": [" ".join(tok_arr[d][s:s + window])
+                           for d, s in zip(doc_rep, starts)],
+        })
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        chunk, batch_format="pandas")
