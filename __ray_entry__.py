@@ -215,6 +215,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #     verification; displaces r4-green entries whose evidence
         #     already exists in CORRECTNESS_r04.json) ---
         "docs_chunk_windows": steps.docs_chunk_windows,
+        "docs_lm_score": steps.docs_lm_score,
         # --- last driver-verified in r3 ---
         "ngram_jaccard_dups": _ngram_jaccard_dups,
         "embedding_cosine_dups": _embedding_cosine_dups,
@@ -362,6 +363,29 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, s // 48 AS chunk_id, s AS start_tok, "
             "least(64, len(ws) - s) AS n_tok, "
             "array_to_string(ws[s+1 : s+64], ' ') AS chunk_text FROM g"
+        ),
+        "docs_lm_score": (
+            # add-one-smoothed bigram LM fit on the corpus, scored as
+            # mean bigram log-prob per doc (CCNet-style quality signal);
+            # token convention shared with tfidf/top_terms
+            "WITH tok AS (SELECT doc_id, "
+            "regexp_extract_all(lower(text), '\\w\\w+') AS ts FROM documents), "
+            "uni AS (SELECT t AS w, count(*) AS cu FROM "
+            "(SELECT unnest(ts) AS t FROM tok) GROUP BY t), "
+            "v AS (SELECT count(*) AS v FROM uni), "
+            "big AS (SELECT doc_id, unnest(list_transform(range(1, len(ts)), "
+            "i -> {'w1': ts[i], 'w2': ts[i+1]})) AS b FROM tok), "
+            "bw AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM big), "
+            "bc AS (SELECT w1, w2, count(*) AS cb FROM bw GROUP BY w1, w2), "
+            "scored AS (SELECT bw.doc_id, "
+            "ln((bc.cb + 1.0) / (uni.cu + v.v)) AS lp "
+            "FROM bw JOIN bc USING (w1, w2) "
+            "JOIN uni ON uni.w = bw.w1 CROSS JOIN v), "
+            "agg AS (SELECT doc_id, count(*) AS n_bigrams, sum(lp) AS s "
+            "FROM scored GROUP BY doc_id) "
+            "SELECT d.doc_id, coalesce(a.n_bigrams, 0) AS n_bigrams, "
+            "coalesce(round(a.s / a.n_bigrams, 6), 0.0) AS avg_logprob "
+            "FROM documents d LEFT JOIN agg a USING (doc_id)"
         ),
         "word_deviance": (
             f"WITH wc AS ({wc}) "

@@ -269,6 +269,7 @@ def _register_builtins():
     register_op("docs_rank_by_length")(steps.docs_rank_by_length)
     register_op("docs_quality_buckets")(steps.docs_quality_buckets)
     register_op("docs_chunk_windows")(steps.docs_chunk_windows)
+    register_op("docs_lm_score", dependent=True)(steps.docs_lm_score)
 
     from . import extras
 

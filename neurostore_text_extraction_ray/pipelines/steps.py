@@ -2395,6 +2395,167 @@ def top_docs_by_length(sf_dir: str, k: int = 10):
     return rd.from_pandas(final)
 
 
+# -- Bigram-LM quality scoring (CCNet-style perplexity filter) ---------------
+
+# hard ceiling on the model rows (unigram + bigram counts) the scoring
+# pass may broadcast. LM scoring fundamentally requires the model
+# everywhere — past this budget the fix is semantic (raise min_count to
+# prune rare bigrams), not a bigger driver; raising loudly beats an OOM
+# mid-job (same contract as TFIDF_VOCAB_DRIVER_LIMIT). Tests patch to 0.
+LM_MODEL_BROADCAST_LIMIT = 20_000_000
+
+
+def docs_lm_score(sf_dir: str, min_count: int = 1):
+    """Language-model quality scoring in the CCNet/RedPajama mold: fit
+    an add-one-smoothed bigram LM on the corpus, then score every
+    document by its mean bigram log-probability — the standard
+    perplexity-bucket signal for training-data quality filtering
+    (Wenzek et al. 2020, public construction). Tokens are the
+    ``tfidf``/``top_terms`` convention (lowercase, ``\\w\\w+``);
+    p(w2|w1) = (c(w1,w2)+1) / (c(w1)+V) with V the unigram vocabulary
+    size.
+
+    Output: (doc_id, n_bigrams, avg_logprob) — avg rounded to 6 dp,
+    0.0 (not NULL) for docs with fewer than two tokens.
+
+    Scale shape (two passes, like ``tfidf``):
+    1. one tokenize pass emits per-batch PARTIAL unigram rows
+       (w2 NULL) and bigram rows with exact counts — never the token
+       stream; the shared ``grouped_sum_by_key`` combine (driver below
+       ``TERMS_DRIVER_LIMIT`` partial rows, term-hash exchange beyond;
+       NULL w2 is a group key like any other). ``min_count`` prunes
+       rare bigrams DISTRIBUTED (exact: all of a key's rows co-locate
+       per part) before the collect; pruned/unseen bigrams score with
+       count 0 under the same smoothing, so the estimate degrades
+       gracefully instead of breaking.
+    2. the combined model is hard-gated by ``LM_MODEL_BROADCAST_LIMIT``
+       and broadcast once as sorted numpy arrays (term-hash ->
+       unigram count; vocab-id-pair int64 key -> bigram count;
+       BASELINE.md rule: searchsorted arrays, never python dicts);
+       scoring is a stateless vectorized map (searchsorted + log +
+       bincount per-doc reduction)."""
+    import ray
+    import ray.data as rd
+
+    if min_count < 1:
+        raise ValueError("min_count must be >= 1")
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def _flat_tokens(df: pd.DataFrame):
+        """(flat token object array, owning-row index array)."""
+        toks = df["text"].fillna("").str.lower().str.findall(SK_TOKEN_RE)
+        lens = toks.map(len).to_numpy(dtype=np.int64)
+        idx = np.repeat(np.arange(len(df)), lens)
+        flat = (np.concatenate([np.asarray(t, dtype=object) for t in toks])
+                if lens.sum() else np.empty(0, dtype=object))
+        return flat, idx
+
+    def count_partial(df: pd.DataFrame) -> pd.DataFrame:
+        flat, idx = _flat_tokens(df)
+        cu = pd.Series(flat, dtype=object).value_counts()
+        uni = pd.DataFrame({"w1": cu.index.to_numpy(dtype=object),
+                            "w2": np.full(len(cu), None, dtype=object),
+                            "n": cu.to_numpy().astype(np.int64)})
+        same = idx[1:] == idx[:-1] if len(idx) else np.empty(0, dtype=bool)
+        big = (pd.DataFrame({"w1": flat[:-1][same], "w2": flat[1:][same]})
+               .groupby(["w1", "w2"], sort=False).size()
+               .reset_index(name="n"))
+        big["n"] = big["n"].astype(np.int64)
+        out = pd.concat([uni, big], ignore_index=True)
+        # b0 contract (write_exchange): batch-min doc_id keeps
+        # byte-identical partials from distinct batches distinct
+        out["b0"] = np.int64(df["doc_id"].min()) if len(df) else np.int64(0)
+        return out
+
+    partials_ds = docs.map_batches(
+        count_partial, batch_format="pandas").materialize()
+    summed = grouped_sum_by_key(partials_ds, ["w1", "w2"], ["n"],
+                                TERMS_DRIVER_LIMIT)
+    if min_count > 1:
+        summed = summed.map_batches(
+            lambda t: t.filter(pc.or_(pc.is_null(t["w2"]),
+                                      pc.greater_equal(t["n"], min_count))),
+            batch_format="pyarrow")
+    kept = summed.materialize()
+    if kept.count() > LM_MODEL_BROADCAST_LIMIT:
+        raise RuntimeError(
+            "bigram LM exceeds the broadcast budget "
+            f"({LM_MODEL_BROADCAST_LIMIT} model rows): raise min_count "
+            "or raise LM_MODEL_BROADCAST_LIMIT")
+    mdf = kept.to_pandas()
+    if mdf.empty:
+        mdf = pd.DataFrame({"w1": pd.Series(dtype=object),
+                            "w2": pd.Series(dtype=object),
+                            "n": pd.Series(dtype="int64")})
+    is_uni = mdf["w2"].isna().to_numpy()
+    uni = mdf[is_uni]
+    terms = uni["w1"].to_numpy(dtype=object)
+    vocab_n = len(terms)
+    th = pd.util.hash_array(terms)
+    if len(np.unique(th)) != len(th):
+        # not an assert: -O must not strip the guard (silent count mixups)
+        raise RuntimeError("64-bit vocab hash collision")
+    order = np.argsort(th, kind="stable")
+    th_s = th[order]
+    cu_s = uni["n"].to_numpy().astype(np.int64)[order]
+
+    def _vocab_ids(words: np.ndarray):
+        h = pd.util.hash_array(words)
+        j = np.clip(np.searchsorted(th_s, h), 0, max(0, vocab_n - 1))
+        hit = (th_s[j] == h) if vocab_n else np.zeros(len(words), dtype=bool)
+        return j.astype(np.int64), hit
+
+    big = mdf[~is_uni]
+    j1, hit1 = _vocab_ids(big["w1"].to_numpy(dtype=object))
+    j2, hit2 = _vocab_ids(big["w2"].to_numpy(dtype=object))
+    if not (hit1.all() and hit2.all()):
+        # every bigram component was counted as a unigram in the same
+        # pass; a miss means the combine dropped rows — fail loudly
+        raise RuntimeError("bigram component missing from unigram vocab")
+    bk = j1 * np.int64(max(vocab_n, 1)) + j2
+    bo = np.argsort(bk, kind="stable")
+    bk_s = bk[bo]
+    cb_s = big["n"].to_numpy().astype(np.int64)[bo]
+    model_ref = ray.put((th_s, cu_s, bk_s, cb_s, vocab_n))
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        from ..stages.broadcast import get_broadcast
+
+        th_b, cu_b, bk_b, cb_b, v_n = get_broadcast(model_ref)
+        flat, idx = _flat_tokens(df)
+        n_b = np.zeros(len(df), dtype=np.int64)
+        s_b = np.zeros(len(df), dtype=np.float64)
+        same = idx[1:] == idx[:-1] if len(idx) else np.empty(0, dtype=bool)
+        if same.any():
+            if v_n == 0:
+                raise RuntimeError("cannot score bigrams with an empty model")
+            h = pd.util.hash_array(flat)
+            j = np.clip(np.searchsorted(th_b, h), 0, v_n - 1)
+            in_vocab = th_b[j] == h
+            cu1 = np.where(in_vocab, cu_b[j], 0)
+            w1 = np.flatnonzero(same)  # bigram i = (flat[i], flat[i+1])
+            keys = j[w1] * np.int64(v_n) + j[w1 + 1]
+            both = in_vocab[w1] & in_vocab[w1 + 1]
+            if len(bk_b):
+                p = np.clip(np.searchsorted(bk_b, keys), 0, len(bk_b) - 1)
+                cb = np.where(both & (bk_b[p] == keys), cb_b[p], 0)
+            else:
+                cb = np.zeros(len(keys), dtype=np.int64)
+            lp = np.log((cb + 1.0) / (cu1[w1] + float(v_n)))
+            d = idx[w1]
+            n_b = np.bincount(d, minlength=len(df)).astype(np.int64)
+            s_b = np.bincount(d, weights=lp, minlength=len(df))
+        avg = np.where(n_b > 0, np.round(s_b / np.maximum(n_b, 1), 6), 0.0)
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy().astype(np.int64),
+            "n_bigrams": n_b,
+            "avg_logprob": avg,
+        })
+
+    return docs.map_batches(score, batch_format="pandas")
+
+
 # -- Training-example chunking: fixed token windows with stride --------------
 
 
