@@ -216,6 +216,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #     already exists in CORRECTNESS_r04.json) ---
         "docs_chunk_windows": steps.docs_chunk_windows,
         "docs_lm_score": steps.docs_lm_score,
+        "docs_bloom_seen": steps.docs_bloom_seen,
         # --- last driver-verified in r3 ---
         "ngram_jaccard_dups": _ngram_jaccard_dups,
         "embedding_cosine_dups": _embedding_cosine_dups,
@@ -635,6 +636,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         # pinned-golden oracles (regenerate: python tools/make_goldens.py)
         "docs_fingerprint": _golden_sql("docs_fingerprint"),
+        "docs_bloom_seen": _golden_sql("docs_bloom_seen"),
         "top_terms_cms": _golden_sql("top_terms_cms"),
         "docs_token_count": _golden_sql("docs_token_count"),
         "minhash_dedup_groups": _golden_sql("minhash_dedup_groups"),

@@ -2395,6 +2395,184 @@ def top_docs_by_length(sf_dir: str, k: int = 10):
     return rd.from_pandas(final)
 
 
+# -- Sharded Bloom seen-set (crawl-frontier membership) ----------------------
+
+# above this many distinct set-bit partial rows the filter leaves the
+# driver for a shard-co-partitioned exchange (tests patch to 0). The
+# row count is bounded by the filter's total bit size, so this is
+# equivalently a cap on the broadcastable filter (uint64 words) — a
+# 10^12-key filter is ~1.25 TB and must be sharded, never broadcast.
+BLOOM_SEEN_PARTIALS_DRIVER_LIMIT = 50_000_000
+BLOOM_SEEN_SHARDS = 64
+
+
+def docs_bloom_seen(sf_dir: str, bits_per_key: int = 10,
+                    k_hashes: int = 7, shards: int = BLOOM_SEEN_SHARDS):
+    """Crawl-frontier seen-set membership via a SHARDED Bloom filter —
+    the approximate-membership sketch completing the HLL/CMS family:
+    "is this page's content already in the previous crawl?" at a
+    per-key cost of ``bits_per_key`` bits instead of the exact set.
+    The seen set is the deterministic 'previous crawl' slice (docs
+    with even doc_id), keyed by the content fingerprint
+    (``fingerprint64``: whitespace/case-normalized blake2b), so exact
+    re-crawls of seen content flag as seen wherever they appear.
+
+    Output: (doc_id, maybe_seen) for every doc. NO false negatives
+    (every even doc and every exact duplicate of one flags True);
+    false positives at the classic ~0.8^k rate for the 10-bit/7-hash
+    default. Deterministic given the self-owned splitmix64/blake2b
+    hashes -> pinned-golden oracle.
+
+    Scale shape: the filter is PARTITIONED into ``shards`` fixed
+    sub-filters by a key hash that is independent of the in-shard bit
+    hashes, so both paths set identical bits:
+    - below ``BLOOM_SEEN_PARTIALS_DRIVER_LIMIT`` distinct set-bit
+      partial rows (== filter bits), the driver assembles one global
+      word array and broadcasts it once (``ray.put``);
+    - beyond, build keys and probe rows co-partition by shard through
+      the filesystem exchange and each part builds + probes its own
+      sub-filter locally — NO broadcast at all, the true 10^12-key
+      path. ``shards`` is the parallelism knob of that path.
+    Filter sizing uses the parquet-metadata row count (a deterministic
+    2x overestimate of the even half — overestimating only lowers the
+    FP rate)."""
+    from ..functions.textstats import fingerprint64
+    from ..stages.sketch import bloom_indices, bloom_round_bits, bloom_shard
+    import ray
+
+    if bits_per_key < 1 or k_hashes < 1 or shards < 1:
+        raise ValueError("bits_per_key, k_hashes and shards must be >= 1")
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    n_expected = docs.count()
+    m_shard = bloom_round_bits(
+        max(1024, -(-bits_per_key * max(n_expected, 1) // shards)))
+
+    def _fp_keys(df: pd.DataFrame) -> np.ndarray:
+        return np.fromiter((fingerprint64(t) for t in df["text"]),
+                           dtype=np.uint64, count=len(df))
+
+    def bit_partial(df: pd.DataFrame) -> pd.DataFrame:
+        sub = df[df["doc_id"].to_numpy() % 2 == 0]
+        keys = _fp_keys(sub)
+        if len(keys):
+            shard = bloom_shard(keys, shards)
+            g = np.unique(np.concatenate(
+                [shard * m_shard + idx
+                 for idx in bloom_indices(keys, m_shard, k_hashes)]))
+        else:
+            g = np.empty(0, dtype=np.int64)
+        out = pd.DataFrame({"bit": g})
+        # b0 contract (write_exchange) is moot here (driver path only),
+        # but batch-identical partials must still stay distinct in the
+        # materialized count the gate reads — bit sets already differ
+        # per batch unless the docs are true duplicates, which dedup
+        # into the same bits idempotently.
+        return out
+
+    partials = docs.map_batches(
+        bit_partial, batch_format="pandas").materialize()
+
+    if partials.count() <= BLOOM_SEEN_PARTIALS_DRIVER_LIMIT:
+        pdf = partials.to_pandas()
+        bits = (np.unique(pdf["bit"].to_numpy().astype(np.int64))
+                if len(pdf) else np.empty(0, dtype=np.int64))
+        words = np.zeros(shards * (m_shard // 64), dtype=np.uint64)
+        if len(bits):
+            np.bitwise_or.at(words, bits >> 6,
+                             np.uint64(1) << (bits & 63).astype(np.uint64))
+        words_ref = ray.put(words)
+
+        def probe(df: pd.DataFrame) -> pd.DataFrame:
+            from ..stages.broadcast import get_broadcast
+
+            w = get_broadcast(words_ref)
+            keys = _fp_keys(df)
+            ok = np.ones(len(df), dtype=bool)
+            if len(keys):
+                shard = bloom_shard(keys, shards)
+                for idx in bloom_indices(keys, m_shard, k_hashes):
+                    g = shard * m_shard + idx
+                    bit = (w[g >> 6] >> (g & 63).astype(np.uint64)) & np.uint64(1)
+                    ok &= bit.astype(bool)
+            return pd.DataFrame({
+                "doc_id": df["doc_id"].to_numpy().astype(np.int64),
+                "maybe_seen": ok,
+            })
+
+        return docs.map_batches(probe, batch_format="pandas")
+
+    return _docs_bloom_seen_exchanged(sf_dir, m_shard, k_hashes, shards)
+
+
+def _docs_bloom_seen_exchanged(sf_dir: str, m_shard: int, k_hashes: int,
+                               shards: int):
+    """Scale path: build keys and probe rows co-partition by the shard
+    hash; each part builds its sub-filter from its build keys and
+    probes its probe rows locally. In-shard bit positions depend only
+    on (key, m_shard), so the bits — and therefore every probe answer
+    — are identical to the broadcast path's."""
+    import shutil
+
+    from ..functions.textstats import fingerprint64
+    from ..stages import exchange as ex
+    from ..stages.sketch import bloom_shard, build_bloom, bloom_contains
+
+    b_schema = pa.schema([("key", pa.int64())])
+    p_schema = pa.schema([("doc_id", pa.int64()), ("key", pa.int64())])
+    out_schema = pa.schema([("doc_id", pa.int64()), ("maybe_seen", pa.bool_())])
+
+    def _fp_keys(df: pd.DataFrame) -> np.ndarray:
+        return np.fromiter((fingerprint64(t) for t in df["text"]),
+                           dtype=np.uint64, count=len(df))
+
+    def build_rows(df: pd.DataFrame) -> pd.DataFrame:
+        sub = df[df["doc_id"].to_numpy() % 2 == 0]
+        # duplicate-key fragment collapse (write_exchange CONTRACT) is
+        # harmless: bloom build is dedup-idempotent
+        return pd.DataFrame({"key": _fp_keys(sub).view(np.int64)})
+
+    def probe_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy().astype(np.int64),
+            "key": _fp_keys(df).view(np.int64),
+        })
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    b_stage = ex.make_stage("nse_bloom_b_")
+    p_stage = ex.make_stage("nse_bloom_p_")
+    try:
+        part_of = lambda b: bloom_shard(  # noqa: E731
+            b["key"].to_numpy(zero_copy_only=False).view(np.uint64), shards)
+        ex.write_exchange(
+            docs.map_batches(build_rows, batch_format="pandas")
+            .map_batches(lambda t: t.cast(b_schema), batch_format="pyarrow"),
+            b_stage, part_of)
+        ex.write_exchange(
+            docs.map_batches(probe_rows, batch_format="pandas")
+            .map_batches(lambda t: t.cast(p_schema), batch_format="pyarrow"),
+            p_stage, part_of)
+
+        def part_fn(bt: pa.Table, pt: pa.Table) -> pa.Table:
+            if pt.num_rows == 0:
+                return out_schema.empty_table()
+            words = build_bloom(
+                bt["key"].to_numpy(zero_copy_only=False).view(np.uint64),
+                m_shard, k_hashes)
+            seen = bloom_contains(
+                words,
+                pt["key"].to_numpy(zero_copy_only=False).view(np.uint64),
+                k_hashes)
+            return pa.table({"doc_id": pt["doc_id"],
+                             "maybe_seen": pa.array(seen, pa.bool_())})
+
+        return ex.map_parts([b_stage, p_stage], shards, part_fn, out_schema,
+                            in_schemas=[b_schema, p_schema]).materialize()
+    finally:
+        for s in (b_stage, p_stage):
+            shutil.rmtree(s, ignore_errors=True)
+
+
 # -- Bigram-LM quality scoring (CCNet-style perplexity filter) ---------------
 
 # hard ceiling on the model rows (unigram + bigram counts) the scoring

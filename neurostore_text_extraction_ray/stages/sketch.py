@@ -136,17 +136,12 @@ def hll_distinct(ds, col: str, p: int = 12):
 # ---------------------------------------------------------------------------
 
 
-def build_bloom(keys: np.ndarray, n_bits: int = 1 << 20,
-                k_hashes: int = 5) -> np.ndarray:
-    """Vectorized Bloom filter over int64 keys (double hashing:
+def bloom_indices(keys: np.ndarray, n_bits: int, k_hashes: int):
+    """Yield the ``k_hashes`` per-key bit-index arrays (double hashing:
     h_i = h1 + i*h2, the standard Kirsch-Mitzenmacher construction).
-    ``n_bits`` is rounded UP to a multiple of 64 so the build modulus
-    always equals the probe-side ``len(words) * 64`` (a truncating
-    build would index out of bounds or, worse, give the probe a
-    different modulus -> false negatives). Returns a uint64 word
-    array."""
-    n_bits = max(64, ((n_bits + 63) // 64) * 64)
-    words = np.zeros(n_bits // 64, dtype=np.uint64)
+    ONE arithmetic shared by build, probe, and the sharded seen-set
+    partial emitter — any drift between them would mean silent false
+    negatives, so there is exactly one implementation."""
     k64 = keys.astype(np.uint64)
     with np.errstate(over="ignore"):
         h1 = k64 * _MIX1
@@ -155,9 +150,26 @@ def build_bloom(keys: np.ndarray, n_bits: int = 1 << 20,
         h2 ^= h2 >> np.uint64(31)
         h2 |= np.uint64(1)  # odd stride
         for i in range(k_hashes):
-            idx = ((h1 + np.uint64(i) * h2) % np.uint64(n_bits)).astype(np.int64)
-            np.bitwise_or.at(words, idx >> 6,
-                             np.uint64(1) << (idx & 63).astype(np.uint64))
+            yield ((h1 + np.uint64(i) * h2) % np.uint64(n_bits)).astype(np.int64)
+
+
+def bloom_round_bits(n_bits: int) -> int:
+    """Bits rounded UP to a multiple of 64 — the build modulus must
+    always equal the probe-side ``len(words) * 64`` (a truncating build
+    would index out of bounds or, worse, give the probe a different
+    modulus -> false negatives)."""
+    return max(64, ((n_bits + 63) // 64) * 64)
+
+
+def build_bloom(keys: np.ndarray, n_bits: int = 1 << 20,
+                k_hashes: int = 5) -> np.ndarray:
+    """Vectorized Bloom filter over int64 keys. Returns a uint64 word
+    array of ``bloom_round_bits(n_bits) / 64`` words."""
+    n_bits = bloom_round_bits(n_bits)
+    words = np.zeros(n_bits // 64, dtype=np.uint64)
+    for idx in bloom_indices(keys, n_bits, k_hashes):
+        np.bitwise_or.at(words, idx >> 6,
+                         np.uint64(1) << (idx & 63).astype(np.uint64))
     return words
 
 
@@ -165,19 +177,22 @@ def bloom_contains(words: np.ndarray, keys: np.ndarray,
                    k_hashes: int = 5) -> np.ndarray:
     """Vectorized membership probe (no false negatives)."""
     n_bits = len(words) * 64
-    k64 = keys.astype(np.uint64)
     out = np.ones(len(keys), dtype=bool)
-    with np.errstate(over="ignore"):
-        h1 = k64 * _MIX1
-        h1 ^= h1 >> np.uint64(29)
-        h2 = (k64 ^ _MIX2) * _MIX1
-        h2 ^= h2 >> np.uint64(31)
-        h2 |= np.uint64(1)
-        for i in range(k_hashes):
-            idx = ((h1 + np.uint64(i) * h2) % np.uint64(n_bits)).astype(np.int64)
-            bit = (words[idx >> 6] >> (idx & 63).astype(np.uint64)) & np.uint64(1)
-            out &= bit.astype(bool)
+    for idx in bloom_indices(keys, n_bits, k_hashes):
+        bit = (words[idx >> 6] >> (idx & 63).astype(np.uint64)) & np.uint64(1)
+        out &= bit.astype(bool)
     return out
+
+
+_SHARD_SEED = np.uint64(0xA0761D6478BD642F)
+
+
+def bloom_shard(keys: np.ndarray, num_shards: int) -> np.ndarray:
+    """Deterministic shard id per key for the SHARDED seen-set filter —
+    independent of the in-shard bit hashes (separate seed through
+    splitmix64), so sharding never correlates with bit positions."""
+    return (splitmix64(keys.astype(np.uint64) ^ _SHARD_SEED)
+            % np.uint64(num_shards)).astype(np.int64)
 
 
 def bloom_semi_join(fact_ds, key_col: str, keys: np.ndarray,

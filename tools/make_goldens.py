@@ -46,6 +46,7 @@ SF_QUERIES = [
     "orders_custkey_hll",
     "top_terms_cms",
     "docs_dup_spans",
+    "docs_bloom_seen",
 ]
 # corpus-independent queries (single file)
 GLOBAL_QUERIES = ["multimodal_features", "evaluation_golden_metrics"]
