@@ -217,6 +217,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_chunk_windows": steps.docs_chunk_windows,
         "docs_lm_score": steps.docs_lm_score,
         "docs_bloom_seen": steps.docs_bloom_seen,
+        "term_postings": steps.term_postings,
         # --- last driver-verified in r3 ---
         "ngram_jaccard_dups": _ngram_jaccard_dups,
         "embedding_cosine_dups": _embedding_cosine_dups,
@@ -364,6 +365,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, s // 48 AS chunk_id, s AS start_tok, "
             "least(64, len(ws) - s) AS n_tok, "
             "array_to_string(ws[s+1 : s+64], ' ') AS chunk_text FROM g"
+        ),
+        "term_postings": (
+            # inverted index: exact df + head-32 posting list per term;
+            # to_json(list_sort(...)[1:32]) is byte-equal to the
+            # kernel's canonical JSON int-list serialization
+            "WITH tok AS (SELECT DISTINCT doc_id, "
+            "unnest(regexp_extract_all(lower(text), '\\w\\w+')) AS term "
+            "FROM documents), "
+            "g AS (SELECT term, count(*) AS df, "
+            "list_sort(array_agg(doc_id))[1:32] AS ids FROM tok GROUP BY term) "
+            "SELECT term, df, CAST(to_json(ids) AS VARCHAR) AS postings FROM g"
         ),
         "docs_lm_score": (
             # add-one-smoothed bigram LM fit on the corpus, scored as

@@ -271,6 +271,7 @@ def _register_builtins():
     register_op("docs_chunk_windows")(steps.docs_chunk_windows)
     register_op("docs_lm_score", dependent=True)(steps.docs_lm_score)
     register_op("docs_bloom_seen", dependent=True)(steps.docs_bloom_seen)
+    register_op("term_postings")(steps.term_postings)
 
     from . import extras
 

@@ -2395,6 +2395,95 @@ def top_docs_by_length(sf_dir: str, k: int = 10):
     return rd.from_pandas(final)
 
 
+# -- Inverted-index postings build -------------------------------------------
+
+
+def term_postings(sf_dir: str, k: int = 32):
+    """Inverted-index build: per term, the exact document frequency and
+    the first ``k`` (smallest) doc_ids containing it, serialized as
+    canonical JSON (the CLAUDE.md nested-output rule). The posting cap
+    bounds the per-term output regardless of df — the head of a real
+    posting list — while df stays exact.
+
+    Scale shape: each document lives in exactly one batch, so per-batch
+    DISTINCT (term, doc_id) rows are globally distinct postings — no
+    cross-batch dedup needed and no ``b0`` tag required (rows are keyed
+    by doc_id). Below ``TERMS_DRIVER_LIMIT`` posting rows the combine is
+    a driver groupby; beyond, rows term-hash-partition through the
+    filesystem exchange and each part computes exact df + head-k
+    locally (a term's rows all co-locate). Postings-string assembly is
+    O(output) by construction (k ids per term)."""
+    import ray.data as rd
+
+    out_schema = pa.schema([("term", pa.string()), ("df", pa.int64()),
+                            ("postings", pa.string())])
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].fillna("").str.lower().str.findall(SK_TOKEN_RE)
+        ex = df[["doc_id"]].assign(term=toks).explode("term")
+        ex = ex.dropna(subset=["term"]).drop_duplicates()
+        return pd.DataFrame({"term": ex["term"].to_numpy(dtype=object),
+                             "doc_id": ex["doc_id"].to_numpy().astype(np.int64)})
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["term", "doc_id"], kind="stable")
+        dfreq = df.groupby("term", sort=False).size()
+        head = df[df.groupby("term", sort=False).cumcount() < k]
+        posts = head.groupby("term", sort=False)["doc_id"].agg(
+            lambda s: "[" + ",".join(map(str, s)) + "]")
+        return pd.DataFrame({
+            "term": dfreq.index.to_numpy(dtype=object),
+            "df": dfreq.to_numpy().astype(np.int64),
+            "postings": posts.reindex(dfreq.index).to_numpy(dtype=object),
+        })
+
+    partials_ds = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(pairs, batch_format="pandas")
+        .materialize()
+    )
+    if partials_ds.count() > TERMS_DRIVER_LIMIT:
+        return _term_postings_exchanged(partials_ds, combine, out_schema)
+    rows = partials_ds.to_pandas()
+    if rows.empty:
+        return rd.from_arrow(out_schema.empty_table())
+    return rd.from_pandas(combine(rows))
+
+
+def _term_postings_exchanged(partials_ds, combine, out_schema,
+                             num_parts: int = 32):
+    """Scale path: term-hash partition exchange; per-part df/head-k are
+    exact global answers because every term's rows co-locate."""
+    import shutil
+
+    from ..stages import exchange as ex
+
+    in_schema = pa.schema([("term", pa.string()), ("doc_id", pa.int64())])
+    stage = ex.make_stage("nse_postings_")
+    try:
+        ex.write_exchange(
+            partials_ds.map_batches(lambda b: b.cast(in_schema),
+                                    batch_format="pyarrow"),
+            stage,
+            lambda b: _term_part(
+                b["term"].to_numpy(zero_copy_only=False), num_parts))
+
+        def part_fn(t: pa.Table) -> pa.Table:
+            out = combine(t.to_pandas())
+            return pa.table({
+                "term": pa.array(out["term"].to_numpy(dtype=object),
+                                 pa.string()),
+                "df": pa.array(out["df"].to_numpy(), pa.int64()),
+                "postings": pa.array(out["postings"].to_numpy(dtype=object),
+                                     pa.string()),
+            })
+
+        return ex.map_parts(stage, num_parts, part_fn,
+                            out_schema).materialize()
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+
+
 # -- Sharded Bloom seen-set (crawl-frontier membership) ----------------------
 
 # above this many distinct set-bit partial rows the filter leaves the

@@ -97,6 +97,7 @@ def main():
 
     steps.TERMS_DRIVER_LIMIT = 0
     steps.DOMAIN_DRIVER_LIMIT = 0
+    steps.BLOOM_SEEN_PARTIALS_DRIVER_LIMIT = 0
     dupspans.DUPSPANS_BROADCAST_LIMIT = 0
 
     results = {}
@@ -123,6 +124,15 @@ def main():
             rd.read_parquet(f"{OUT}/documents.parquet",
                             columns=["doc_id", "text"]),
             k=5).materialize().count())
+    # round-5b additions: window=8/stride=4 so every 12-word doc emits
+    # 3 windows (the flat-map expansion actually fires)
+    run("docs_chunk_windows",
+        lambda: steps.docs_chunk_windows(
+            OUT, window=8, stride=4).materialize().count())
+    run("docs_lm_score_exchange",
+        lambda: steps.docs_lm_score(OUT).materialize().count())
+    run("docs_bloom_seen_exchange",
+        lambda: steps.docs_bloom_seen(OUT).materialize().count())
 
     results["driver_maxrss_gb"] = round(
         resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6, 2)
