@@ -218,6 +218,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_lm_score": steps.docs_lm_score,
         "docs_bloom_seen": steps.docs_bloom_seen,
         "term_postings": steps.term_postings,
+        "docs_split_assign": steps.docs_split_assign,
         # --- last driver-verified in r3 ---
         "ngram_jaccard_dups": _ngram_jaccard_dups,
         "embedding_cosine_dups": _embedding_cosine_dups,
@@ -365,6 +366,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, s // 48 AS chunk_id, s AS start_tok, "
             "least(64, len(ws) - s) AS n_tok, "
             "array_to_string(ws[s+1 : s+64], ' ') AS chunk_text FROM g"
+        ),
+        "docs_split_assign": (
+            # same Knuth-multiplicative + LCG-salt stream as the kernel
+            "SELECT doc_id, lang, CASE "
+            "WHEN (doc_id * 2654435761 + 1013904223) % 2147483648 % 100 < 90 "
+            "THEN 'train' "
+            "WHEN (doc_id * 2654435761 + 1013904223) % 2147483648 % 100 < 95 "
+            "THEN 'valid' ELSE 'test' END AS split FROM documents"
         ),
         "term_postings": (
             # inverted index: exact df + head-32 posting list per term;

@@ -272,6 +272,7 @@ def _register_builtins():
     register_op("docs_lm_score", dependent=True)(steps.docs_lm_score)
     register_op("docs_bloom_seen", dependent=True)(steps.docs_bloom_seen)
     register_op("term_postings")(steps.term_postings)
+    register_op("docs_split_assign")(steps.docs_split_assign)
 
     from . import extras
 

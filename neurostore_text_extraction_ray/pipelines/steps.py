@@ -590,6 +590,42 @@ def docs_sample_hash(sf_dir: str, pct: int = 30):
         f, batch_format="pyarrow")
 
 
+def docs_split_assign(sf_dir: str, train_pct: int = 90, valid_pct: int = 5):
+    """Deterministic train/valid/test split assignment — the
+    dataset-versioning step after the mix is built: every doc gets a
+    stable split label from a pure hash of its id, so reruns,
+    repartitioning and incremental additions never move a document
+    across splits (the property that prevents eval leakage over time).
+    The hash stream is ``h = (doc_id * 2654435761 + 1013904223) mod
+    2^31`` — the Knuth multiplicative constant with an LCG increment
+    salt so it is INDEPENDENT of ``docs_sample_hash``'s stream (a doc
+    being sampled must not correlate with its split). No 64-bit
+    overflow for doc_id < 2^31 (guarded), so numpy and SQL agree
+    exactly. Output: (doc_id, lang, split); a stateless vectorized
+    map, no shuffle."""
+    if not (0 <= train_pct and 0 <= valid_pct
+            and train_pct + valid_pct <= 100):
+        raise ValueError("need 0 <= train_pct + valid_pct <= 100")
+
+    def f(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # ValueError, not assert: python -O strips asserts and larger
+        # ids would silently diverge from the SQL oracle via wraparound
+        if len(ids) and not ((ids >= 0).all() and ids.max() < (1 << 31)):
+            raise ValueError("docs_split_assign requires 0 <= doc_id < 2^31")
+        h = (ids * 2654435761 + 1013904223) % (1 << 31) % 100
+        split = np.where(h < train_pct, "train",
+                         np.where(h < train_pct + valid_pct, "valid", "test"))
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "lang": batch["lang"],
+            "split": pa.array(split, pa.string()),
+        })
+
+    return _docs(sf_dir, ["doc_id", "lang"]).map_batches(
+        f, batch_format="pyarrow")
+
+
 # -- Per-group top-k (window-function analog) -------------------------------
 
 

@@ -101,8 +101,11 @@ def main():
     dupspans.DUPSPANS_BROADCAST_LIMIT = 0
 
     results = {}
+    only = set(sys.argv[1:])  # optional: run only the named measurements
 
     def run(name, fn):
+        if only and name not in only:
+            return
         with RssSampler() as s:
             t0 = time.monotonic()
             n = fn()
@@ -133,6 +136,8 @@ def main():
         lambda: steps.docs_lm_score(OUT).materialize().count())
     run("docs_bloom_seen_exchange",
         lambda: steps.docs_bloom_seen(OUT).materialize().count())
+    run("term_postings_exchange",
+        lambda: steps.term_postings(OUT).materialize().count())
 
     results["driver_maxrss_gb"] = round(
         resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6, 2)
