@@ -40,6 +40,7 @@ from neurostore_text_extraction_ray.pipelines.extras import (  # noqa: E402
     _warc_extract_text,
     _docs_url_filter,
     _host_indegree,
+    _host_pagerank,
     _docs_langid_quality,
     _docs_token_count,
     _docs_url_canonicalize,
@@ -165,6 +166,42 @@ def _round_cols(ds, spec: dict[str, int]):
     return ds.map_batches(r, batch_format="pandas")
 
 
+def _host_pagerank_sql(n_iter: int = 5, damping: float = 0.85) -> str:
+    """ANSI-SQL re-expression of the host-graph PageRank: the planted
+    link graph re-derived arithmetically (the weblinks kernel extracts
+    exactly the planted anchors), then ``n_iter`` unrolled iteration
+    CTEs — weighted contributions + dangling-mass redistribution, the
+    same update the numpy scatter-add computes."""
+    sql = (
+        "WITH links AS ("
+        "  SELECT 'site' || (doc_id % 7) || '.example' AS src, "
+        "         'site' || ((doc_id * j) % 7) || '.example' AS dst "
+        "  FROM documents, unnest(range(0, doc_id % 4)) AS t(j)), "
+        "e AS (SELECT src, dst, count(*) AS w FROM links GROUP BY src, dst), "
+        "ow AS (SELECT src, sum(w) AS out_w FROM e GROUP BY src), "
+        "n AS (SELECT DISTINCT host FROM "
+        "(SELECT src AS host FROM e UNION SELECT dst FROM e)), "
+        "nn AS (SELECT count(*) AS n FROM n), "
+        "p0 AS (SELECT host, 1.0 / nn.n AS pr FROM n, nn)"
+    )
+    for i in range(n_iter):
+        j = i + 1
+        sql += (
+            f", c{j} AS (SELECT e.dst AS host, "
+            f"sum(p{i}.pr * e.w / ow.out_w) AS s "
+            f"FROM e JOIN p{i} ON p{i}.host = e.src "
+            f"JOIN ow ON ow.src = e.src GROUP BY e.dst)"
+            f", d{j} AS (SELECT coalesce(sum(pr), 0) AS dang FROM p{i} "
+            f"WHERE host NOT IN (SELECT src FROM e))"
+            f", p{j} AS (SELECT n.host, (1 - {damping}) / nn.n + {damping} * "
+            f"(coalesce(c{j}.s, 0) + d{j}.dang / nn.n) AS pr "
+            f"FROM n CROSS JOIN nn CROSS JOIN d{j} "
+            f"LEFT JOIN c{j} ON c{j}.host = n.host)"
+        )
+    return sql + (
+        f" SELECT host, round(pr, 6) AS pagerank FROM p{n_iter}")
+
+
 def _evaluation_golden_metrics(sf_dir: str):
     """Committed-golden replay (VERDICT r04 #5): score the reference's
     1.0.0 pipeline outputs against its 1.1.0 outputs through the full
@@ -219,6 +256,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_bloom_seen": steps.docs_bloom_seen,
         "term_postings": steps.term_postings,
         "docs_split_assign": steps.docs_split_assign,
+        "host_pagerank": _host_pagerank,
         # --- last driver-verified in r3 ---
         "ngram_jaccard_dups": _ngram_jaccard_dups,
         "embedding_cosine_dups": _embedding_cosine_dups,
@@ -367,6 +405,7 @@ def oracle_sql() -> dict[str, str]:
             "least(64, len(ws) - s) AS n_tok, "
             "array_to_string(ws[s+1 : s+64], ' ') AS chunk_text FROM g"
         ),
+        "host_pagerank": _host_pagerank_sql(),
         "docs_split_assign": (
             # same Knuth-multiplicative + LCG-salt stream as the kernel
             "SELECT doc_id, lang, CASE "

@@ -1310,6 +1310,90 @@ def _plant_linked_html(df: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame({"doc_id": rows_id, "html": rows_html})
 
 
+# hard ceiling on the (src, dst, w) host-graph edges and the rank
+# vector the driver iteration may hold. Hosts are registered domains
+# (~10^8 on a full crawl: rank + edge arrays in the tens of GB), so
+# past this budget the fix is a per-iteration co-partitioned exchange
+# (rank rows hash-partitioned by src joined to edges per part, dst
+# contributions combined via grouped_sum_by_key — the pairs.py shape),
+# not a bigger driver; raising loudly beats an OOM mid-job. Tests
+# patch to 0 and assert the raise.
+PAGERANK_EDGES_DRIVER_LIMIT = 20_000_000
+
+
+def _host_pagerank(sf_dir: str, n_iter: int = 5, damping: float = 0.85):
+    """Iterative PageRank over the host-level link graph — the classic
+    link-quality signal beyond plain in-degree (`host_indegree`).
+    Edges: source host = the doc's own domain plant, target host = each
+    absolute outlink's host (the ``weblinks`` kernel over the planted
+    link-rich pages), weighted by link count. Semantics: standard
+    damped PageRank with weighted out-edges and dangling-mass
+    redistribution, ``n_iter`` synchronous iterations from the uniform
+    vector. Output (host, pagerank) rounded to 6 dp.
+
+    Scale shape: the per-batch link scan emits PARTIAL (src, dst, w)
+    edge rows (bounded by host-pair cardinality per batch, never the
+    link stream) through the shared gated ``grouped_sum_by_key``
+    combine; the iteration itself is a vectorized scatter-add over the
+    edge arrays (np.add.at), gated by ``PAGERANK_EDGES_DRIVER_LIMIT``
+    — see the limit's comment for the exchange design past it."""
+    import numpy as np_
+    import ray
+    import ray.data as rd
+
+    from ..functions.weblinks import outlinks_frame
+    from .steps import grouped_sum_by_key, DOMAIN_DRIVER_LIMIT
+
+    if n_iter < 0 or not (0.0 <= damping <= 1.0):
+        raise ValueError("need n_iter >= 0 and 0 <= damping <= 1")
+
+    def edge_partial(df: pd.DataFrame) -> pd.DataFrame:
+        links = outlinks_frame(_plant_linked_html(df)).dropna(subset=["host"])
+        links["src"] = "site" + (links["doc_id"] % 7).astype(str) + ".example"
+        g = (links.groupby(["src", "host"], sort=False).size()
+             .reset_index(name="w").rename(columns={"host": "dst"}))
+        g["w"] = g["w"].astype("int64")
+        g["b0"] = np_.int64(df["doc_id"].min()) if len(df) else np_.int64(0)
+        return g
+
+    partials = (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+        .map_batches(edge_partial, batch_format="pandas")
+        .materialize()
+    )
+    edges_ds = grouped_sum_by_key(partials, ["src", "dst"], ["w"],
+                                  DOMAIN_DRIVER_LIMIT).materialize()
+    if edges_ds.count() > PAGERANK_EDGES_DRIVER_LIMIT:
+        raise RuntimeError(
+            "host graph exceeds the driver iteration budget "
+            f"({PAGERANK_EDGES_DRIVER_LIMIT} edges): shard the iteration "
+            "through a per-iteration co-partitioned exchange or raise "
+            "PAGERANK_EDGES_DRIVER_LIMIT")
+    edges = edges_ds.to_pandas()
+    out_schema = pa.schema([("host", pa.string()), ("pagerank", pa.float64())])
+    if edges.empty:
+        return rd.from_arrow(out_schema.empty_table())
+
+    nodes = np_.unique(np_.concatenate([edges["src"].to_numpy(dtype=object),
+                                        edges["dst"].to_numpy(dtype=object)]))
+    order = {h: i for i, h in enumerate(nodes)}
+    src_i = edges["src"].map(order).to_numpy(dtype=np_.int64)
+    dst_i = edges["dst"].map(order).to_numpy(dtype=np_.int64)
+    w = edges["w"].to_numpy(dtype=np_.float64)
+    n = len(nodes)
+    out_w = np_.zeros(n)
+    np_.add.at(out_w, src_i, w)
+    dangling = out_w == 0
+    pr = np_.full(n, 1.0 / n)
+    for _ in range(n_iter):
+        contrib = np_.zeros(n)
+        np_.add.at(contrib, dst_i, pr[src_i] * w / out_w[src_i])
+        pr = (1.0 - damping) / n + damping * (contrib
+                                              + pr[dangling].sum() / n)
+    return rd.from_pandas(pd.DataFrame({
+        "host": nodes, "pagerank": np_.round(pr, 6)}))
+
+
 def _docs_outlinks(sf_dir: str):
     """Anchor/outlink extraction over planted link-rich pages (the
     documents table has no html column) — one row per anchor in

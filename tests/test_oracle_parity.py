@@ -92,7 +92,7 @@ def _pairs():
     "docs_outlinks_anchored", "warc_source_roundtrip",
     "docs_robots_filter", "warc_extract_text",
     "docs_chunk_windows", "docs_lm_score", "docs_bloom_seen",
-    "term_postings", "docs_split_assign",
+    "term_postings", "docs_split_assign", "host_pagerank",
 ])
 def test_query_matches_oracle(name, ray_session):
     import __ray_entry__ as e
