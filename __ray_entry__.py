@@ -257,6 +257,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_postings": steps.term_postings,
         "docs_split_assign": steps.docs_split_assign,
         "host_pagerank": _host_pagerank,
+        "docs_nb_quality": steps.docs_nb_quality,
         # --- last driver-verified in r3 ---
         "ngram_jaccard_dups": _ngram_jaccard_dups,
         "embedding_cosine_dups": _embedding_cosine_dups,
@@ -406,6 +407,26 @@ def oracle_sql() -> dict[str, str]:
             "array_to_string(ws[s+1 : s+64], ' ') AS chunk_text FROM g"
         ),
         "host_pagerank": _host_pagerank_sql(),
+        "docs_nb_quality": (
+            # multinomial NB with add-one smoothing; positive class =
+            # lang 'en'; token convention shared with tfidf/top_terms
+            "WITH tok AS (SELECT doc_id, lang, "
+            "unnest(regexp_extract_all(lower(text), '\\w\\w+')) AS t "
+            "FROM documents), "
+            "cnt AS (SELECT t, sum(CASE WHEN lang='en' THEN 1 ELSE 0 END) AS c1, "
+            "sum(CASE WHEN lang='en' THEN 0 ELSE 1 END) AS c0 FROM tok GROUP BY t), "
+            "tot AS (SELECT sum(c1) AS t1, sum(c0) AS t0, count(*) AS v FROM cnt), "
+            "nd AS (SELECT sum(CASE WHEN lang='en' THEN 1 ELSE 0 END) AS n1, "
+            "sum(CASE WHEN lang='en' THEN 0 ELSE 1 END) AS n0 FROM documents), "
+            "w AS (SELECT t, ln((c1 + 1.0)/(t1 + v)) - ln((c0 + 1.0)/(t0 + v)) "
+            "AS wt FROM cnt, tot), "
+            "s AS (SELECT tok.doc_id, count(*) AS n_tokens, sum(w.wt) AS sw "
+            "FROM tok JOIN w USING (t) GROUP BY tok.doc_id) "
+            "SELECT d.doc_id, coalesce(s.n_tokens, 0) AS n_tokens, "
+            "round(ln(nd.n1 * 1.0 / nd.n0) + coalesce(s.sw, 0), 6) AS log_odds, "
+            "(ln(nd.n1 * 1.0 / nd.n0) + coalesce(s.sw, 0)) > 0 AS pred "
+            "FROM documents d CROSS JOIN nd LEFT JOIN s ON s.doc_id = d.doc_id"
+        ),
         "docs_split_assign": (
             # same Knuth-multiplicative + LCG-salt stream as the kernel
             "SELECT doc_id, lang, CASE "

@@ -273,6 +273,7 @@ def _register_builtins():
     register_op("docs_bloom_seen", dependent=True)(steps.docs_bloom_seen)
     register_op("term_postings")(steps.term_postings)
     register_op("docs_split_assign")(steps.docs_split_assign)
+    register_op("docs_nb_quality", dependent=True)(steps.docs_nb_quality)
 
     from . import extras
 

@@ -2431,6 +2431,135 @@ def top_docs_by_length(sf_dir: str, k: int = 10):
     return rd.from_pandas(final)
 
 
+# -- Naive-Bayes quality classifier (fastText-style filter) ------------------
+
+# hard ceiling on the model rows (per-term class counts) the scoring
+# pass may broadcast — classifier scoring fundamentally requires the
+# vocabulary everywhere, so past this budget the fix is semantic
+# (prune the vocabulary / hash features), same contract as
+# TFIDF_VOCAB_DRIVER_LIMIT. Tests patch to 0.
+NB_MODEL_BROADCAST_LIMIT = 20_000_000
+
+
+def docs_nb_quality(sf_dir: str, positive_lang: str = "en"):
+    """Model-based quality filtering in the fastText-classifier mold
+    (the RedPajama/Dolma "quality classifier" stage): fit a multinomial
+    Naive Bayes with add-one smoothing on the corpus — positive class =
+    docs whose ``lang`` equals ``positive_lang`` — and score every doc
+    with its token log-odds. Tokens are the ``tfidf``/``top_terms``
+    convention (lowercase ``\\w\\w+``); per-token weight
+    ``ln((c1+1)/(T1+V)) - ln((c0+1)/(T0+V))`` with class token totals
+    T1/T0 and global vocabulary size V; doc score = class-prior
+    log-odds + token-weight sum (with multiplicity).
+
+    Output: (doc_id, n_tokens, log_odds, pred) — log_odds rounded to
+    6 dp, pred = log_odds > 0. Out-of-vocabulary tokens (when scoring
+    text the fit never saw) take the smoothed zero-count weight
+    ``ln((T0+V)/(T1+V))`` rather than erroring.
+
+    Scale shape (mirrors ``docs_lm_score``): one tokenize pass emits
+    per-batch PARTIAL (term, c1, c0) rows — never the token stream —
+    plus a NULL-term sentinel row carrying the per-batch class DOC
+    counts, all through the shared gated ``grouped_sum_by_key``
+    combine; the model is hard-gated by ``NB_MODEL_BROADCAST_LIMIT``
+    and broadcast once as sorted term-hash/weight arrays."""
+    import ray
+    import ray.data as rd
+
+    docs = _docs(sf_dir, ["doc_id", "lang", "text"])
+
+    def count_partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].fillna("").str.lower().str.findall(SK_TOKEN_RE)
+        lens = toks.map(len).to_numpy(dtype=np.int64)
+        idx = np.repeat(np.arange(len(df)), lens)
+        flat = (np.concatenate([np.asarray(t, dtype=object) for t in toks])
+                if lens.sum() else np.empty(0, dtype=object))
+        pos_doc = (df["lang"] == positive_lang).to_numpy()
+        g = (pd.DataFrame({"term": flat,
+                           "c1": pos_doc[idx].astype(np.int64)})
+             .groupby("term", sort=False)
+             .agg(c1=("c1", "sum"), n=("c1", "size")).reset_index())
+        out = pd.DataFrame({
+            "term": g["term"].to_numpy(dtype=object),
+            "c1": g["c1"].to_numpy().astype(np.int64),
+            "c0": (g["n"] - g["c1"]).to_numpy().astype(np.int64),
+        })
+        # NULL-term sentinel: per-batch class DOC counts (the priors)
+        sent = pd.DataFrame({
+            "term": np.array([None], dtype=object),
+            "c1": np.array([int(pos_doc.sum())], dtype=np.int64),
+            "c0": np.array([int((~pos_doc).sum())], dtype=np.int64),
+        })
+        out = pd.concat([out, sent], ignore_index=True)
+        # b0 contract (write_exchange): batch-min doc_id keeps
+        # byte-identical partials from distinct batches distinct
+        out["b0"] = np.int64(df["doc_id"].min()) if len(df) else np.int64(0)
+        return out
+
+    partials = docs.map_batches(
+        count_partial, batch_format="pandas").materialize()
+    summed = grouped_sum_by_key(partials, "term", ["c1", "c0"],
+                                TERMS_DRIVER_LIMIT).materialize()
+    if summed.count() > NB_MODEL_BROADCAST_LIMIT:
+        raise RuntimeError(
+            "NB vocabulary exceeds the broadcast budget "
+            f"({NB_MODEL_BROADCAST_LIMIT} model rows): prune the "
+            "vocabulary or raise NB_MODEL_BROADCAST_LIMIT")
+    mdf = summed.to_pandas()
+    if mdf.empty:
+        mdf = pd.DataFrame({"term": pd.Series(dtype=object),
+                            "c1": pd.Series(dtype="int64"),
+                            "c0": pd.Series(dtype="int64")})
+    is_sent = mdf["term"].isna().to_numpy()
+    n1 = int(mdf[is_sent]["c1"].sum())
+    n0 = int(mdf[is_sent]["c0"].sum())
+    if n1 == 0 or n0 == 0:
+        raise ValueError(
+            f"docs_nb_quality needs both classes non-empty "
+            f"(positive lang {positive_lang!r}: n1={n1}, n0={n0})")
+    terms_df = mdf[~is_sent]
+    terms = terms_df["term"].to_numpy(dtype=object)
+    vocab_n = len(terms)
+    t1 = float(terms_df["c1"].sum())
+    t0 = float(terms_df["c0"].sum())
+    wt = (np.log((terms_df["c1"].to_numpy() + 1.0) / (t1 + vocab_n))
+          - np.log((terms_df["c0"].to_numpy() + 1.0) / (t0 + vocab_n)))
+    th = pd.util.hash_array(terms)
+    if len(np.unique(th)) != len(th):
+        # not an assert: -O must not strip the guard (silent weight mixups)
+        raise RuntimeError("64-bit vocab hash collision")
+    order = np.argsort(th, kind="stable")
+    oov_wt = float(np.log((t0 + vocab_n) / (t1 + vocab_n)))
+    prior = float(np.log(n1 / n0))
+    model_ref = ray.put((th[order], wt[order], prior, oov_wt))
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        from ..stages.broadcast import get_broadcast
+
+        th_b, wt_b, prior_b, oov_b = get_broadcast(model_ref)
+        toks = df["text"].fillna("").str.lower().str.findall(SK_TOKEN_RE)
+        lens = toks.map(len).to_numpy(dtype=np.int64)
+        idx = np.repeat(np.arange(len(df)), lens)
+        s = np.zeros(len(df), dtype=np.float64)
+        if lens.sum():
+            flat = np.concatenate(
+                [np.asarray(t, dtype=object) for t in toks])
+            h = pd.util.hash_array(flat)
+            j = np.clip(np.searchsorted(th_b, h), 0, max(0, len(th_b) - 1))
+            hit = (th_b[j] == h) if len(th_b) else np.zeros(len(flat), bool)
+            w = np.where(hit, wt_b[j] if len(th_b) else 0.0, oov_b)
+            s = np.bincount(idx, weights=w, minlength=len(df))
+        lo = prior_b + s
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy().astype(np.int64),
+            "n_tokens": lens,
+            "log_odds": np.round(lo, 6),
+            "pred": lo > 0,
+        })
+
+    return docs.map_batches(score, batch_format="pandas")
+
+
 # -- Inverted-index postings build -------------------------------------------
 
 
