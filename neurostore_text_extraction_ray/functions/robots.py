@@ -60,8 +60,10 @@ def parse_robots(text: str, agent: str = "*") -> list[tuple[int, bool, "re.Patte
             in_agent_run = False
             if cur_agents:
                 cur_rules.append((field == "allow", value))
-        else:
-            in_agent_run = False  # sitemap, crawl-delay, ...: ignored
+        # other records (sitemap, crawl-delay, ...) are ignored and MUST
+        # NOT interfere with group parsing (RFC 9309 §2.2.4): a Sitemap
+        # line between two User-agent lines does not split their
+        # start-of-group run
     if cur_agents:
         groups.append((cur_agents, cur_rules))
 

@@ -1376,9 +1376,12 @@ def _host_pagerank(sf_dir: str, n_iter: int = 5, damping: float = 0.85):
 
     nodes = np_.unique(np_.concatenate([edges["src"].to_numpy(dtype=object),
                                         edges["dst"].to_numpy(dtype=object)]))
-    order = {h: i for i, h in enumerate(nodes)}
-    src_i = edges["src"].map(order).to_numpy(dtype=np_.int64)
-    dst_i = edges["dst"].map(order).to_numpy(dtype=np_.int64)
+    # host -> id via the pandas C hash index, not a python dict of all
+    # hosts (BASELINE.md broadcast-state rule; at the 20M-edge budget a
+    # dict would cost GBs + minutes of single-core mapping)
+    node_index = pd.Index(nodes)
+    src_i = node_index.get_indexer(edges["src"]).astype(np_.int64)
+    dst_i = node_index.get_indexer(edges["dst"]).astype(np_.int64)
     w = edges["w"].to_numpy(dtype=np_.float64)
     n = len(nodes)
     out_w = np_.zeros(n)

@@ -2529,7 +2529,10 @@ def docs_nb_quality(sf_dir: str, positive_lang: str = "en"):
         # not an assert: -O must not strip the guard (silent weight mixups)
         raise RuntimeError("64-bit vocab hash collision")
     order = np.argsort(th, kind="stable")
-    oov_wt = float(np.log((t0 + vocab_n) / (t1 + vocab_n)))
+    # zero-token corpus (both classes non-empty but no \w\w+ tokens):
+    # the model is just the prior; 0/0 in the OOV weight must not raise
+    oov_wt = (float(np.log((t0 + vocab_n) / (t1 + vocab_n)))
+              if vocab_n else 0.0)
     prior = float(np.log(n1 / n0))
     model_ref = ray.put((th[order], wt[order], prior, oov_wt))
 
@@ -2660,6 +2663,16 @@ BLOOM_SEEN_PARTIALS_DRIVER_LIMIT = 50_000_000
 BLOOM_SEEN_SHARDS = 64
 
 
+def _bloom_fp_keys(df: pd.DataFrame) -> np.ndarray:
+    """The seen-set's key derivation — ONE implementation shared by the
+    broadcast build/probe and the exchange build/probe rows, so the two
+    paths can never drift onto different keys."""
+    from ..functions.textstats import fingerprint64
+
+    return np.fromiter((fingerprint64(t) for t in df["text"]),
+                       dtype=np.uint64, count=len(df))
+
+
 def docs_bloom_seen(sf_dir: str, bits_per_key: int = 10,
                     k_hashes: int = 7, shards: int = BLOOM_SEEN_SHARDS):
     """Crawl-frontier seen-set membership via a SHARDED Bloom filter —
@@ -2690,7 +2703,6 @@ def docs_bloom_seen(sf_dir: str, bits_per_key: int = 10,
     Filter sizing uses the parquet-metadata row count (a deterministic
     2x overestimate of the even half — overestimating only lowers the
     FP rate)."""
-    from ..functions.textstats import fingerprint64
     from ..stages.sketch import bloom_indices, bloom_round_bits, bloom_shard
     import ray
 
@@ -2702,13 +2714,9 @@ def docs_bloom_seen(sf_dir: str, bits_per_key: int = 10,
     m_shard = bloom_round_bits(
         max(1024, -(-bits_per_key * max(n_expected, 1) // shards)))
 
-    def _fp_keys(df: pd.DataFrame) -> np.ndarray:
-        return np.fromiter((fingerprint64(t) for t in df["text"]),
-                           dtype=np.uint64, count=len(df))
-
     def bit_partial(df: pd.DataFrame) -> pd.DataFrame:
         sub = df[df["doc_id"].to_numpy() % 2 == 0]
-        keys = _fp_keys(sub)
+        keys = _bloom_fp_keys(sub)
         if len(keys):
             shard = bloom_shard(keys, shards)
             g = np.unique(np.concatenate(
@@ -2741,7 +2749,7 @@ def docs_bloom_seen(sf_dir: str, bits_per_key: int = 10,
             from ..stages.broadcast import get_broadcast
 
             w = get_broadcast(words_ref)
-            keys = _fp_keys(df)
+            keys = _bloom_fp_keys(df)
             ok = np.ones(len(df), dtype=bool)
             if len(keys):
                 shard = bloom_shard(keys, shards)
@@ -2768,7 +2776,6 @@ def _docs_bloom_seen_exchanged(sf_dir: str, m_shard: int, k_hashes: int,
     — are identical to the broadcast path's."""
     import shutil
 
-    from ..functions.textstats import fingerprint64
     from ..stages import exchange as ex
     from ..stages.sketch import bloom_shard, build_bloom, bloom_contains
 
@@ -2776,20 +2783,16 @@ def _docs_bloom_seen_exchanged(sf_dir: str, m_shard: int, k_hashes: int,
     p_schema = pa.schema([("doc_id", pa.int64()), ("key", pa.int64())])
     out_schema = pa.schema([("doc_id", pa.int64()), ("maybe_seen", pa.bool_())])
 
-    def _fp_keys(df: pd.DataFrame) -> np.ndarray:
-        return np.fromiter((fingerprint64(t) for t in df["text"]),
-                           dtype=np.uint64, count=len(df))
-
     def build_rows(df: pd.DataFrame) -> pd.DataFrame:
         sub = df[df["doc_id"].to_numpy() % 2 == 0]
         # duplicate-key fragment collapse (write_exchange CONTRACT) is
         # harmless: bloom build is dedup-idempotent
-        return pd.DataFrame({"key": _fp_keys(sub).view(np.int64)})
+        return pd.DataFrame({"key": _bloom_fp_keys(sub).view(np.int64)})
 
     def probe_rows(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
             "doc_id": df["doc_id"].to_numpy().astype(np.int64),
-            "key": _fp_keys(df).view(np.int64),
+            "key": _bloom_fp_keys(df).view(np.int64),
         })
 
     docs = _docs(sf_dir, ["doc_id", "text"])

@@ -67,6 +67,9 @@ def _assert_single_node() -> None:
             )
 
 
+_VIS_CHECKED = False  # per-process: shared-visibility check passed once
+
+
 def assert_shared_visibility(what: str) -> None:
     """Multi-node guard for NON-exchange fragment writers (the
     flagship pipeline's embedded stage/output dirs, incremental state
@@ -74,8 +77,15 @@ def assert_shared_visibility(what: str) -> None:
     but unlike the exchange root there is no env var the engine can
     inspect to know a user-supplied path is shared — so the user
     promises it explicitly with ``NSE_SHARED_STORAGE=1``. Single-node
-    (and not-yet-initialized Ray): no-op."""
-    if os.environ.get("NSE_SHARED_STORAGE"):
+    (and not-yet-initialized Ray): no-op. A PASSED check is memoized
+    per process (same shape as ``_NODE_CHECKED``): ``ray.nodes()`` is
+    a synchronous GCS RPC and this guard sits on the flagship's
+    per-batch write path — only the first batch per worker pays it.
+    Cluster membership changing single->multi mid-process is not a
+    supported reconfiguration (nodes joining a running job still see
+    the check on their own first batch)."""
+    global _VIS_CHECKED
+    if _VIS_CHECKED or os.environ.get("NSE_SHARED_STORAGE"):
         return
     import ray
 
@@ -88,6 +98,7 @@ def assert_shared_visibility(what: str) -> None:
                 "storage visible to every node. Point it at NFS/object "
                 "storage and set NSE_SHARED_STORAGE=1 to confirm."
             )
+        _VIS_CHECKED = True
 
 
 _LIVE_STAGES: set[str] = set()

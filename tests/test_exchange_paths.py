@@ -208,8 +208,14 @@ def test_shared_visibility_guard(ray_session, monkeypatch):
     from neurostore_text_extraction_ray.stages import exchange as ex
 
     monkeypatch.delenv("NSE_SHARED_STORAGE", raising=False)
-    ex.assert_shared_visibility("x")  # single-node: no-op
+    monkeypatch.setattr(ex, "_VIS_CHECKED", False)
+    ex.assert_shared_visibility("x")  # single-node: no-op (and memoizes)
+    assert ex._VIS_CHECKED  # passed check cached per process (hot path)
     _fake_two_nodes(monkeypatch)
+    # a PASSED single-node check is memoized for the process lifetime —
+    # a node joining mid-job is caught by its own workers' first-batch
+    # checks, so the fresh-process behavior is what matters:
+    monkeypatch.setattr(ex, "_VIS_CHECKED", False)
     with pytest.raises(RuntimeError, match="NSE_SHARED_STORAGE"):
         ex.assert_shared_visibility("flagship stage dir")
     monkeypatch.setenv("NSE_SHARED_STORAGE", "1")

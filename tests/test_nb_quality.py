@@ -85,3 +85,14 @@ def test_positive_lang_option(ray_session, tmp_path):
     # swapping the positive class flips the sign of every log-odds
     assert a.loc[0, "log_odds"] == -b.loc[0, "log_odds"]
     assert a.loc[1, "log_odds"] == -b.loc[1, "log_odds"]
+
+
+def test_zero_token_corpus_scores_at_prior(ray_session, tmp_path):
+    # both classes non-empty but no \w\w+ tokens anywhere: the model
+    # is just the prior; must not divide by zero
+    sf = _write([("en", "a b"), ("en", ""), ("de", "- -")], tmp_path)
+    df = _run(sf)
+    prior = round(math.log(2 / 1), 6)
+    assert (df["log_odds"] == prior).all()
+    assert (df["n_tokens"] == 0).all()
+    assert df["pred"].all()

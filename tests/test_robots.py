@@ -87,3 +87,22 @@ def test_product_token_exact_not_substring():
     assert is_allowed(parse_robots(pol, agent="graftbot/1.0"), "/x")
     # but the exact token (any case, version stripped) does match
     assert not is_allowed(parse_robots(pol, agent="A/2.0"), "/x")
+
+
+def test_other_records_do_not_split_agent_runs():
+    # RFC 9309 2.2.4: parsing of other records (Sitemap, Crawl-delay)
+    # MUST NOT interfere with group parsing — a Sitemap line between
+    # two User-agent lines does not split their start-of-group run,
+    # so both agents share the group's rules.
+    pol = ("User-agent: a\nSitemap: http://x/s.xml\n"
+           "User-agent: b\nDisallow: /x\n")
+    rules_a = parse_robots(pol, agent="a")
+    rules_b = parse_robots(pol, agent="b")
+    assert not is_allowed(rules_a, "/x/1")
+    assert not is_allowed(rules_b, "/x/1")
+    # after rules, an other-record line is just ignored; the next
+    # User-agent still starts a FRESH group
+    pol2 = ("User-agent: a\nDisallow: /y\nCrawl-delay: 5\n"
+            "User-agent: b\nDisallow: /z\n")
+    assert is_allowed(parse_robots(pol2, agent="b"), "/y/1")
+    assert not is_allowed(parse_robots(pol2, agent="b"), "/z/1")
