@@ -173,3 +173,52 @@ def test_exchange_partition_total_and_stable(keys, num_parts):
     p2 = int_part([arr.copy()], num_parts)
     assert (p1 == p2).all()
     assert ((p1 >= 0) & (p1 < num_parts)).all()
+
+
+@given(st.lists(st.integers(min_value=-2**63, max_value=2**63 - 1),
+                min_size=1, max_size=200),
+       st.integers(min_value=7, max_value=4096),
+       st.integers(min_value=1, max_value=8))
+@settings(max_examples=60, deadline=None)
+def test_bloom_never_false_negative(keys, n_bits, k):
+    """Every built key must probe True at ANY filter size / hash count
+    — the Bloom guarantee the seen-set operator rests on."""
+    import numpy as np
+
+    from neurostore_text_extraction_ray.stages.sketch import (
+        bloom_contains, build_bloom)
+
+    ka = np.array(keys, dtype=np.int64)
+    words = build_bloom(ka, n_bits, k)
+    assert bloom_contains(words, ka, k).all()
+
+
+@given(st.lists(st.integers(min_value=0, max_value=2**64 - 1),
+                min_size=1, max_size=300),
+       st.integers(min_value=1, max_value=16))
+@settings(max_examples=40, deadline=None)
+def test_bloom_sharded_layout_equals_per_shard_builds(keys, shards):
+    """The seen-set's two paths at kernel level: the global word array
+    assembled from shard*m_shard+idx bit positions must equal, segment
+    by segment, the per-shard build_bloom over that shard's keys —
+    THE invariant that makes the broadcast and exchange paths agree."""
+    import numpy as np
+
+    from neurostore_text_extraction_ray.stages.sketch import (
+        bloom_indices, bloom_shard, build_bloom)
+
+    m_shard = 1024  # multiple of 64 (bloom_round_bits fixpoint)
+    k = 3
+    ka = np.array(keys, dtype=np.uint64)
+    shard = bloom_shard(ka, shards)
+    # global layout (broadcast path)
+    words_global = np.zeros(shards * (m_shard // 64), dtype=np.uint64)
+    for idx in bloom_indices(ka, m_shard, k):
+        g = shard * m_shard + idx
+        np.bitwise_or.at(words_global, g >> 6,
+                         np.uint64(1) << (g & 63).astype(np.uint64))
+    # per-shard builds (exchange path)
+    for s in range(shards):
+        seg = words_global[s * (m_shard // 64):(s + 1) * (m_shard // 64)]
+        local = build_bloom(ka[shard == s], m_shard, k)
+        assert (seg == local).all()
