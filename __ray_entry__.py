@@ -42,6 +42,8 @@ from neurostore_text_extraction_ray.pipelines.extras import (  # noqa: E402
     _host_indegree,
     _host_pagerank,
     _docs_langid_quality,
+    _docs_char_entropy,
+    _docs_compression_ratio,
     _docs_token_count,
     _docs_url_canonicalize,
     _embed_documents,
@@ -258,6 +260,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_split_assign": steps.docs_split_assign,
         "host_pagerank": _host_pagerank,
         "docs_nb_quality": steps.docs_nb_quality,
+        "docs_char_entropy": _docs_char_entropy,
+        "docs_compression_ratio": _docs_compression_ratio,
         # --- last driver-verified in r3 ---
         "ngram_jaccard_dups": _ngram_jaccard_dups,
         "embedding_cosine_dups": _embedding_cosine_dups,
@@ -718,6 +722,19 @@ def oracle_sql() -> dict[str, str]:
         # pinned-golden oracles (regenerate: python tools/make_goldens.py)
         "docs_fingerprint": _golden_sql("docs_fingerprint"),
         "docs_bloom_seen": _golden_sql("docs_bloom_seen"),
+        "docs_compression_ratio": _golden_sql("docs_compression_ratio"),
+        "docs_char_entropy": (
+            # Shannon entropy in bits/char over the exact character
+            # multiset; empty/NULL text scores 0.0
+            "WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c "
+            "FROM documents WHERE len(coalesce(text,'')) > 0), "
+            "f AS (SELECT doc_id, c, count(*) AS n FROM ch GROUP BY doc_id, c), "
+            "t AS (SELECT doc_id, sum(n) AS tot FROM f GROUP BY doc_id), "
+            "e AS (SELECT f.doc_id, -sum((n * 1.0 / tot) * log2(n * 1.0 / tot)) "
+            "AS ent FROM f JOIN t USING (doc_id) GROUP BY f.doc_id) "
+            "SELECT d.doc_id, round(coalesce(e.ent, 0.0), 6) AS char_entropy "
+            "FROM documents d LEFT JOIN e USING (doc_id)"
+        ),
         "top_terms_cms": _golden_sql("top_terms_cms"),
         "docs_token_count": _golden_sql("docs_token_count"),
         "minhash_dedup_groups": _golden_sql("minhash_dedup_groups"),

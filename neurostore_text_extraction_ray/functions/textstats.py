@@ -129,6 +129,34 @@ def token_count_batch(texts) -> np.ndarray:
     return s.str.count(BPEISH_RE).to_numpy(dtype=np.int64)
 
 
+def char_entropy(text: str | None) -> float:
+    """Character-level Shannon entropy in bits/char — low entropy flags
+    repetitive/boilerplate pages, abnormally high flags binary-ish or
+    encoded junk (the Gopher-family heuristic). Empty/None -> 0.0.
+    Per-doc work is three C-level passes (utf-32 view, unique, log)."""
+    if not text:
+        return 0.0
+    cp = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32)
+    _, counts = np.unique(cp, return_counts=True)
+    p = counts / len(cp)
+    return float(-(p * np.log2(p)).sum())
+
+
+def zlib_ratio(text: str | None, level: int = 6) -> tuple[int, int, float]:
+    """(n_bytes, n_compressed, ratio) under zlib at a FIXED level —
+    compression ratio is the classic cheap redundancy signal (highly
+    compressible pages are template/boilerplate-heavy). Deterministic
+    for a fixed zlib build, so the oracle is a pinned golden. Empty ->
+    (0, 0, 0.0) rather than the ~1e2 ratio of compressing nothing."""
+    import zlib
+
+    raw = (text or "").encode("utf-8")
+    if not raw:
+        return 0, 0, 0.0
+    comp = zlib.compress(raw, level)
+    return len(raw), len(comp), len(comp) / len(raw)
+
+
 def lang_id_batch(texts) -> tuple[np.ndarray, np.ndarray]:
     """Vectorized ``lang_id``: one findall+explode, then per-language
     ``isin`` + groupby-sum instead of a Python loop per word. Returns

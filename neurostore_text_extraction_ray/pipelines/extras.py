@@ -121,6 +121,51 @@ def _docs_fingerprint(sf_dir: str):
         f, batch_format="pandas")
 
 
+def _docs_char_entropy(sf_dir: str):
+    """Character-entropy quality signal per doc (bits/char). Stateless
+    vectorized-per-doc map (C-level passes inside the scalar kernel —
+    the textstats MEASURED preference over explode kernels); exact SQL
+    oracle via string_split + grouped -sum(p*log2 p)."""
+    import pandas as pd_
+    import ray.data as rd
+
+    from ..functions.textstats import char_entropy
+
+    def f(df: pd_.DataFrame) -> pd_.DataFrame:
+        out = pd_.DataFrame()
+        out["doc_id"] = df["doc_id"].to_numpy()
+        out["char_entropy"] = df["text"].map(
+            lambda t: round(char_entropy(t), 6))
+        return out
+
+    return rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"]).map_batches(
+        f, batch_format="pandas")
+
+
+def _docs_compression_ratio(sf_dir: str):
+    """zlib-compressibility quality signal per doc — highly
+    compressible pages are template/boilerplate-heavy (Gopher-family
+    heuristic). Golden-oracled: zlib output is not SQL-expressible."""
+    import pandas as pd_
+    import ray.data as rd
+
+    from ..functions.textstats import zlib_ratio
+
+    def f(df: pd_.DataFrame) -> pd_.DataFrame:
+        trips = df["text"].map(zlib_ratio)
+        out = pd_.DataFrame()
+        out["doc_id"] = df["doc_id"].to_numpy()
+        out["n_bytes"] = trips.map(lambda t: t[0]).astype("int64")
+        out["n_compressed"] = trips.map(lambda t: t[1]).astype("int64")
+        out["zlib_ratio"] = trips.map(lambda t: round(t[2], 6))
+        return out
+
+    return rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"]).map_batches(
+        f, batch_format="pandas")
+
+
 def _docs_token_count(sf_dir: str):
     """BPE-ish token counting (GPT-2 pre-tokenizer regex) per document.
     Golden-oracled: the pattern uses a lookahead RE2/DuckDB doesn't

@@ -289,6 +289,8 @@ def _register_builtins():
     register_op("docs_langid_quality", version="2.0.0")(extras._docs_langid_quality)
     register_op("docs_fingerprint")(extras._docs_fingerprint)
     register_op("docs_token_count")(extras._docs_token_count)
+    register_op("docs_char_entropy")(extras._docs_char_entropy)
+    register_op("docs_compression_ratio")(extras._docs_compression_ratio)
     register_op("abbrev_expand")(extras._abbrev_expand)
     register_op("minhash_dedup_groups")(extras._minhash_groups)
     register_op("minhash_dedup_incremental")(extras._minhash_dedup_incremental)

@@ -157,3 +157,32 @@ def test_repetition_frame_edge_shapes():
     # "a b" occurs 3 of 5 -> 0.6
     assert out.loc[5].tolist() == [6, 0.5, round(4 / 6, 6), 0.6]
     assert out.loc[6].tolist() == [5, 0.2, 0.0, 0.25]
+
+
+def test_char_entropy_edges():
+    import math
+
+    from neurostore_text_extraction_ray.functions.textstats import char_entropy
+
+    assert char_entropy("") == 0.0
+    assert char_entropy(None) == 0.0
+    assert char_entropy("aaaa") == 0.0                       # one symbol
+    assert abs(char_entropy("abab") - 1.0) < 1e-12           # two equal
+    assert abs(char_entropy("abcdabcd") - 2.0) < 1e-12       # four equal
+    # uniform over k distinct chars -> log2(k)
+    assert abs(char_entropy("abcdefgh") - 3.0) < 1e-12
+    # unicode counts by codepoint, not byte
+    assert char_entropy("éé") == 0.0
+
+
+def test_zlib_ratio_edges():
+    from neurostore_text_extraction_ray.functions.textstats import zlib_ratio
+
+    assert zlib_ratio("") == (0, 0, 0.0)
+    assert zlib_ratio(None) == (0, 0, 0.0)
+    n, c, r = zlib_ratio("a" * 10_000)
+    assert n == 10_000 and c < 100 and r < 0.01   # repetitive compresses
+    n2, c2, r2 = zlib_ratio("the quick brown fox jumps over the lazy dog")
+    assert 0 < r2 <= 1.2
+    # deterministic
+    assert zlib_ratio("xyz " * 50) == zlib_ratio("xyz " * 50)

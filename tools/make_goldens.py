@@ -47,6 +47,7 @@ SF_QUERIES = [
     "top_terms_cms",
     "docs_dup_spans",
     "docs_bloom_seen",
+    "docs_compression_ratio",
 ]
 # corpus-independent queries (single file)
 GLOBAL_QUERIES = ["multimodal_features", "evaluation_golden_metrics"]
