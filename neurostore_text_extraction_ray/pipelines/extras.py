@@ -1355,14 +1355,12 @@ def _plant_linked_html(df: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame({"doc_id": rows_id, "html": rows_html})
 
 
-# hard ceiling on the (src, dst, w) host-graph edges and the rank
-# vector the driver iteration may hold. Hosts are registered domains
-# (~10^8 on a full crawl: rank + edge arrays in the tens of GB), so
-# past this budget the fix is a per-iteration co-partitioned exchange
-# (rank rows hash-partitioned by src joined to edges per part, dst
-# contributions combined via grouped_sum_by_key — the pairs.py shape),
-# not a bigger driver; raising loudly beats an OOM mid-job. Tests
-# patch to 0 and assert the raise.
+# above this many (src, dst, w) host-graph edges the whole iteration
+# leaves the driver for the per-iteration co-partitioned exchange
+# (tests patch to 0 and assert path equality). Hosts are registered
+# domains (~10^8 on a full crawl: rank + edge arrays in the tens of
+# GB), so neither the edge list nor the rank vector may assume driver
+# residency.
 PAGERANK_EDGES_DRIVER_LIMIT = 20_000_000
 
 
@@ -1379,9 +1377,13 @@ def _host_pagerank(sf_dir: str, n_iter: int = 5, damping: float = 0.85):
     Scale shape: the per-batch link scan emits PARTIAL (src, dst, w)
     edge rows (bounded by host-pair cardinality per batch, never the
     link stream) through the shared gated ``grouped_sum_by_key``
-    combine; the iteration itself is a vectorized scatter-add over the
-    edge arrays (np.add.at), gated by ``PAGERANK_EDGES_DRIVER_LIMIT``
-    — see the limit's comment for the exchange design past it."""
+    combine; below ``PAGERANK_EDGES_DRIVER_LIMIT`` edges the iteration
+    is a vectorized driver scatter-add (np.add.at), beyond it the
+    whole iteration runs distributed (``_host_pagerank_exchanged``:
+    rank co-partitioned with the edge list per iteration, contributions
+    combined through the exchange — the rank vector never touches the
+    driver). Both paths agree at the rounded output
+    (equivalence-tested)."""
     import numpy as np_
     import ray
     import ray.data as rd
@@ -1409,11 +1411,7 @@ def _host_pagerank(sf_dir: str, n_iter: int = 5, damping: float = 0.85):
     edges_ds = grouped_sum_by_key(partials, ["src", "dst"], ["w"],
                                   DOMAIN_DRIVER_LIMIT).materialize()
     if edges_ds.count() > PAGERANK_EDGES_DRIVER_LIMIT:
-        raise RuntimeError(
-            "host graph exceeds the driver iteration budget "
-            f"({PAGERANK_EDGES_DRIVER_LIMIT} edges): shard the iteration "
-            "through a per-iteration co-partitioned exchange or raise "
-            "PAGERANK_EDGES_DRIVER_LIMIT")
+        return _host_pagerank_exchanged(edges_ds, n_iter, damping)
     edges = edges_ds.to_pandas()
     out_schema = pa.schema([("host", pa.string()), ("pagerank", pa.float64())])
     if edges.empty:
@@ -1440,6 +1438,186 @@ def _host_pagerank(sf_dir: str, n_iter: int = 5, damping: float = 0.85):
                                               + pr[dangling].sum() / n)
     return rd.from_pandas(pd.DataFrame({
         "host": nodes, "pagerank": np_.round(pr, 6)}))
+
+
+def _host_pagerank_exchanged(edges_ds, n_iter: int, damping: float,
+                             num_parts: int = 32):
+    """Scale path for ``_host_pagerank``: the rank vector never lives
+    on the driver. Per iteration, rank rows co-partition with the
+    (src-hash-partitioned, written once) edge list — every src's edges
+    and its rank co-locate, so per-part out-weights and contributions
+    are exact — the (dst, contrib) partials combine through
+    ``grouped_sum_by_key`` (distributed output), and the new rank is a
+    host-co-partitioned left join of the node set with the combined
+    contributions. The dangling mass is the one driver scalar per
+    iteration (a float sum of partial sums). Bit-level caveat: float
+    addition order differs from the driver path's single scatter-add,
+    so agreement is at the rounded 6-dp output (equivalence-tested),
+    not the raw ulp."""
+    import shutil
+
+    import numpy as np_
+    import ray.data as rd
+
+    from ..stages import exchange as ex
+    from .steps import (AGG_PARTIALS_DRIVER_LIMIT, _key_part,
+                        grouped_sum_by_key)
+
+    EDGE_SCHEMA = pa.schema([("src", pa.string()), ("dst", pa.string()),
+                             ("w", pa.int64())])
+    RANK_SCHEMA = pa.schema([("host", pa.string()), ("pr", pa.float64())])
+    NODE_SCHEMA = pa.schema([("host", pa.string()),
+                             ("dangling", pa.bool_())])
+    FULL_SCHEMA = pa.schema([("host", pa.string()), ("pr", pa.float64()),
+                             ("dangling", pa.bool_())])
+    CONTRIB_SCHEMA = pa.schema([("dst", pa.string()),
+                                ("contrib", pa.float64()),
+                                ("b0", pa.int64())])
+    OUT_SCHEMA = pa.schema([("host", pa.string()),
+                            ("pagerank", pa.float64())])
+
+    def node_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = (pd.concat([pd.DataFrame({"host": df["src"], "o": 1}),
+                        pd.DataFrame({"host": df["dst"], "o": 0})])
+             .groupby("host", sort=False)["o"].sum().reset_index())
+        g["o"] = g["o"].astype(np_.int64)
+        # b0: batches are disjoint sets of globally-unique (src, dst)
+        # rows, so the min pair hash is batch-unique
+        ph = pd.util.hash_array(
+            (df["src"] + "\x00" + df["dst"]).to_numpy(dtype=object))
+        g["b0"] = np_.int64(ph.min()) if len(df) else np_.int64(0)
+        return g
+
+    nodes_ds = grouped_sum_by_key(
+        edges_ds.map_batches(node_partial, batch_format="pandas")
+        .materialize(),
+        "host", ["o"], AGG_PARTIALS_DRIVER_LIMIT).map_batches(
+            lambda df: pd.DataFrame({
+                "host": df["host"].to_numpy(dtype=object),
+                "dangling": (df["o"].to_numpy() == 0),
+            }), batch_format="pandas").materialize()
+    n = nodes_ds.count()
+    if n == 0:
+        return rd.from_arrow(OUT_SCHEMA.empty_table())
+
+    by_src = lambda b: _key_part(b, ["src"], num_parts)  # noqa: E731
+    by_host = lambda b: _key_part(b, ["host"], num_parts)  # noqa: E731
+    stages: list[str] = []
+
+    def _stage(prefix: str) -> str:
+        s = ex.make_stage(prefix)
+        stages.append(s)
+        return s
+
+    try:
+        edges_stage = _stage("nse_pr_edges_")
+        ex.write_exchange(
+            edges_ds.map_batches(lambda t: t.cast(EDGE_SCHEMA),
+                                 batch_format="pyarrow"),
+            edges_stage, by_src)
+        nodes_stage = _stage("nse_pr_nodes_")
+        ex.write_exchange(
+            nodes_ds.map_batches(lambda t: t.cast(NODE_SCHEMA),
+                                 batch_format="pyarrow"),
+            nodes_stage, by_host)
+
+        rank_ds = nodes_ds.map_batches(
+            lambda df: pd.DataFrame({
+                "host": df["host"].to_numpy(dtype=object),
+                "pr": np_.full(len(df), 1.0 / n),
+                "dangling": df["dangling"].to_numpy(),
+            }), batch_format="pandas").materialize()
+
+        def contrib_part(et: pa.Table, rt: pa.Table) -> pa.Table:
+            if et.num_rows == 0:
+                return CONTRIB_SCHEMA.empty_table()
+            ed = et.to_pandas()
+            rk = rt.to_pandas()
+            j = pd.Index(rk["host"]).get_indexer(ed["src"])
+            if (j < 0).any():
+                # every src is a node and both sides co-partition on
+                # the same host hash — a miss means lost rows
+                raise RuntimeError("pagerank: src missing from rank part")
+            pr_src = rk["pr"].to_numpy()[j]
+            out_w = ed.groupby("src", sort=False)["w"].transform("sum")
+            contrib = pr_src * ed["w"].to_numpy() / out_w.to_numpy()
+            g = (pd.DataFrame({"dst": ed["dst"], "contrib": contrib})
+                 .groupby("dst", sort=False)["contrib"].sum().reset_index())
+            b0 = np_.int64(pd.util.hash_array(
+                ed["src"].to_numpy(dtype=object)).min())
+            return pa.table({
+                "dst": pa.array(g["dst"].to_numpy(dtype=object), pa.string()),
+                "contrib": pa.array(g["contrib"].to_numpy(), pa.float64()),
+                "b0": pa.array(np_.full(len(g), b0), pa.int64()),
+            })
+
+        def new_rank_part(nt: pa.Table, ct: pa.Table, dang: float):
+            if nt.num_rows == 0:
+                return FULL_SCHEMA.empty_table()
+            nd = nt.to_pandas()
+            cd = ct.to_pandas()
+            c = np_.zeros(len(nd))
+            if len(cd):
+                j = pd.Index(nd["host"]).get_indexer(cd["host"])
+                if (j < 0).any():
+                    raise RuntimeError(
+                        "pagerank: contrib host missing from node part")
+                c[j] = cd["contrib"].to_numpy()
+            pr = (1.0 - damping) / n + damping * (c + dang / n)
+            return pa.table({
+                "host": pa.array(nd["host"].to_numpy(dtype=object),
+                                 pa.string()),
+                "pr": pa.array(pr, pa.float64()),
+                "dangling": pa.array(nd["dangling"].to_numpy(), pa.bool_()),
+            })
+
+        for _ in range(n_iter):
+            dang = float(sum(
+                r["s"] for r in rank_ds.map_batches(
+                    lambda df: pd.DataFrame(
+                        {"s": [float(df.loc[df["dangling"], "pr"].sum())]}),
+                    batch_format="pandas").take_all()))
+            rank_stage = ex.make_stage("nse_pr_rank_")
+            contrib_stage = ex.make_stage("nse_pr_contrib_")
+            try:
+                ex.write_exchange(
+                    rank_ds.map_batches(
+                        lambda t: t.select(["host", "pr"]).cast(RANK_SCHEMA),
+                        batch_format="pyarrow"),
+                    rank_stage, by_host)
+                contrib_ds = grouped_sum_by_key(
+                    ex.map_parts(
+                        [edges_stage, rank_stage], num_parts, contrib_part,
+                        CONTRIB_SCHEMA, in_schemas=[EDGE_SCHEMA, RANK_SCHEMA]
+                    ).materialize(),
+                    "dst", ["contrib"], AGG_PARTIALS_DRIVER_LIMIT)
+                ex.write_exchange(
+                    contrib_ds.map_batches(
+                        lambda t: pa.table({
+                            "host": t["dst"].cast(pa.string()),
+                            "contrib": t["contrib"].cast(pa.float64()),
+                        }), batch_format="pyarrow"),
+                    contrib_stage,
+                    by_host)
+                c_schema = pa.schema([("host", pa.string()),
+                                      ("contrib", pa.float64())])
+                rank_ds = ex.map_parts(
+                    [nodes_stage, contrib_stage], num_parts,
+                    lambda nt, ct: new_rank_part(nt, ct, dang),
+                    FULL_SCHEMA, in_schemas=[NODE_SCHEMA, c_schema]
+                ).materialize()
+            finally:
+                shutil.rmtree(rank_stage, ignore_errors=True)
+                shutil.rmtree(contrib_stage, ignore_errors=True)
+
+        return rank_ds.map_batches(
+            lambda df: pd.DataFrame({
+                "host": df["host"].to_numpy(dtype=object),
+                "pagerank": df["pr"].round(6),
+            }), batch_format="pandas").materialize()
+    finally:
+        for s in stages:
+            shutil.rmtree(s, ignore_errors=True)
 
 
 def _docs_outlinks(sf_dir: str):

@@ -52,10 +52,20 @@ def test_edge_combine_exchange_equivalence(ray_session, monkeypatch):
     pd.testing.assert_frame_equal(base, exchanged)
 
 
-def test_driver_budget_raise(ray_session, monkeypatch):
+def test_distributed_iteration_equals_driver(ray_session, monkeypatch):
+    """Past the edge budget the WHOLE iteration runs through the
+    co-partitioned exchange (the rank vector never on the driver);
+    the rounded output must equal the driver scatter-add path."""
+    base = _run()
     monkeypatch.setattr(extras, "PAGERANK_EDGES_DRIVER_LIMIT", 0)
-    with pytest.raises(RuntimeError, match="iteration budget"):
-        extras._host_pagerank(SF).to_pandas()
+    exchanged = _run()
+    pd.testing.assert_frame_equal(base, exchanged)
+
+
+def test_distributed_iteration_zero_iters(ray_session, monkeypatch):
+    monkeypatch.setattr(extras, "PAGERANK_EDGES_DRIVER_LIMIT", 0)
+    df = _run(n_iter=0)
+    assert (df["pagerank"] == round(1.0 / len(df), 6)).all()
 
 
 def test_invalid_params_raise():
