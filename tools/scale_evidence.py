@@ -139,6 +139,30 @@ def main():
     run("term_postings_exchange",
         lambda: steps.term_postings(OUT).materialize().count())
 
+    def _pagerank_distributed():
+        # synthetic host graph at realistic-ish scale: 1M hosts, 10M
+        # weighted edges with a zipf-ish in-degree skew; exercises the
+        # fully distributed iteration (rank never on the driver)
+        from neurostore_text_extraction_ray.pipelines import extras
+
+        rng = np.random.default_rng(11)
+        n_hosts, n_edges = 1_000_000, 10_000_000
+        src = rng.integers(0, n_hosts, n_edges)
+        dst = np.minimum((rng.zipf(1.4, n_edges) - 1) % n_hosts,
+                         n_hosts - 1)
+        ed = (pd.DataFrame({
+                "src": pd.Series(src).map(lambda i: f"h{i}.example"),
+                "dst": pd.Series(dst).map(lambda i: f"h{i}.example")})
+              .groupby(["src", "dst"], sort=False).size()
+              .reset_index(name="w"))
+        ed["w"] = ed["w"].astype(np.int64)
+        edges_ds = rd.from_pandas(ed).repartition(64).materialize()
+        out = extras._host_pagerank_exchanged(edges_ds, n_iter=3,
+                                              damping=0.85)
+        return out.count()
+
+    run("host_pagerank_distributed", _pagerank_distributed)
+
     results["driver_maxrss_gb"] = round(
         resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6, 2)
     print(json.dumps(results), flush=True)
