@@ -44,6 +44,7 @@ from neurostore_text_extraction_ray.pipelines.extras import (  # noqa: E402
     _docs_langid_quality,
     _docs_char_entropy,
     _docs_compression_ratio,
+    _docs_c4_rules,
     _docs_token_count,
     _docs_url_canonicalize,
     _embed_documents,
@@ -262,6 +263,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_nb_quality": steps.docs_nb_quality,
         "docs_char_entropy": _docs_char_entropy,
         "docs_compression_ratio": _docs_compression_ratio,
+        "docs_gopher_rules": steps.docs_gopher_rules,
+        "docs_c4_rules": _docs_c4_rules,
         # --- last driver-verified in r3 ---
         "ngram_jaccard_dups": _ngram_jaccard_dups,
         "embedding_cosine_dups": _embedding_cosine_dups,
@@ -734,6 +737,67 @@ def oracle_sql() -> dict[str, str]:
             "AS ent FROM f JOIN t USING (doc_id) GROUP BY f.doc_id) "
             "SELECT d.doc_id, round(coalesce(e.ent, 0.0), 6) AS char_entropy "
             "FROM documents d LEFT JOIN e USING (doc_id)"
+        ),
+        "docs_gopher_rules": (
+            # Gopher page-quality gates; keep compares ROUNDED
+            # fractions on both sides (kernel rounds to 6 first too)
+            "WITH s AS (SELECT doc_id, "
+            "  len(regexp_extract_all(coalesce(text,''), '\\S+')) AS nw, "
+            "  length(regexp_replace(coalesce(text,''), '\\s', '', 'g')) "
+            "    AS nonspace, "
+            "  len(list_filter(regexp_extract_all(coalesce(text,''), "
+            "    '\\S+'), x -> regexp_matches(x, '[A-Za-z]'))) AS na, "
+            "  length(coalesce(text,'')) - "
+            "    length(replace(coalesce(text,''), '#', '')) AS nh, "
+            "  (length(coalesce(text,'')) - "
+            "    length(replace(coalesce(text,''), '...', ''))) / 3 AS ne, "
+            "  len(list_filter(regexp_extract_all(lower(coalesce(text,'')), "
+            "    '\\w+'), x -> x IN ('the','be','to','of','and','that',"
+            "    'have','with'))) AS ns FROM documents), "
+            "r AS (SELECT doc_id, nw AS n_words, "
+            "  round(CASE WHEN nw>0 THEN nonspace*1.0/nw ELSE 0 END, 6) "
+            "    AS mean_word_len, "
+            "  round(CASE WHEN nw>0 THEN na*1.0/nw ELSE 0 END, 6) "
+            "    AS alpha_word_frac, "
+            "  round(CASE WHEN nw>0 THEN (nh+ne)*1.0/nw ELSE 0 END, 6) "
+            "    AS symbol_frac, "
+            "  ns AS n_stopwords FROM s) "
+            "SELECT doc_id, n_words, mean_word_len, alpha_word_frac, "
+            "  symbol_frac, n_stopwords, "
+            "  (n_words BETWEEN 50 AND 100000 "
+            "   AND mean_word_len BETWEEN 3 AND 10 "
+            "   AND symbol_frac < 0.1 AND alpha_word_frac >= 0.8 "
+            "   AND n_stopwords >= 2) AS keep FROM r"
+        ),
+        "docs_c4_rules": (
+            # planted page built with concat_ws (skips NULL branches,
+            # matching the kernel's conditional list append)
+            "WITH p AS (SELECT doc_id, concat_ws(chr(10), "
+            "  CASE WHEN doc_id % 2 = 0 THEN 'Home | About | Contact' END, "
+            "  CASE WHEN doc_id % 7 = 0 THEN "
+            "    'Please enable javascript in your browser settings.' END, "
+            "  'First the page content follows. ' || coalesce(text,'') || "
+            "    ' appears in the body.' || CASE WHEN doc_id % 4 <> 1 "
+            "    THEN ' The article ends here.' ELSE '' END, "
+            "  CASE WHEN doc_id % 5 = 0 THEN 'Short line.' END, "
+            "  CASE WHEN doc_id % 11 = 0 THEN "
+            "    'It contains lorem ipsum filler text today.' END, "
+            "  CASE WHEN doc_id % 13 = 0 THEN "
+            "    'var config = { mode: 1 };' END) AS t FROM documents), "
+            "s AS (SELECT doc_id, t, string_split(t, chr(10)) AS lines, "
+            "  list_filter(string_split(t, chr(10)), l -> "
+            "    regexp_matches(l, '[.!?\"]$') "
+            "    AND len(regexp_extract_all(l, '\\S+')) >= 5 "
+            "    AND NOT contains(lower(l), 'javascript')) AS kept FROM p) "
+            "SELECT doc_id, len(lines) AS n_lines, "
+            "  len(kept) AS n_lines_kept, "
+            "  len(regexp_extract_all(array_to_string(kept, chr(10)), "
+            "    '[.!?]')) AS n_sentences, "
+            "  (NOT contains(lower(t), 'lorem ipsum') "
+            "   AND NOT contains(t, '{') "
+            "   AND len(regexp_extract_all(array_to_string(kept, chr(10)), "
+            "     '[.!?]')) >= 3 AND len(kept) >= 1) AS keep, "
+            "  array_to_string(kept, chr(10)) AS clean_text FROM s"
         ),
         "top_terms_cms": _golden_sql("top_terms_cms"),
         "docs_token_count": _golden_sql("docs_token_count"),

@@ -6,7 +6,9 @@ returns a lazy Dataset; all are registered for the CLI."""
 from __future__ import annotations
 
 import json
+import re
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -322,6 +324,84 @@ def _docs_line_dedup(sf_dir: str):
         })
 
     return line_dedup(docs.map_batches(plant, batch_format="pyarrow"))
+
+
+# C4 line rule: terminal punctuation + >=5 words + no 'javascript'.
+_C4_LINE_END_RE = re.compile(r'[.!?"]$')
+_C4_WORD_RE = re.compile(r"\S+")
+_C4_SENT_RE = re.compile(r"[.!?]")
+
+
+def _docs_c4_rules(sf_dir: str):
+    """C4 cleaning rules (Raffel et al. 2020 §2.2, public
+    construction) over a planted multi-line web page per doc. The raw
+    documents text is single-line word soup, so — like the line-dedup
+    query — the wrapper derives a deterministic page (nav line,
+    javascript notice, body with 2-3 sentences, short line, lorem
+    ipsum filler, code line with '{', keyed on doc_id residues)
+    identically here and in the ANSI-SQL oracle.
+
+    Line filter: keep lines ending in terminal punctuation (.!?"),
+    with >=5 words, not containing 'javascript' (case-insensitive).
+    Page filter: drop pages containing 'lorem ipsum' (lowercased) or
+    '{' anywhere in the raw page, or with <3 sentences ([.!?] count)
+    in the kept text, or with no kept lines. Emits per-doc line/
+    sentence counts, the page ``keep`` verdict and the cleaned text.
+    Stateless vectorizable map — scales as a pure ``map_batches``
+    stage (no shuffle, no driver state)."""
+    import ray.data as rd
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    def plant_and_filter(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        n_lines = np.zeros(len(ids), dtype=np.int64)
+        n_kept = np.zeros(len(ids), dtype=np.int64)
+        n_sent = np.zeros(len(ids), dtype=np.int64)
+        keep = np.zeros(len(ids), dtype=bool)
+        clean = []
+        for i, (did, t) in enumerate(zip(ids, b["text"].to_pylist())):
+            lines = []
+            if did % 2 == 0:
+                lines.append("Home | About | Contact")
+            if did % 7 == 0:
+                lines.append(
+                    "Please enable javascript in your browser settings.")
+            body = ("First the page content follows. " + (t or "")
+                    + " appears in the body.")
+            if did % 4 != 1:
+                body += " The article ends here."
+            lines.append(body)
+            if did % 5 == 0:
+                lines.append("Short line.")
+            if did % 11 == 0:
+                lines.append("It contains lorem ipsum filler text today.")
+            if did % 13 == 0:
+                lines.append("var config = { mode: 1 };")
+            full = "\n".join(lines)
+            kept = [l for l in lines
+                    if _C4_LINE_END_RE.search(l)
+                    and len(_C4_WORD_RE.findall(l)) >= 5
+                    and "javascript" not in l.lower()]
+            ctext = "\n".join(kept)
+            n_lines[i] = len(lines)
+            n_kept[i] = len(kept)
+            n_sent[i] = len(_C4_SENT_RE.findall(ctext))
+            keep[i] = ("lorem ipsum" not in full.lower()
+                       and "{" not in full
+                       and n_sent[i] >= 3 and len(kept) >= 1)
+            clean.append(ctext)
+        return pa.table({
+            "doc_id": pa.array(ids.astype(np.int64), pa.int64()),
+            "n_lines": pa.array(n_lines, pa.int64()),
+            "n_lines_kept": pa.array(n_kept, pa.int64()),
+            "n_sentences": pa.array(n_sent, pa.int64()),
+            "keep": pa.array(keep, pa.bool_()),
+            "clean_text": pa.array(clean, pa.string()),
+        })
+
+    return docs.map_batches(plant_and_filter, batch_format="pyarrow")
 
 
 def _docs_dup_spans(sf_dir: str, k: int = 5):

@@ -339,6 +339,8 @@ def _register_builtins():
     register_op("warc_extract_text")(extras._warc_extract_text)
     register_op("docs_robots_filter")(extras._docs_robots_filter)
     register_op("host_pagerank", dependent=True)(extras._host_pagerank)
+    register_op("docs_gopher_rules")(steps.docs_gopher_rules)
+    register_op("docs_c4_rules")(extras._docs_c4_rules)
 
     # Reference pipeline-name aliases (snake-cased extractor class
     # names a reference user types at the CLI, cli/run.py:13-33):

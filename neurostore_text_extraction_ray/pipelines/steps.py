@@ -2132,6 +2132,67 @@ def _repetition_frame(df: pd.DataFrame) -> pd.DataFrame:
     return out
 
 
+# Gopher page-level quality gates (Rae et al. 2021 §A1.1, public
+# construction; reference has no corpus-quality stage — this extends
+# the M5/word-count family to the web-pipeline filter set).
+_GOPHER_STOPWORDS = frozenset(
+    ("the", "be", "to", "of", "and", "that", "have", "with"))
+_GOPHER_MIN_WORDS, _GOPHER_MAX_WORDS = 50, 100_000
+_ALPHA_RE = re.compile(r"[A-Za-z]")
+
+
+def docs_gopher_rules(sf_dir: str):
+    """Gopher document-quality rules per doc (Rae et al. 2021):
+    word-count bounds [50, 100k], mean word length in [3, 10],
+    symbol-to-word ratio ('#' chars + non-overlapping '...' runs)
+    < 0.1, >=80% of words containing an alphabetic character, and >=2
+    of the eight Gopher stopwords. Emits the signals plus the combined
+    ``keep`` verdict (fractions rounded to 6 on both sides; the keep
+    comparison uses the rounded values so kernel and oracle agree at
+    boundaries). Fully SQL-expressible; exact ANSI-SQL oracle."""
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        _gopher_frame, batch_format="pandas")
+
+
+def _gopher_frame(df: pd.DataFrame) -> pd.DataFrame:
+    """Batch kernel of ``docs_gopher_rules`` (module-level so unit
+    tests can drive edge shapes directly). Tokenization: ``\\S+`` for
+    word stats (mirrors ``word_count``), ``\\w+`` lowercase for the
+    stopword tally (mirrors ``docs_repetition_stats``)."""
+    text = df["text"].fillna("")
+    toks = text.str.findall(r"\S+")
+    n_words = toks.map(len).to_numpy(dtype=np.int64)
+    safe = np.maximum(n_words, 1)
+    nonspace = text.str.replace(r"\s", "", regex=True).str.len().to_numpy()
+    mean_wl = np.round(np.where(n_words > 0, nonspace / safe, 0.0), 6)
+    n_alpha = toks.map(
+        lambda ts: sum(1 for t in ts if _ALPHA_RE.search(t))).to_numpy()
+    alpha_frac = np.round(np.where(n_words > 0, n_alpha / safe, 0.0), 6)
+    # non-overlapping '...' count via replace-length delta — matches the
+    # SQL (length - length(replace(t,'...','')))/3 exactly
+    n_hash = text.str.count("#").to_numpy()
+    n_ell = ((text.str.len()
+              - text.str.replace("...", "", regex=False).str.len()) // 3
+             ).to_numpy()
+    symbol_frac = np.round(
+        np.where(n_words > 0, (n_hash + n_ell) / safe, 0.0), 6)
+    n_stop = text.str.lower().str.findall(r"\w+").map(
+        lambda ts: sum(1 for t in ts if t in _GOPHER_STOPWORDS)
+    ).to_numpy(dtype=np.int64)
+    out = pd.DataFrame()
+    out["doc_id"] = df["doc_id"]
+    out["n_words"] = n_words
+    out["mean_word_len"] = mean_wl
+    out["alpha_word_frac"] = alpha_frac
+    out["symbol_frac"] = symbol_frac
+    out["n_stopwords"] = n_stop
+    out["keep"] = (
+        (n_words >= _GOPHER_MIN_WORDS) & (n_words <= _GOPHER_MAX_WORDS)
+        & (mean_wl >= 3) & (mean_wl <= 10)
+        & (symbol_frac < 0.1) & (alpha_frac >= 0.8) & (n_stop >= 2))
+    return out
+
+
 # -- Multi-way broadcast join + aggregate (Q5-style) ------------------------
 
 
