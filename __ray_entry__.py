@@ -265,6 +265,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_compression_ratio": _docs_compression_ratio,
         "docs_gopher_rules": steps.docs_gopher_rules,
         "docs_c4_rules": _docs_c4_rules,
+        "docs_pack_sequences": steps.docs_pack_sequences,
         # --- last driver-verified in r3 ---
         "ngram_jaccard_dups": _ngram_jaccard_dups,
         "embedding_cosine_dups": _embedding_cosine_dups,
@@ -798,6 +799,21 @@ def oracle_sql() -> dict[str, str]:
             "   AND len(regexp_extract_all(array_to_string(kept, chr(10)), "
             "     '[.!?]')) >= 3 AND len(kept) >= 1) AS keep, "
             "  array_to_string(kept, chr(10)) AS clean_text FROM s"
+        ),
+        "docs_pack_sequences": (
+            # concat-and-chunk packing: global token positions via a
+            # window prefix over doc_id order, then group by pos//L
+            "WITH d AS (SELECT doc_id, list_append("
+            "  regexp_extract_all(coalesce(text,''), '\\S+'), '<eos>') "
+            "  AS toks FROM documents), "
+            "o AS (SELECT doc_id, toks, coalesce(sum(len(toks)) OVER ("
+            "  ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND "
+            "  1 PRECEDING), 0) AS off FROM d), "
+            "t AS (SELECT off + generate_subscripts(toks, 1) - 1 AS pos, "
+            "  unnest(toks) AS tok FROM o) "
+            "SELECT pos // 32 AS seq_id, count(*) AS n_tokens, "
+            "  string_agg(tok, ' ' ORDER BY pos) AS seq_text "
+            "FROM t GROUP BY 1"
         ),
         "top_terms_cms": _golden_sql("top_terms_cms"),
         "docs_token_count": _golden_sql("docs_token_count"),

@@ -1516,6 +1516,160 @@ def docs_pack_shards(sf_dir: str, budget: int = 20000):
                        "doc_id", "n_chars", budget)
 
 
+_PSEQ_TOK_RE = re.compile(r"\S+")
+
+
+def pack_sequences(ds, key_col: str = "doc_id", text_col: str = "text",
+                   seq_len: int = 32, eos: str = "<eos>",
+                   num_parts: int = 32):
+    """GPT-style concat-and-chunk sequence packing: each row's ``\\S+``
+    tokens plus one ``eos`` marker are conceptually concatenated in
+    ``key_col`` order and re-emitted as fixed-``seq_len`` training
+    rows ``(seq_id, n_tokens, seq_text)`` — sequences freely cross
+    document boundaries (only the final one may be short). This is the
+    tokenize->concat->chunk step of LM training-data prep; unlike
+    ``pack_shards`` (which assigns whole rows to shards) the output
+    rows are the packed token windows themselves.
+
+    Distributed with nothing corpus-sized on the driver:
+    1. range-partition ``(key, text)`` by ``key_col`` through the
+       filesystem exchange (keys unique => per-part local order is a
+       contiguous slice of the global order);
+    2. per-part token TOTALS (one row per part) driver-collect; the
+       exclusive prefix over range-ordered parts broadcasts as sorted
+       ``(part_min_key -> token_offset)`` arrays;
+    3. each part re-tokenizes locally, places every doc at its global
+       token offset and emits per-(seq_id, pos) FRAGMENT rows — a doc
+       spans at most ``ceil(n/seq_len)+1`` sequences, and a fragment
+       carries at most ``seq_len`` tokens;
+    4. fragments hash-partition on seq_id through a second exchange;
+       each part stitches its sequences by (seq_id, pos). Boundary
+       sequences receive fragments from adjacent ranges — the
+       co-partition makes the stitch local. Fragment rows need no
+       ``b0`` tag: ``pos`` is a globally unique token offset, so no
+       two fragment batches can be byte-identical.
+
+    Per-part memory is O(part tokens); the combine is a pandas groupby
+    over ~(part tokens / seq_len) groups each joining <= seq_len
+    strings. Requires unique int64 keys (order would otherwise be
+    ambiguous)."""
+    import shutil
+
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Max, Min
+
+    from ..stages import exchange as ex
+    from ..stages.broadcast import get_broadcast
+
+    out_schema = pa.schema([
+        ("seq_id", pa.int64()), ("n_tokens", pa.int64()),
+        ("seq_text", pa.string()),
+    ])
+    mm = ds.aggregate(Min(key_col), Max(key_col))
+    gmin, gmax = mm[f"min({key_col})"], mm[f"max({key_col})"]
+    if gmin is None:
+        return rd.from_arrow(out_schema.empty_table())
+    chunk = max(1, -((gmin - gmax - 1) // num_parts))
+
+    def by_range(b: pa.Table) -> np.ndarray:
+        ids = b[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return (ids - gmin) // chunk
+
+    stage = ex.make_stage("nse_pseq_")
+    stage2 = ex.make_stage("nse_pseq2_")
+    tot_schema = pa.schema([("min_key", pa.int64()), ("total", pa.int64())])
+    frag_schema = pa.schema([
+        ("seq_id", pa.int64()), ("pos", pa.int64()), ("n", pa.int64()),
+        ("frag", pa.string()),
+    ])
+    try:
+        ex.write_exchange(
+            ds.map_batches(
+                lambda b: pa.table({
+                    key_col: pc.cast(b[key_col], pa.int64()),
+                    text_col: pc.cast(b[text_col], pa.string()),
+                }),
+                batch_format="pyarrow"),
+            stage, by_range)
+
+        def part_total(t: pa.Table) -> pa.Table:
+            k = t[key_col].to_numpy(zero_copy_only=False)
+            # token count per doc = \S+ matches + 1 (the EOS marker);
+            # str.count('\S+') == len(findall('\S+')) exactly
+            n = (t[text_col].to_pandas().fillna("")
+                 .str.count(r"\S+").to_numpy(dtype=np.int64) + 1)
+            return pa.table({
+                "min_key": pa.array([int(k.min())], pa.int64()),
+                "total": pa.array([int(n.sum())], pa.int64()),
+            })
+
+        totals = ex.map_parts(stage, num_parts, part_total,
+                              tot_schema).to_pandas()
+        totals = totals.sort_values("min_key", kind="stable")
+        mins = totals["min_key"].to_numpy(np.int64)
+        offs = np.concatenate([
+            [0], np.cumsum(totals["total"].to_numpy(np.int64))[:-1]])
+        ref = ray.put((mins, offs))
+
+        def frags_of_part(t: pa.Table) -> pa.Table:
+            m, o = get_broadcast(ref)
+            k = t[key_col].to_numpy(zero_copy_only=False)
+            txt = t[text_col].to_pylist()
+            order = np.argsort(k, kind="stable")
+            off = int(o[np.searchsorted(m, int(k[order[0]]))])
+            seq_l, pos_l, n_l, frag_l = [], [], [], []
+            for i in order:
+                toks = _PSEQ_TOK_RE.findall(txt[i] or "")
+                toks.append(eos)
+                n = len(toks)
+                for s in range(off // seq_len, (off + n - 1) // seq_len + 1):
+                    lo = max(off, s * seq_len)
+                    hi = min(off + n, (s + 1) * seq_len)
+                    seq_l.append(s)
+                    pos_l.append(lo)
+                    n_l.append(hi - lo)
+                    frag_l.append(" ".join(toks[lo - off:hi - off]))
+                off += n
+            return pa.table({
+                "seq_id": pa.array(seq_l, pa.int64()),
+                "pos": pa.array(pos_l, pa.int64()),
+                "n": pa.array(n_l, pa.int64()),
+                "frag": pa.array(frag_l, pa.string()),
+            })
+
+        ex.write_exchange(
+            ex.map_parts(stage, num_parts, frags_of_part, frag_schema),
+            stage2,
+            lambda b: ex.int_part(
+                [b["seq_id"].to_numpy(zero_copy_only=False)], num_parts))
+
+        def stitch(t: pa.Table) -> pa.Table:
+            dfp = t.to_pandas().sort_values(
+                ["seq_id", "pos"], kind="stable")
+            g = dfp.groupby("seq_id", sort=True)
+            out = pd.DataFrame({
+                "n_tokens": g["n"].sum(),
+                "seq_text": g["frag"].agg(" ".join),
+            }).reset_index()
+            return pa.Table.from_pandas(
+                out[["seq_id", "n_tokens", "seq_text"]],
+                schema=out_schema, preserve_index=False)
+
+        return ex.map_parts(stage2, num_parts, stitch,
+                            out_schema).materialize()
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+        shutil.rmtree(stage2, ignore_errors=True)
+
+
+def docs_pack_sequences(sf_dir: str, seq_len: int = 32):
+    """Pack the documents table into fixed-``seq_len`` token training
+    sequences in doc_id order (see ``pack_sequences``)."""
+    return pack_sequences(_docs(sf_dir, ["doc_id", "text"]),
+                          "doc_id", "text", seq_len=seq_len)
+
+
 # -- Distributed global sort / rank ------------------------------------------
 
 

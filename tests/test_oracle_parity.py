@@ -94,7 +94,7 @@ def _pairs():
     "docs_chunk_windows", "docs_lm_score", "docs_bloom_seen",
     "term_postings", "docs_split_assign", "host_pagerank",
     "docs_nb_quality", "docs_char_entropy", "docs_compression_ratio",
-    "docs_gopher_rules", "docs_c4_rules",
+    "docs_gopher_rules", "docs_c4_rules", "docs_pack_sequences",
 ])
 def test_query_matches_oracle(name, ray_session):
     import __ray_entry__ as e

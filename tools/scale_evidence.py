@@ -138,6 +138,11 @@ def main():
         lambda: steps.docs_bloom_seen(OUT).materialize().count())
     run("term_postings_exchange",
         lambda: steps.term_postings(OUT).materialize().count())
+    # 2M docs x 13 tokens (12 words + EOS) at seq_len=1024 -> ~25.4k
+    # packed training rows, every one stitched from ~79 docs' fragments
+    run("docs_pack_sequences",
+        lambda: steps.docs_pack_sequences(
+            OUT, seq_len=1024).materialize().count())
 
     def _pagerank_distributed():
         # synthetic host graph at realistic-ish scale: 1M hosts, 10M
