@@ -266,6 +266,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_gopher_rules": steps.docs_gopher_rules,
         "docs_c4_rules": _docs_c4_rules,
         "docs_pack_sequences": steps.docs_pack_sequences,
+        "docs_bpe_merges": steps.docs_bpe_merges,
         # --- last driver-verified in r3 ---
         "ngram_jaccard_dups": _ngram_jaccard_dups,
         "embedding_cosine_dups": _embedding_cosine_dups,
@@ -724,6 +725,7 @@ def oracle_sql() -> dict[str, str]:
             f"ELSE {planted_expanded} END AS expanded_text FROM documents"
         ),
         # pinned-golden oracles (regenerate: python tools/make_goldens.py)
+        "docs_bpe_merges": _golden_sql("docs_bpe_merges"),
         "docs_fingerprint": _golden_sql("docs_fingerprint"),
         "docs_bloom_seen": _golden_sql("docs_bloom_seen"),
         "docs_compression_ratio": _golden_sql("docs_compression_ratio"),

@@ -947,6 +947,35 @@ def top_terms(sf_dir: str, k: int = 20):
     return rd.from_pandas(agg)
 
 
+def docs_bpe_merges(sf_dir: str, n_merges: int = 40):
+    """Learn ``n_merges`` BPE merge operations over the documents
+    corpus (``stages/bpe.bpe_learn``): corpus-sized work is only the
+    word-frequency count (the ``top_terms`` partial pattern through
+    the gated ``grouped_sum_by_key``); the merge iterations run over
+    the language-bounded vocabulary, driver-side below
+    ``BPE_VOCAB_DRIVER_LIMIT`` and exchange-partitioned beyond.
+    Output (rank, left, right, pair_count); pinned-golden oracle (the
+    iterative merge recurrence is not reasonably SQL-expressible)."""
+    from ..stages.bpe import bpe_learn
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].fillna("").str.lower().str.findall(SK_TOKEN_RE)
+        c = toks.explode().dropna().value_counts()
+        out = pd.DataFrame({"term": c.index.to_numpy(dtype=object),
+                            "n": c.to_numpy().astype(np.int64)})
+        out["b0"] = np.int64(df["doc_id"].min()) if len(df) else np.int64(0)
+        return out
+
+    partials_ds = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(partial, batch_format="pandas")
+        .materialize()
+    )
+    vocab = grouped_sum_by_key(partials_ds, "term", ["n"],
+                               TERMS_DRIVER_LIMIT)
+    return bpe_learn(vocab, n_merges)
+
+
 def _top_terms_exchanged(partials_ds, k: int, num_parts: int = 32):
     """Scale path: term-hash partition exchange for the count combine;
     per-part exact sums + local top-k, tiny driver merge."""

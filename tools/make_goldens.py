@@ -48,6 +48,7 @@ SF_QUERIES = [
     "docs_dup_spans",
     "docs_bloom_seen",
     "docs_compression_ratio",
+    "docs_bpe_merges",
 ]
 # corpus-independent queries (single file)
 GLOBAL_QUERIES = ["multimodal_features", "evaluation_golden_metrics"]
