@@ -144,6 +144,18 @@ def main():
         lambda: steps.docs_pack_sequences(
             OUT, seq_len=1024).materialize().count())
 
+    def _bpe_distributed():
+        # force the distributed iteration (vocab gate to 0): 50k-word
+        # vocab exchange, 10 merge iterations of stateless pair-count
+        # passes; the 2M-doc word count itself also takes the
+        # exchange combine (TERMS_DRIVER_LIMIT already 0 above)
+        from neurostore_text_extraction_ray.stages import bpe
+        bpe.BPE_VOCAB_DRIVER_LIMIT = 0
+        bpe.BPE_PAIRS_DRIVER_LIMIT = 0
+        return steps.docs_bpe_merges(OUT, n_merges=10).count()
+
+    run("docs_bpe_merges_distributed", _bpe_distributed)
+
     def _pagerank_distributed():
         # synthetic host graph at realistic-ish scale: 1M hosts, 10M
         # weighted edges with a zipf-ish in-degree skew; exercises the
