@@ -267,6 +267,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_c4_rules": _docs_c4_rules,
         "docs_pack_sequences": steps.docs_pack_sequences,
         "docs_bpe_merges": steps.docs_bpe_merges,
+        "docs_bpe_encode": steps.docs_bpe_encode,
         # --- last driver-verified in r3 ---
         "ngram_jaccard_dups": _ngram_jaccard_dups,
         "embedding_cosine_dups": _embedding_cosine_dups,
@@ -726,6 +727,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         # pinned-golden oracles (regenerate: python tools/make_goldens.py)
         "docs_bpe_merges": _golden_sql("docs_bpe_merges"),
+        "docs_bpe_encode": _golden_sql("docs_bpe_encode"),
         "docs_fingerprint": _golden_sql("docs_fingerprint"),
         "docs_bloom_seen": _golden_sql("docs_bloom_seen"),
         "docs_compression_ratio": _golden_sql("docs_compression_ratio"),

@@ -976,6 +976,22 @@ def docs_bpe_merges(sf_dir: str, n_merges: int = 40):
     return bpe_learn(vocab, n_merges)
 
 
+def docs_bpe_encode(sf_dir: str, n_merges: int = 20):
+    """Chained tokenizer pipeline: learn ``n_merges`` BPE merges from
+    the corpus (``docs_bpe_merges``), then encode every document with
+    them (``stages/bpe.bpe_encode``). The merge list is
+    parameter-sized (collected to the driver by construction — it IS
+    the model, n_merges rows); the encode pass is a stateless map.
+    Pinned-golden oracle (the merge recurrence is not
+    SQL-expressible)."""
+    from ..stages.bpe import bpe_encode
+
+    merges_df = docs_bpe_merges(sf_dir, n_merges).to_pandas()
+    merges = ([] if merges_df.empty  # zero-row datasets drop columns
+              else list(zip(merges_df["left"], merges_df["right"])))
+    return bpe_encode(_docs(sf_dir, ["doc_id", "text"]), merges)
+
+
 def _top_terms_exchanged(partials_ds, k: int, num_parts: int = 32):
     """Scale path: term-hash partition exchange for the count combine;
     per-part exact sums + local top-k, tiny driver merge."""

@@ -202,6 +202,55 @@ def _bpe_distributed(vocab_ds, n_merges: int,
         shutil.rmtree(stage, ignore_errors=True)
 
 
+def bpe_encode(docs_ds, merges, text_col: str = "text",
+               id_col: str = "doc_id"):
+    """Apply a learned merge list to every document: lowercase
+    ``\\w+`` words each become their merged symbol sequence (with the
+    trailing ``</w>``), concatenated in document order. Emits
+    ``(id, n_bpe_tokens, bpe_text)`` where ``bpe_text`` is the
+    space-joined symbol stream. Stateless vectorized-ish map — the
+    merge list is parameter-sized (``n_merges`` rows, bounded by the
+    caller, never corpus-sized) and ships once via ``ray.put``; each
+    batch encodes its np.unique words once and scatters, so the
+    per-batch cost is unique-words x merges, not tokens x merges."""
+    import re as _re
+
+    import ray
+
+    from ..stages.broadcast import get_broadcast
+
+    merges = tuple((str(a), str(b)) for a, b in merges)
+    ref = ray.put(merges)
+    tok_re = _re.compile(r"\w+")
+
+    def encode(df: pd.DataFrame) -> pd.DataFrame:
+        m = get_broadcast(ref)
+        cache: dict = {}
+
+        def enc_word(w: str) -> list:
+            s = cache.get(w)
+            if s is None:
+                s = _apply_merges(tuple(w) + (_EOW,), m)
+                cache[w] = s
+            return s
+
+        n_out = np.zeros(len(df), dtype=np.int64)
+        texts = []
+        for i, t in enumerate(df[text_col].fillna("")):
+            syms = []
+            for w in tok_re.findall(t.lower()):
+                syms.extend(enc_word(w))
+            n_out[i] = len(syms)
+            texts.append(" ".join(syms))
+        out = pd.DataFrame()
+        out[id_col] = df[id_col]
+        out["n_bpe_tokens"] = n_out
+        out["bpe_text"] = texts
+        return out
+
+    return docs_ds.map_batches(encode, batch_format="pandas")
+
+
 def bpe_learn(vocab_ds, n_merges: int):
     """Learn ``n_merges`` BPE merges from a (term, n) word-frequency
     Dataset. Returns a Dataset (rank, left, right, pair_count)."""

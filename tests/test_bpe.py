@@ -69,6 +69,30 @@ def test_empty_vocab(ray_session):
     assert bpe.bpe_learn(vocab, 5).count() == 0
 
 
+def test_encode_roundtrip_properties(ray_session, tmp_path):
+    from neurostore_text_extraction_ray.pipelines import steps
+
+    d = tmp_path / "enccorp"
+    d.mkdir()
+    texts = ["low lower newest", "newest widest low", None, ""]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(np.arange(4, dtype=np.int64)),
+        "text": pa.array(texts, pa.string()),
+    }), str(d / "documents.parquet"))
+    out = (steps.docs_bpe_encode(str(d), n_merges=50).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    # null/empty docs encode to the empty stream
+    assert out.loc[2, "n_bpe_tokens"] == 0 and out.loc[2, "bpe_text"] == ""
+    assert out.loc[3, "n_bpe_tokens"] == 0
+    # with enough merges every word collapses to one symbol word</w>
+    assert out.loc[0, "bpe_text"] == "low</w> lower</w> newest</w>"
+    assert out.loc[0, "n_bpe_tokens"] == 3
+    # symbol stream always reconstructs the original words: drop
+    # intra-word spaces, turn </w> boundaries back into spaces
+    rebuilt = "".join(out.loc[1, "bpe_text"].split()).replace("</w>", " ")
+    assert rebuilt.strip() == "newest widest low"
+
+
 def test_distributed_path_equals_driver(ray_session, tmp_path, monkeypatch):
     from neurostore_text_extraction_ray.pipelines import steps
 

@@ -49,6 +49,7 @@ SF_QUERIES = [
     "docs_bloom_seen",
     "docs_compression_ratio",
     "docs_bpe_merges",
+    "docs_bpe_encode",
 ]
 # corpus-independent queries (single file)
 GLOBAL_QUERIES = ["multimodal_features", "evaluation_golden_metrics"]
