@@ -268,6 +268,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_pack_sequences": steps.docs_pack_sequences,
         "docs_bpe_merges": steps.docs_bpe_merges,
         "docs_bpe_encode": steps.docs_bpe_encode,
+        "docs_importance_weights": steps.docs_importance_weights,
         # --- last driver-verified in r3 ---
         "ngram_jaccard_dups": _ngram_jaccard_dups,
         "embedding_cosine_dups": _embedding_cosine_dups,
@@ -742,6 +743,29 @@ def oracle_sql() -> dict[str, str]:
             "AS ent FROM f JOIN t USING (doc_id) GROUP BY f.doc_id) "
             "SELECT d.doc_id, round(coalesce(e.ent, 0.0), 6) AS char_entropy "
             "FROM documents d LEFT JOIN e USING (doc_id)"
+        ),
+        "docs_importance_weights": (
+            # DSIR unigram log-likelihood-ratio weights, add-one
+            # smoothed, length-normalized, rounded to 6 on both sides
+            "WITH tok AS (SELECT doc_id, lang, "
+            "  unnest(regexp_extract_all(lower(coalesce(text,'')), "
+            "  '\\w+')) AS w FROM documents), "
+            "raw AS (SELECT w, count(*) AS cr FROM tok GROUP BY w), "
+            "tgt AS (SELECT w, count(*) AS ct FROM tok "
+            "  WHERE lang = 'en' GROUP BY w), "
+            "tots AS (SELECT (SELECT sum(cr) FROM raw) AS tr, "
+            "  (SELECT coalesce(sum(ct), 0) FROM tgt) AS tt, "
+            "  (SELECT count(*) FROM raw) AS v), "
+            "lr AS (SELECT raw.w, "
+            "  ln((coalesce(tgt.ct, 0) + 1.0) / (tots.tt + tots.v)) "
+            "  - ln((raw.cr + 1.0) / (tots.tr + tots.v)) AS lw "
+            "  FROM raw LEFT JOIN tgt USING (w) CROSS JOIN tots), "
+            "perdoc AS (SELECT tok.doc_id, count(*) AS n_words, "
+            "  sum(lr.lw) AS s FROM tok JOIN lr USING (w) "
+            "  GROUP BY tok.doc_id) "
+            "SELECT d.doc_id, coalesce(p.n_words, 0) AS n_words, "
+            "  round(coalesce(p.s / p.n_words, 0.0), 6) AS weight "
+            "FROM documents d LEFT JOIN perdoc p USING (doc_id)"
         ),
         "docs_gopher_rules": (
             # Gopher page-quality gates; keep compares ROUNDED

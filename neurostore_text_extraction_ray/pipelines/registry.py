@@ -344,6 +344,7 @@ def _register_builtins():
     register_op("docs_pack_sequences")(steps.docs_pack_sequences)
     register_op("docs_bpe_merges")(steps.docs_bpe_merges)
     register_op("docs_bpe_encode")(steps.docs_bpe_encode)
+    register_op("docs_importance_weights")(steps.docs_importance_weights)
 
     # Reference pipeline-name aliases (snake-cased extractor class
     # names a reference user types at the CLI, cli/run.py:13-33):

@@ -976,6 +976,106 @@ def docs_bpe_merges(sf_dir: str, n_merges: int = 40):
     return bpe_learn(vocab, n_merges)
 
 
+# vocab rows above which the importance-weight broadcast raises: like
+# tfidf's vocabulary, scoring fundamentally ships the per-term
+# log-ratio table to every worker — past budget the fix is semantic
+# (hashed feature buckets), not a bigger pipe. Tests patch to 0.
+DSIR_VOCAB_DRIVER_LIMIT = 20_000_000
+
+
+def docs_importance_weights(sf_dir: str, target_lang: str = "en"):
+    """DSIR-style unigram importance weights (Xie et al. 2023, public
+    construction, unigram variant): per-doc mean log-likelihood ratio
+    between the target distribution (docs with ``lang ==
+    target_lang``) and the raw corpus distribution, add-one smoothed
+    over the shared vocabulary — the data-selection reweighting step
+    of an LLM pipeline. Tokenization: lowercase ``\\w+`` (the
+    ``docs_repetition_stats`` convention, so 1-char words count — NOT
+    the sklearn 2+-char ``SK_TOKEN_RE``). Output (doc_id, n_words,
+    weight), weight rounded to 6.
+
+    One corpus tokenize pass emits (term, cr, ct) count partials
+    (raw + target tallied together) through the gated
+    ``grouped_sum_by_key`` combine; the log-ratio table is
+    vocabulary-sized and broadcasts once as sorted numpy arrays
+    (hard-gated by ``DSIR_VOCAB_DRIVER_LIMIT``); the scoring pass is a
+    stateless searchsorted map. Exact ANSI-SQL oracle."""
+    import ray
+
+    from ..stages.broadcast import get_broadcast
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].fillna("").str.lower().str.findall(r"\w+")
+        ex_t = toks.explode().dropna()
+        if ex_t.empty:
+            return pd.DataFrame({
+                "term": pd.Series([], dtype=object),
+                "cr": pd.Series([], dtype="int64"),
+                "ct": pd.Series([], dtype="int64"),
+                "b0": pd.Series([], dtype="int64")})
+        is_t = (df["lang"].reindex(ex_t.index) == target_lang)
+        g = pd.DataFrame({"term": ex_t.to_numpy(dtype=object),
+                          "t": is_t.to_numpy().astype(np.int64)})
+        agg = (g.groupby("term", sort=False)["t"]
+               .agg(cr="size", ct="sum").reset_index())
+        agg["cr"] = agg["cr"].astype(np.int64)
+        agg["b0"] = np.int64(df["doc_id"].min())
+        return agg
+
+    partials_ds = (
+        _docs(sf_dir, ["doc_id", "lang", "text"])
+        .map_batches(partial, batch_format="pandas")
+        .materialize())
+    counts_ds = grouped_sum_by_key(partials_ds, "term", ["cr", "ct"],
+                                   TERMS_DRIVER_LIMIT)
+    n_vocab = counts_ds.count()
+    if n_vocab > DSIR_VOCAB_DRIVER_LIMIT:
+        raise ValueError(
+            f"importance-weight vocabulary ({n_vocab} terms) exceeds "
+            f"DSIR_VOCAB_DRIVER_LIMIT ({DSIR_VOCAB_DRIVER_LIMIT}); "
+            "scoring broadcasts the per-term log-ratio table — use "
+            "hashed feature buckets to bound the vocabulary instead")
+    counts = counts_ds.to_pandas()
+    if counts.empty:
+        vocab_s = np.array([], dtype=object)
+        lw = np.array([], dtype=np.float64)
+    else:
+        counts = counts.sort_values("term", kind="stable")
+        vocab_s = counts["term"].to_numpy(dtype=object)
+        cr = counts["cr"].to_numpy(dtype=np.float64)
+        ct = counts["ct"].to_numpy(dtype=np.float64)
+        v, tr, tt = float(len(counts)), cr.sum(), ct.sum()
+        lw = np.log((ct + 1.0) / (tt + v)) - np.log((cr + 1.0) / (tr + v))
+    ref = ray.put((vocab_s, lw))
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        vs, w = get_broadcast(ref)
+        toks = df["text"].fillna("").str.lower().str.findall(r"\w+")
+        n_words = toks.map(len).to_numpy(dtype=np.int64)
+        out = np.zeros(len(df), dtype=np.float64)
+        for i, ts in enumerate(toks):
+            if not ts:
+                continue
+            a = np.array(ts, dtype=object)
+            j = np.clip(np.searchsorted(vs, a), 0, max(len(vs) - 1, 0))
+            # membership invariant: the vocab came from this corpus,
+            # so every token must hit (loud failure beats a silent
+            # neighbor's weight — ADVICE r04 #3 pattern)
+            if len(vs) == 0 or not (vs[j] == a).all():
+                raise RuntimeError(
+                    "importance-weight scoring saw a token absent "
+                    "from the broadcast vocabulary")
+            out[i] = w[j].sum() / len(ts)
+        res = pd.DataFrame()
+        res["doc_id"] = df["doc_id"]
+        res["n_words"] = n_words
+        res["weight"] = np.round(out, 6)
+        return res
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        score, batch_format="pandas")
+
+
 def docs_bpe_encode(sf_dir: str, n_merges: int = 20):
     """Chained tokenizer pipeline: learn ``n_merges`` BPE merges from
     the corpus (``docs_bpe_merges``), then encode every document with
