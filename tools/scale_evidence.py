@@ -155,6 +155,11 @@ def main():
         return steps.docs_bpe_merges(OUT, n_merges=10).count()
 
     run("docs_bpe_merges_distributed", _bpe_distributed)
+    # 50k-term vocab: count partials through the exchange combine
+    # (TERMS gate 0 above), log-ratio broadcast, searchsorted scoring
+    run("docs_importance_weights",
+        lambda: steps.docs_importance_weights(
+            OUT).materialize().count())
 
     def _pagerank_distributed():
         # synthetic host graph at realistic-ish scale: 1M hosts, 10M
