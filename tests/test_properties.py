@@ -222,3 +222,89 @@ def test_bloom_sharded_layout_equals_per_shard_builds(keys, shards):
         seg = words_global[s * (m_shard // 64):(s + 1) * (m_shard // 64)]
         local = build_bloom(ka[shard == s], m_shard, k)
         assert (seg == local).all()
+
+
+@given(st.lists(st.text(alphabet="ab c", min_size=0, max_size=30),
+                min_size=0, max_size=20),
+       st.integers(min_value=1, max_value=9))
+@settings(max_examples=100, deadline=None)
+def test_pack_sequences_reference_conservation(texts, seq_len):
+    """Driver-side reference of the packing semantics: token
+    conservation (every token + one EOS per doc lands in exactly one
+    sequence), full sequences are exactly seq_len, only the final one
+    may be short, and concatenating the packed streams rebuilds the
+    global token stream in order."""
+    import re
+
+    toks = []
+    for t in texts:
+        toks.extend(re.findall(r"\S+", t))
+        toks.append("<eos>")
+    seqs = [toks[i:i + seq_len] for i in range(0, len(toks), seq_len)]
+    assert sum(len(s) for s in seqs) == len(toks)
+    for s in seqs[:-1]:
+        assert len(s) == seq_len
+    rebuilt = [tok for s in seqs for tok in s]
+    assert rebuilt == toks
+
+
+@given(st.lists(st.tuples(st.text(alphabet="abcd", min_size=1, max_size=6),
+                          st.integers(min_value=1, max_value=9)),
+                min_size=0, max_size=12),
+       st.integers(min_value=1, max_value=8))
+@settings(max_examples=60, deadline=None)
+def test_bpe_incremental_equals_naive_property(vocab, n_merges):
+    """The incremental pair-index driver loop must equal the
+    recount-everything reference on arbitrary small vocabularies
+    (overlapping pairs, repeats, duplicate words with summed counts)."""
+    import pandas as pd
+
+    from neurostore_text_extraction_ray.stages import bpe
+
+    # dedupe words, summing counts (the count combine does this upstream)
+    agg = {}
+    for w, c in vocab:
+        agg[w] = agg.get(w, 0) + c
+    words, counts = list(agg), [agg[w] for w in agg]
+
+    def naive(words, counts, n):
+        seqs = [tuple(w) + (bpe._EOW,) for w in words]
+        rows = []
+        for rank in range(n):
+            pc = {}
+            for s, c in zip(seqs, counts):
+                for i in range(len(s) - 1):
+                    pc[(s[i], s[i + 1])] = pc.get((s[i], s[i + 1]), 0) + c
+            pc = {p: v for p, v in pc.items() if v > 0}
+            if not pc:
+                break
+            best, bn = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+            rows.append((rank, best[0], best[1], bn))
+            seqs = [bpe._merge_seq(s, *best) for s in seqs]
+        return pd.DataFrame(
+            rows, columns=["rank", "left", "right", "pair_count"])
+
+    a = bpe._bpe_driver(words, counts, n_merges)
+    b = naive(words, counts, n_merges)
+    pd.testing.assert_frame_equal(a, b)
+
+
+@given(st.lists(st.tuples(st.text(alphabet="abcde", min_size=1, max_size=8),
+                          st.integers(min_value=1, max_value=5)),
+                min_size=1, max_size=10))
+@settings(max_examples=60, deadline=None)
+def test_bpe_apply_reconstructs_words(vocab):
+    """Applying any learned merge list never changes what the symbol
+    sequence spells: concatenating the symbols of the encoded word
+    always reproduces word + '</w>'."""
+    from neurostore_text_extraction_ray.stages import bpe
+
+    agg = {}
+    for w, c in vocab:
+        agg[w] = agg.get(w, 0) + c
+    words, counts = list(agg), [agg[w] for w in agg]
+    merges_df = bpe._bpe_driver(words, counts, 6)
+    merges = list(zip(merges_df["left"], merges_df["right"]))
+    for w in words:
+        syms = bpe._apply_merges(tuple(w) + (bpe._EOW,), merges)
+        assert "".join(syms) == w + bpe._EOW
