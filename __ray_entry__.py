@@ -269,6 +269,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_bpe_merges": steps.docs_bpe_merges,
         "docs_bpe_encode": steps.docs_bpe_encode,
         "docs_importance_weights": steps.docs_importance_weights,
+        "docs_importance_weights_hashed":
+            steps.docs_importance_weights_hashed,
         # --- last driver-verified in r3 ---
         "ngram_jaccard_dups": _ngram_jaccard_dups,
         "embedding_cosine_dups": _embedding_cosine_dups,
@@ -728,6 +730,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         # pinned-golden oracles (regenerate: python tools/make_goldens.py)
         "docs_bpe_merges": _golden_sql("docs_bpe_merges"),
+        "docs_importance_weights_hashed": _golden_sql(
+            "docs_importance_weights_hashed"),
         "docs_bpe_encode": _golden_sql("docs_bpe_encode"),
         "docs_fingerprint": _golden_sql("docs_fingerprint"),
         "docs_bloom_seen": _golden_sql("docs_bloom_seen"),

@@ -345,6 +345,8 @@ def _register_builtins():
     register_op("docs_bpe_merges")(steps.docs_bpe_merges)
     register_op("docs_bpe_encode")(steps.docs_bpe_encode)
     register_op("docs_importance_weights")(steps.docs_importance_weights)
+    register_op("docs_importance_weights_hashed")(
+        steps.docs_importance_weights_hashed)
 
     # Reference pipeline-name aliases (snake-cased extractor class
     # names a reference user types at the CLI, cli/run.py:13-33):

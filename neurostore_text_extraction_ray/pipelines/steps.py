@@ -1034,7 +1034,8 @@ def docs_importance_weights(sf_dir: str, target_lang: str = "en"):
             f"importance-weight vocabulary ({n_vocab} terms) exceeds "
             f"DSIR_VOCAB_DRIVER_LIMIT ({DSIR_VOCAB_DRIVER_LIMIT}); "
             "scoring broadcasts the per-term log-ratio table — use "
-            "hashed feature buckets to bound the vocabulary instead")
+            "docs_importance_weights_hashed (bucket-space-bounded) "
+            "instead")
     counts = counts_ds.to_pandas()
     if counts.empty:
         vocab_s = np.array([], dtype=object)
@@ -1066,6 +1067,92 @@ def docs_importance_weights(sf_dir: str, target_lang: str = "en"):
                     "importance-weight scoring saw a token absent "
                     "from the broadcast vocabulary")
             out[i] = w[j].sum() / len(ts)
+        res = pd.DataFrame()
+        res["doc_id"] = df["doc_id"]
+        res["n_words"] = n_words
+        res["weight"] = np.round(out, 6)
+        return res
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        score, batch_format="pandas")
+
+
+def docs_importance_weights_hashed(sf_dir: str, target_lang: str = "en",
+                                   n_buckets: int = 4096):
+    """Hashed-feature DSIR importance weights — the scale path the
+    ``docs_importance_weights`` hard gate points at (Xie et al. 2023
+    uses hashed n-gram buckets for exactly this reason): terms hash
+    into ``n_buckets`` buckets (self-owned blake2b token hash, never
+    Python's salted ``hash()``), counts and the log-ratio table are
+    bucket-space-sized — the broadcast is ``n_buckets`` float64s
+    (32 KB at 4096) REGARDLESS of corpus vocabulary, so nothing here
+    ever outgrows a worker. Add-one smoothing over the bucket space.
+    Tokenization: lowercase ``\\w+``. Output (doc_id, n_words,
+    weight), rounded to 6. Pinned-golden oracle (blake2b is not
+    SQL-expressible)."""
+    import ray
+
+    from ..functions.hashing import _token_hashes
+    from ..stages.broadcast import get_broadcast
+
+    def _buckets(terms: np.ndarray) -> np.ndarray:
+        return (_token_hashes(list(terms)) % np.uint64(n_buckets)
+                ).astype(np.int64)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].fillna("").str.lower().str.findall(r"\w+")
+        ex_t = toks.explode().dropna()
+        if ex_t.empty:
+            return pd.DataFrame({
+                "bucket": pd.Series([], dtype="int64"),
+                "cr": pd.Series([], dtype="int64"),
+                "ct": pd.Series([], dtype="int64"),
+                "b0": pd.Series([], dtype="int64")})
+        terms, inv = np.unique(ex_t.to_numpy(dtype=object),
+                               return_inverse=True)
+        bk = _buckets(terms)[inv]
+        is_t = ((df["lang"].reindex(ex_t.index) == target_lang)
+                .to_numpy().astype(np.int64))
+        cr = np.bincount(bk, minlength=n_buckets)
+        ct = np.bincount(bk, weights=is_t, minlength=n_buckets
+                         ).astype(np.int64)
+        nz = cr > 0
+        out = pd.DataFrame({
+            "bucket": np.arange(n_buckets, dtype=np.int64)[nz],
+            "cr": cr[nz].astype(np.int64), "ct": ct[nz]})
+        out["b0"] = np.int64(df["doc_id"].min())
+        return out
+
+    partials_ds = (
+        _docs(sf_dir, ["doc_id", "lang", "text"])
+        .map_batches(partial, batch_format="pandas")
+        .materialize())
+    counts = grouped_sum_by_key(partials_ds, "bucket", ["cr", "ct"],
+                                TERMS_DRIVER_LIMIT).to_pandas()
+    # the combined table is <= n_buckets rows by construction — a
+    # parameter, not a corpus property — so the driver collect and the
+    # broadcast below are bounded without a budget gate
+    cr = np.zeros(n_buckets, dtype=np.float64)
+    ct = np.zeros(n_buckets, dtype=np.float64)
+    if not counts.empty:
+        b = counts["bucket"].to_numpy(dtype=np.int64)
+        cr[b] = counts["cr"].to_numpy(dtype=np.float64)
+        ct[b] = counts["ct"].to_numpy(dtype=np.float64)
+    tr, tt, v = cr.sum(), ct.sum(), float(n_buckets)
+    lw = np.log((ct + 1.0) / (tt + v)) - np.log((cr + 1.0) / (tr + v))
+    ref = ray.put(lw)
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        w = get_broadcast(ref)
+        toks = df["text"].fillna("").str.lower().str.findall(r"\w+")
+        n_words = toks.map(len).to_numpy(dtype=np.int64)
+        out = np.zeros(len(df), dtype=np.float64)
+        for i, ts in enumerate(toks):
+            if not ts:
+                continue
+            terms, inv = np.unique(np.array(ts, dtype=object),
+                                   return_inverse=True)
+            out[i] = w[_buckets(terms)[inv]].sum() / len(ts)
         res = pd.DataFrame()
         res["doc_id"] = df["doc_id"]
         res["n_words"] = n_words

@@ -50,6 +50,7 @@ SF_QUERIES = [
     "docs_compression_ratio",
     "docs_bpe_merges",
     "docs_bpe_encode",
+    "docs_importance_weights_hashed",
 ]
 # corpus-independent queries (single file)
 GLOBAL_QUERIES = ["multimodal_features", "evaluation_golden_metrics"]
