@@ -271,6 +271,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_importance_weights": steps.docs_importance_weights,
         "docs_importance_weights_hashed":
             steps.docs_importance_weights_hashed,
+        "docs_winnow_fingerprints": steps.docs_winnow_fingerprints,
         # --- last driver-verified in r3 ---
         "ngram_jaccard_dups": _ngram_jaccard_dups,
         "embedding_cosine_dups": _embedding_cosine_dups,
@@ -732,6 +733,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_bpe_merges": _golden_sql("docs_bpe_merges"),
         "docs_importance_weights_hashed": _golden_sql(
             "docs_importance_weights_hashed"),
+        "docs_winnow_fingerprints": _golden_sql("docs_winnow_fingerprints"),
         "docs_bpe_encode": _golden_sql("docs_bpe_encode"),
         "docs_fingerprint": _golden_sql("docs_fingerprint"),
         "docs_bloom_seen": _golden_sql("docs_bloom_seen"),

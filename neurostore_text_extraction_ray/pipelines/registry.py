@@ -347,6 +347,7 @@ def _register_builtins():
     register_op("docs_importance_weights")(steps.docs_importance_weights)
     register_op("docs_importance_weights_hashed")(
         steps.docs_importance_weights_hashed)
+    register_op("docs_winnow_fingerprints")(steps.docs_winnow_fingerprints)
 
     # Reference pipeline-name aliases (snake-cased extractor class
     # names a reference user types at the CLI, cli/run.py:13-33):

@@ -1163,6 +1163,16 @@ def docs_importance_weights_hashed(sf_dir: str, target_lang: str = "en",
         score, batch_format="pandas")
 
 
+def docs_winnow_fingerprints(sf_dir: str, k: int = 5, w: int = 4):
+    """Winnowing fingerprints per document (``stages/winnow.py``,
+    Schleimer et al. 2003): local-minimum sampling of the k-gram hash
+    stream with the window-w coverage guarantee. Pinned-golden oracle
+    (blake2b + polynomial window hashes are not SQL-expressible)."""
+    from ..stages.winnow import winnow_fingerprints
+
+    return winnow_fingerprints(_docs(sf_dir, ["doc_id", "text"]), k, w)
+
+
 def docs_bpe_encode(sf_dir: str, n_merges: int = 20):
     """Chained tokenizer pipeline: learn ``n_merges`` BPE merges from
     the corpus (``docs_bpe_merges``), then encode every document with

@@ -51,6 +51,7 @@ SF_QUERIES = [
     "docs_bpe_merges",
     "docs_bpe_encode",
     "docs_importance_weights_hashed",
+    "docs_winnow_fingerprints",
 ]
 # corpus-independent queries (single file)
 GLOBAL_QUERIES = ["multimodal_features", "evaluation_golden_metrics"]
