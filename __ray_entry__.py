@@ -272,6 +272,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_importance_weights_hashed":
             steps.docs_importance_weights_hashed,
         "docs_winnow_fingerprints": steps.docs_winnow_fingerprints,
+        "corpus_stats": steps.corpus_stats,
         # --- last driver-verified in r3 ---
         "ngram_jaccard_dups": _ngram_jaccard_dups,
         "embedding_cosine_dups": _embedding_cosine_dups,
@@ -734,6 +735,21 @@ def oracle_sql() -> dict[str, str]:
         "docs_importance_weights_hashed": _golden_sql(
             "docs_importance_weights_hashed"),
         "docs_winnow_fingerprints": _golden_sql("docs_winnow_fingerprints"),
+        "corpus_stats": (
+            "WITH tok AS (SELECT unnest(regexp_extract_all("
+            "  lower(coalesce(text,'')), '\\w+')) AS w FROM documents), "
+            "c AS (SELECT w, count(*) AS n FROM tok GROUP BY w) "
+            "SELECT (SELECT count(*) FROM documents) AS n_docs, "
+            "  CAST(coalesce((SELECT sum(n) FROM c), 0) AS BIGINT) "
+            "    AS n_tokens, "
+            "  CAST((SELECT count(*) FROM c) AS BIGINT) AS vocab_size, "
+            "  round(coalesce((SELECT max(n) FROM c) * 1.0 / "
+            "    nullif((SELECT sum(n) FROM c), 0), 0), 6) "
+            "    AS top_term_share, "
+            "  round(coalesce((SELECT count(*) FROM c) * 1.0 / "
+            "    nullif((SELECT sum(n) FROM c), 0), 0), 6) "
+            "    AS type_token_ratio"
+        ),
         "docs_bpe_encode": _golden_sql("docs_bpe_encode"),
         "docs_fingerprint": _golden_sql("docs_fingerprint"),
         "docs_bloom_seen": _golden_sql("docs_bloom_seen"),

@@ -348,6 +348,7 @@ def _register_builtins():
     register_op("docs_importance_weights_hashed")(
         steps.docs_importance_weights_hashed)
     register_op("docs_winnow_fingerprints")(steps.docs_winnow_fingerprints)
+    register_op("corpus_stats")(steps.corpus_stats)
 
     # Reference pipeline-name aliases (snake-cased extractor class
     # names a reference user types at the CLI, cli/run.py:13-33):

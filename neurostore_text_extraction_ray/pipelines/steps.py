@@ -1163,6 +1163,57 @@ def docs_importance_weights_hashed(sf_dir: str, target_lang: str = "en",
         score, batch_format="pandas")
 
 
+def corpus_stats(sf_dir: str):
+    """One-row corpus summary: doc count, total lowercase ``\\w+``
+    tokens, vocabulary size, top-term share, type-token ratio — the
+    sanity report a pipeline run prints before training-data work.
+    Term counts go through the gated ``grouped_sum_by_key`` combine;
+    the summary reduces per-BLOCK partials (<= block-count rows on the
+    driver, even when the combine stayed distributed). Exact ANSI-SQL
+    oracle (counts cast to BIGINT on both sides)."""
+    import ray.data as rd
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].fillna("").str.lower().str.findall(r"\w+")
+        c = toks.explode().dropna().value_counts()
+        out = pd.DataFrame({"term": c.index.to_numpy(dtype=object),
+                            "n": c.to_numpy().astype(np.int64)})
+        out["b0"] = np.int64(df["doc_id"].min()) if len(df) else np.int64(0)
+        return out
+
+    partials_ds = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(partial, batch_format="pandas")
+        .materialize())
+    vocab_ds = grouped_sum_by_key(partials_ds, "term", ["n"],
+                                  TERMS_DRIVER_LIMIT)
+
+    def block_stat(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"s": pd.Series([], dtype="int64"),
+                                 "v": pd.Series([], dtype="int64"),
+                                 "m": pd.Series([], dtype="int64")})
+        return pd.DataFrame({"s": [int(df["n"].sum())],
+                             "v": [len(df)], "m": [int(df["n"].max())]})
+
+    bs = vocab_ds.map_batches(block_stat, batch_format="pandas").to_pandas()
+    n_docs = _docs(sf_dir, ["doc_id"]).count()
+    if bs.empty:
+        n_tokens, vocab, mx = 0, 0, 0
+    else:
+        n_tokens = int(bs["s"].sum())
+        vocab = int(bs["v"].sum())
+        mx = int(bs["m"].max())
+    return rd.from_pandas(pd.DataFrame({
+        "n_docs": pd.Series([n_docs], dtype="int64"),
+        "n_tokens": pd.Series([n_tokens], dtype="int64"),
+        "vocab_size": pd.Series([vocab], dtype="int64"),
+        "top_term_share": [round(mx / n_tokens, 6) if n_tokens else 0.0],
+        "type_token_ratio": [round(vocab / n_tokens, 6)
+                             if n_tokens else 0.0],
+    }))
+
+
 def docs_winnow_fingerprints(sf_dir: str, k: int = 5, w: int = 4):
     """Winnowing fingerprints per document (``stages/winnow.py``,
     Schleimer et al. 2003): local-minimum sampling of the k-gram hash

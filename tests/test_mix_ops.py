@@ -281,3 +281,16 @@ def test_sampled_quantiles_accuracy(ray_session):
             # rank of the sampled estimate in the FULL corpus
             rank = np.searchsorted(nchars, row["value"], side="right") / len(nchars)
             assert abs(rank - row["q"]) < 0.12, (sf, row["q"], rank)
+
+
+def test_corpus_stats_gate_path_equality(ray_session, synth_dir, monkeypatch):
+    """corpus_stats: the exchange-combined term counts produce the
+    same one-row summary as the driver combine (TERMS gate to 0);
+    None/empty/unicode docs exercise the tokenize edges."""
+    from neurostore_text_extraction_ray.pipelines import steps
+
+    a = steps.corpus_stats(synth_dir).to_pandas()
+    monkeypatch.setattr(steps, "TERMS_DRIVER_LIMIT", 0)
+    b = steps.corpus_stats(synth_dir).to_pandas()
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+    assert a.loc[0, "n_docs"] == 400 and a.loc[0, "n_tokens"] > 0
