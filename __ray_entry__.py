@@ -273,6 +273,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             steps.docs_importance_weights_hashed,
         "docs_winnow_fingerprints": steps.docs_winnow_fingerprints,
         "corpus_stats": steps.corpus_stats,
+        "embeddings_label_centroids": steps.embeddings_label_centroids,
         # --- last driver-verified in r3 ---
         "ngram_jaccard_dups": _ngram_jaccard_dups,
         "embedding_cosine_dups": _embedding_cosine_dups,
@@ -735,6 +736,15 @@ def oracle_sql() -> dict[str, str]:
         "docs_importance_weights_hashed": _golden_sql(
             "docs_importance_weights_hashed"),
         "docs_winnow_fingerprints": _golden_sql("docs_winnow_fingerprints"),
+        "embeddings_label_centroids": (
+            "WITH e AS (SELECT CAST(label AS BIGINT) AS label, "
+            "  CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) "
+            "    AS dim, "
+            "  unnest(embedding) AS v FROM embeddings) "
+            "SELECT label, dim, round(avg(v), 6) AS centroid, "
+            "  CAST(count(*) AS BIGINT) AS n_vecs "
+            "FROM e GROUP BY label, dim"
+        ),
         "corpus_stats": (
             "WITH tok AS (SELECT unnest(regexp_extract_all("
             "  lower(coalesce(text,'')), '\\w+')) AS w FROM documents), "

@@ -349,6 +349,8 @@ def _register_builtins():
         steps.docs_importance_weights_hashed)
     register_op("docs_winnow_fingerprints")(steps.docs_winnow_fingerprints)
     register_op("corpus_stats")(steps.corpus_stats)
+    register_op("embeddings_label_centroids")(
+        steps.embeddings_label_centroids)
 
     # Reference pipeline-name aliases (snake-cased extractor class
     # names a reference user types at the CLI, cli/run.py:13-33):

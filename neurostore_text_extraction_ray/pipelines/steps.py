@@ -1163,6 +1163,68 @@ def docs_importance_weights_hashed(sf_dir: str, target_lang: str = "en",
         score, batch_format="pandas")
 
 
+def embeddings_label_centroids(sf_dir: str):
+    """Per-label embedding centroid in LONG form — (label, dim,
+    centroid, n_vecs) — the distributed vector-mean primitive behind
+    cluster centroids at scale. Per-batch partials are (label, dim,
+    s, n) rows (labels x dim per batch, bounded by the label
+    cardinality, never by corpus size) through the gated
+    ``grouped_sum_by_key`` combine; the finalize is a stateless map
+    over the combined rows, so nothing here ever collects vectors to
+    the driver. Exact ANSI-SQL oracle (round 6, BIGINT-cast keys)."""
+    import ray.data as rd
+
+    def partial(b: pa.Table) -> pa.Table:
+        labs = b["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(labs) == 0:
+            return pa.table({
+                "label": pa.array([], pa.int64()),
+                "dim": pa.array([], pa.int64()),
+                "s": pa.array([], pa.float64()),
+                "n": pa.array([], pa.int64()),
+                "b0": pa.array([], pa.int64())})
+        col = b.column("embedding").combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False)
+        dim = len(flat) // len(labs)
+        m = flat.astype(np.float64).reshape(len(labs), dim)
+        uniq, inv = np.unique(labs, return_inverse=True)
+        sums = np.zeros((len(uniq), dim), dtype=np.float64)
+        np.add.at(sums, inv, m)
+        cnt = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        lab_r = np.repeat(uniq, dim)
+        dim_r = np.tile(np.arange(dim, dtype=np.int64), len(uniq))
+        return pa.table({
+            "label": pa.array(lab_r, pa.int64()),
+            "dim": pa.array(dim_r, pa.int64()),
+            "s": pa.array(sums.ravel(), pa.float64()),
+            "n": pa.array(np.repeat(cnt, dim), pa.int64()),
+            "b0": pa.array(
+                np.full(len(lab_r),
+                        int(b["vec_id"].to_numpy(
+                            zero_copy_only=False).min()), np.int64),
+                pa.int64()),
+        })
+
+    partials_ds = (
+        rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "label", "embedding"])
+        .map_batches(partial, batch_format="pyarrow")
+        .materialize())
+    combined = grouped_sum_by_key(partials_ds, ["label", "dim"],
+                                  ["s", "n"], AGG_PARTIALS_DRIVER_LIMIT)
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame()
+        out["label"] = df["label"].astype("int64")
+        out["dim"] = df["dim"].astype("int64")
+        out["centroid"] = np.round(
+            df["s"].to_numpy() / df["n"].to_numpy(), 6)
+        out["n_vecs"] = df["n"].astype("int64")
+        return out
+
+    return combined.map_batches(finalize, batch_format="pandas")
+
+
 def corpus_stats(sf_dir: str):
     """One-row corpus summary: doc count, total lowercase ``\\w+``
     tokens, vocabulary size, top-term share, type-token ratio — the

@@ -294,3 +294,19 @@ def test_corpus_stats_gate_path_equality(ray_session, synth_dir, monkeypatch):
     b = steps.corpus_stats(synth_dir).to_pandas()
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
     assert a.loc[0, "n_docs"] == 400 and a.loc[0, "n_tokens"] > 0
+
+
+def test_label_centroids_gate_path_equality(ray_session, monkeypatch):
+    """embeddings_label_centroids: exchange-combined (label, dim)
+    sums equal the driver combine (AGG gate to 0); rounding absorbs
+    summation-order float drift between paths."""
+    from neurostore_text_extraction_ray.pipelines import steps
+
+    SF = "/root/testdata/sf0.001"
+    a = (steps.embeddings_label_centroids(SF).to_pandas()
+         .sort_values(["label", "dim"]).reset_index(drop=True))
+    monkeypatch.setattr(steps, "AGG_PARTIALS_DRIVER_LIMIT", 0)
+    b = (steps.embeddings_label_centroids(SF).to_pandas()
+         .sort_values(["label", "dim"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+    assert a["n_vecs"].sum() == 500 * 64  # every vector in one label
