@@ -274,6 +274,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_winnow_fingerprints": steps.docs_winnow_fingerprints,
         "corpus_stats": steps.corpus_stats,
         "embeddings_label_centroids": steps.embeddings_label_centroids,
+        "events_hourly_top": steps.events_hourly_top,
         # --- last driver-verified in r3 ---
         "ngram_jaccard_dups": _ngram_jaccard_dups,
         "embedding_cosine_dups": _embedding_cosine_dups,
@@ -736,6 +737,14 @@ def oracle_sql() -> dict[str, str]:
         "docs_importance_weights_hashed": _golden_sql(
             "docs_importance_weights_hashed"),
         "docs_winnow_fingerprints": _golden_sql("docs_winnow_fingerprints"),
+        "events_hourly_top": (
+            "WITH h AS (SELECT date_trunc('hour', ts) AS hour, "
+            "  event_type, count(*) AS n_events FROM events "
+            "  GROUP BY 1, 2), "
+            "r AS (SELECT *, row_number() OVER (PARTITION BY hour "
+            "  ORDER BY n_events DESC, event_type) AS rk FROM h) "
+            "SELECT hour, event_type, n_events FROM r WHERE rk = 1"
+        ),
         "embeddings_label_centroids": (
             "WITH e AS (SELECT CAST(label AS BIGINT) AS label, "
             "  CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) "

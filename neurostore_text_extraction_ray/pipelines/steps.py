@@ -2249,6 +2249,62 @@ def events_hourly(sf_dir: str):
         AGG_PARTIALS_DRIVER_LIMIT)
 
 
+def events_hourly_top(sf_dir: str, num_parts: int = 32):
+    """Windowed top-1: the busiest event type per tumbling hour
+    (count desc, type asc tie-break) — the windowed-argmax composition
+    over ``events_hourly``'s combined counts. The combined (type,
+    hour) table is group-cardinality-sized but hours grow with the
+    time range, so the argmax has both paths: a driver groupby below
+    ``AGG_PARTIALS_DRIVER_LIMIT`` combined rows, an hour-hash
+    partition exchange beyond it (hours co-locate, so per-part argmax
+    is exact). Output (hour, event_type, n_events)."""
+    import shutil
+
+    import ray.data as rd
+
+    from ..stages import exchange as ex
+
+    combined = events_hourly(sf_dir)
+
+    def argmax(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["n_events", "event_type"],
+                            ascending=[False, True], kind="stable")
+        out = df.groupby("hour", sort=False).head(1)
+        return out[["hour", "event_type", "n_events"]].reset_index(
+            drop=True)
+
+    if combined.count() <= AGG_PARTIALS_DRIVER_LIMIT:
+        pdf = combined.to_pandas()
+        if pdf.empty:
+            return rd.from_arrow(pa.schema([
+                ("hour", pa.timestamp("us")),
+                ("event_type", pa.string()),
+                ("n_events", pa.int64())]).empty_table())
+        return rd.from_pandas(argmax(pdf))
+
+    stage = ex.make_stage("nse_htop_")
+    out_schema = pa.schema([
+        ("hour", pa.timestamp("us")), ("event_type", pa.string()),
+        ("n_events", pa.int64())])
+    try:
+        ex.write_exchange(
+            combined.map_batches(
+                lambda b: b.select(["hour", "event_type", "n_events"]),
+                batch_format="pyarrow"),
+            stage,
+            lambda b: _key_part(b, ["hour"], num_parts))
+
+        def part_argmax(t: pa.Table) -> pa.Table:
+            return pa.Table.from_pandas(
+                argmax(t.to_pandas()), schema=out_schema,
+                preserve_index=False)
+
+        return ex.map_parts(stage, num_parts, part_argmax,
+                            out_schema).materialize()
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+
+
 # -- Streaming-shaped: session windows (gap-based) --------------------------
 
 

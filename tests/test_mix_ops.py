@@ -310,3 +310,19 @@ def test_label_centroids_gate_path_equality(ray_session, monkeypatch):
          .sort_values(["label", "dim"]).reset_index(drop=True))
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
     assert a["n_vecs"].sum() == 500 * 64  # every vector in one label
+
+
+def test_events_hourly_top_gate_path_equality(ray_session, monkeypatch):
+    """events_hourly_top: the hour-hash exchange argmax equals the
+    driver groupby (AGG gate to 0 forces BOTH the count combine and
+    the argmax onto the exchange)."""
+    from neurostore_text_extraction_ray.pipelines import steps
+
+    SF = "/root/testdata/sf0.001"
+    a = (steps.events_hourly_top(SF).to_pandas()
+         .sort_values("hour").reset_index(drop=True))
+    monkeypatch.setattr(steps, "AGG_PARTIALS_DRIVER_LIMIT", 0)
+    b = (steps.events_hourly_top(SF).to_pandas()
+         .sort_values("hour").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+    assert a["hour"].is_unique and len(a) > 0

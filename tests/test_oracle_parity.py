@@ -97,7 +97,7 @@ def _pairs():
     "docs_gopher_rules", "docs_c4_rules", "docs_pack_sequences",
     "docs_bpe_merges", "docs_bpe_encode", "docs_importance_weights",
     "docs_importance_weights_hashed", "docs_winnow_fingerprints",
-    "corpus_stats", "embeddings_label_centroids",
+    "corpus_stats", "embeddings_label_centroids", "events_hourly_top",
 ])
 def test_query_matches_oracle(name, ray_session):
     import __ray_entry__ as e
