@@ -880,7 +880,10 @@ def oracle_sql() -> dict[str, str]:
             "  1 PRECEDING), 0) AS off FROM d), "
             "t AS (SELECT off + generate_subscripts(toks, 1) - 1 AS pos, "
             "  unnest(toks) AS tok FROM o) "
-            "SELECT pos // 32 AS seq_id, count(*) AS n_tokens, "
+            # the window sum promotes to HUGEINT, which fetchdf would
+            # surface as float64 — BIGINT-cast both outputs (repo rule)
+            "SELECT CAST(pos // 32 AS BIGINT) AS seq_id, "
+            "  CAST(count(*) AS BIGINT) AS n_tokens, "
             "  string_agg(tok, ' ' ORDER BY pos) AS seq_text "
             "FROM t GROUP BY 1"
         ),

@@ -112,7 +112,17 @@ def test_query_matches_oracle(name, ray_session):
     assert len(mine) == len(gold), (name, len(mine), len(gold))
     # numeric columns: exact after the declared rounding; compare values
     for c in mine.columns:
-        if pd.api.types.is_float_dtype(mine[c]) or pd.api.types.is_float_dtype(gold[c]):
+        mf = pd.api.types.is_float_dtype(mine[c])
+        gf = pd.api.types.is_float_dtype(gold[c])
+        # an int-vs-float dtype split (e.g. a DuckDB HUGEINT window sum
+        # surfacing as float64) can hash-mismatch on the driver even
+        # when values agree — BIGINT-cast the SQL side (repo rule).
+        # NULL-driven promotion (pandas int columns with NaN) is exempt.
+        if mf != gf and not (mine[c].isna().any() or gold[c].isna().any()):
+            raise AssertionError(
+                f"{name}.{c}: dtype split {mine[c].dtype} vs {gold[c].dtype}"
+                " — cast the oracle SQL (BIGINT/DOUBLE) to match")
+        if mf or gf:
             pd.testing.assert_series_equal(
                 mine[c].astype(float), gold[c].astype(float),
                 check_names=False, rtol=0, atol=1e-9, obj=f"{name}.{c}",
