@@ -26,8 +26,47 @@ UNIQUE = 200_000          # 10x duplication for the dup-spans run
 WORDS_PER_DOC = 12
 
 
+def build_side_tables():
+    """embeddings (2M vecs x dim 32, 16 labels) and events (2M rows
+    over ~42 days -> ~1000 hours x 6 types) for the vector-mean and
+    windowed-argmax measurements."""
+    ep = f"{OUT}/embeddings.parquet"
+    if not os.path.exists(ep):
+        rng = np.random.default_rng(13)
+        dim, n = 32, N
+        vecs = rng.standard_normal((n, dim), dtype=np.float32)
+        t = pa.table({
+            "vec_id": pa.array(np.arange(n, dtype=np.int64), pa.int64()),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(vecs.ravel(), pa.float32()), dim).cast(
+                    pa.list_(pa.float32())),
+            "label": pa.array((np.arange(n) % 16).astype(np.int32),
+                              pa.int32()),
+        })
+        pq.write_table(t, ep, row_group_size=125_000)
+    vp = f"{OUT}/events.parquet"
+    if not os.path.exists(vp):
+        rng = np.random.default_rng(17)
+        n = N
+        ts = (np.datetime64("2024-01-01", "us")
+              + rng.integers(0, 42 * 86_400, n) * np.timedelta64(1_000_000, "us"))
+        types = np.array(["view", "click", "buy", "share", "login",
+                          "logout"], dtype=object)
+        t = pa.table({
+            "event_id": pa.array(np.arange(n, dtype=np.int64), pa.int64()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "user_id": pa.array(rng.integers(0, 100_000, n), pa.int64()),
+            "event_type": pa.array(types[rng.integers(0, 6, n)],
+                                   pa.string()),
+            "value": pa.array(rng.random(n), pa.float64()),
+            "props": pa.array(np.full(n, "{}", dtype=object), pa.string()),
+        })
+        pq.write_table(t, vp, row_group_size=125_000)
+
+
 def build_corpus():
     os.makedirs(OUT, exist_ok=True)
+    build_side_tables()
     path = f"{OUT}/documents.parquet"
     if os.path.exists(path):
         return path
@@ -184,6 +223,25 @@ def main():
         return out.count()
 
     run("host_pagerank_distributed", _pagerank_distributed)
+
+    # round-5d additions (TERMS/AGG gates 0 above/below force the
+    # exchange combines — the scale path, not the driver groupby)
+    steps.AGG_PARTIALS_DRIVER_LIMIT = 0
+    run("docs_winnow_fingerprints",
+        lambda: steps.docs_winnow_fingerprints(OUT).materialize().count())
+    run("docs_importance_weights_hashed",
+        lambda: steps.docs_importance_weights_hashed(
+            OUT).materialize().count())
+    run("corpus_stats_exchange",
+        lambda: steps.corpus_stats(OUT).materialize().count())
+    # 2M x dim-32 vectors, 16 labels: per-batch partials are 512 rows
+    run("embeddings_label_centroids_exchange",
+        lambda: steps.embeddings_label_centroids(
+            OUT).materialize().count())
+    # 2M events over ~1000 hours x 6 types: hourly combine + argmax
+    # both through the hour-hash exchange
+    run("events_hourly_top_exchange",
+        lambda: steps.events_hourly_top(OUT).materialize().count())
 
     results["driver_maxrss_gb"] = round(
         resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6, 2)
