@@ -234,6 +234,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # item 1).
     return {
         # --- never driver-verified before r5 ---
+        "docs_boilerplate_strip": steps.docs_boilerplate_strip,
         "evaluation_golden_metrics": _evaluation_golden_metrics,
         "docs_domain_cap": steps.docs_domain_cap,
         "docs_outlinks_anchored": _docs_outlinks_anchored,
@@ -917,6 +918,46 @@ def oracle_sql() -> dict[str, str]:
             " SELECT d.doc_id, coalesce(h.n_hits, 0) AS n_hits,"
             "  coalesce(h.n_hits, 0) > 0 AS contaminated"
             " FROM documents d LEFT JOIN hits h USING (doc_id)"
+        ),
+        # domain-level boilerplate strip: the wrapper plants per-domain
+        # nav/copyright chrome on every doc plus a 'subscribe' line on
+        # doc_id % 4 == 0; a non-blank line is boilerplate iff it
+        # appears in >= 3 docs of its domain AND n * 2 >= domain_docs
+        # (integer-exact, mirrored in steps._bp_boilerplate_keys).
+        # Head domains (~70 docs) shed the chrome; singleton tail
+        # domains keep it (min_docs); 'subscribe' (ratio ~1/4) stays.
+        "docs_boilerplate_strip": (
+            "WITH d AS (SELECT doc_id, "
+            "  CASE WHEN doc_id % 11 = 0 THEN 'tail' || doc_id || '.example' "
+            "       ELSE 'site' || (doc_id % 7) || '.example' END AS domain, "
+            "  coalesce(text,'') AS text FROM documents), "
+            "p AS (SELECT doc_id, domain, "
+            "  ['home | about | contact - ' || domain] "
+            "  || (CASE WHEN doc_id % 4 = 0 THEN "
+            "      ['subscribe to our newsletter'] "
+            "      ELSE CAST([] AS VARCHAR[]) END) "
+            "  || string_split(text, chr(10)) "
+            "  || ['(c) 2024 ' || domain || ' all rights reserved'] "
+            "  AS lines FROM d), "
+            "l AS (SELECT doc_id, domain, unnest(lines) AS line, "
+            "  generate_subscripts(lines, 1) AS i FROM p), "
+            "dc AS (SELECT domain, count(*) AS nd FROM p GROUP BY domain), "
+            "lc AS (SELECT domain, line, count(DISTINCT doc_id) AS n "
+            "  FROM l WHERE trim(line) <> '' GROUP BY domain, line), "
+            "bp AS (SELECT lc.domain, lc.line FROM lc JOIN dc "
+            "  USING (domain) WHERE n >= 3 AND n * 2 >= nd * 1), "
+            "k AS (SELECT l.doc_id, l.line, l.i FROM l "
+            "  LEFT JOIN bp ON l.domain = bp.domain AND l.line = bp.line "
+            "  WHERE bp.line IS NULL), "
+            "agg AS (SELECT doc_id, count(*) AS n_kept, "
+            "  string_agg(line, chr(10) ORDER BY i) AS clean_text "
+            "  FROM k GROUP BY doc_id) "
+            "SELECT p.doc_id, p.domain, "
+            "  CAST(len(p.lines) AS BIGINT) AS n_lines, "
+            "  CAST(len(p.lines) - coalesce(agg.n_kept, 0) AS BIGINT) "
+            "    AS n_removed, "
+            "  coalesce(agg.clean_text, '') AS clean_text "
+            "FROM p LEFT JOIN agg USING (doc_id)"
         ),
         # web-text normalization over planted messy whitespace; NFC
         # and the control strip are identities on the ASCII corpus so

@@ -1586,6 +1586,334 @@ def _domain_filter_exchanged(sf_dir: str, kept_ds, num_parts: int = 32):
             shutil.rmtree(s, ignore_errors=True)
 
 
+# -- Domain-level boilerplate line removal (CCNet/RefinedWeb-style) ----------
+
+# boilerplate (domain, line) keys collected to the driver / broadcast
+# as a sorted int64 array below this; beyond it docs and keys
+# co-partition by domain hash through the exchange (no broadcast).
+BOILERPLATE_KEYS_BROADCAST_LIMIT = 20_000_000
+
+_BP_SEP = "\x1f"  # never occurs in planted domains; separates domain|line
+
+
+def _bp_combo_keys(combos: np.ndarray) -> np.ndarray:
+    """Stable 64-bit key per ``domain\\x1fline`` string (self-owned
+    blake2b via ``_token_hashes`` — never Python's salted hash()),
+    viewed as int64 for searchsorted membership. A 64-bit collision
+    would mis-classify one line; at any realistic per-domain line
+    cardinality the probability is negligible (same argument as
+    ``fingerprint64``)."""
+    from ..functions.hashing import _token_hashes
+
+    uniq, inv = np.unique(combos, return_inverse=True)
+    return _token_hashes(list(uniq)).view(np.int64)[inv]
+
+
+def _bp_explode(df: pd.DataFrame):
+    """(row index, line, domain-per-line) triple for a (domain, text)
+    frame — one split pass shared by the count and strip kernels.
+    ``text.split('\\n')`` of '' is [''], so every doc emits >= 1 line."""
+    splits = df["text"].fillna("").str.split("\n")
+    ex_s = splits.explode()
+    ridx = ex_s.index.to_numpy()
+    lines = ex_s.to_numpy(dtype=object)
+    dom = df["domain"].to_numpy(dtype=object)[ridx]
+    n_lines = splits.str.len().to_numpy().astype(np.int64)
+    return ridx, lines, dom, n_lines
+
+
+def _bp_count_partials(ds):
+    """Per-batch partial (domain, line_key, n, b0) rows: n = distinct
+    DOCS of the batch containing the (domain, line) pair — exact
+    globally because each doc lives in exactly one batch. Blank
+    (whitespace-only) lines are never boilerplate candidates. b0 =
+    batch-min doc_id (write_exchange CONTRACT)."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.reset_index(drop=True)
+        empty = pd.DataFrame({
+            "domain": pd.Series([], dtype=object),
+            "line_key": pd.Series([], dtype="int64"),
+            "n": pd.Series([], dtype="int64"),
+            "b0": pd.Series([], dtype="int64")})
+        if df.empty:
+            return empty
+        ridx, lines, dom, _ = _bp_explode(df)
+        nb = pd.Series(lines).str.strip().ne("").to_numpy()
+        if not nb.any():
+            return empty
+        combos = np.add(np.add(dom[nb], _BP_SEP), lines[nb])
+        pairs = pd.DataFrame({"r": ridx[nb], "c": combos,
+                              "d": dom[nb]}).drop_duplicates(["r", "c"])
+        vc = pairs.groupby("c", sort=False).agg(
+            n=("r", "size"), d=("d", "first")).reset_index()
+        keys = _bp_combo_keys(vc["c"].to_numpy(dtype=object))
+        return pd.DataFrame({
+            "domain": vc["d"].to_numpy(dtype=object),
+            "line_key": keys,
+            "n": vc["n"].to_numpy().astype(np.int64),
+            "b0": np.int64(df["doc_id"].min()),
+        })
+
+    return ds.map_batches(partial, batch_format="pandas").materialize()
+
+
+def _bp_domain_partials(ds):
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({
+                "domain": pd.Series([], dtype=object),
+                "n_docs": pd.Series([], dtype="int64"),
+                "b0": pd.Series([], dtype="int64")})
+        vc = df["domain"].value_counts()
+        return pd.DataFrame({
+            "domain": vc.index.to_numpy(dtype=object),
+            "n_docs": vc.to_numpy().astype(np.int64),
+            "b0": np.int64(df["doc_id"].min())})
+
+    return ds.map_batches(partial, batch_format="pandas").materialize()
+
+
+def _bp_boilerplate_keys(line_counts, dom_counts, ratio_num: int,
+                         ratio_den: int, min_docs: int,
+                         num_parts: int = 32):
+    """(domain, line_key) rows whose doc count n satisfies
+    ``n >= min_docs AND n * ratio_den >= n_docs(domain) * ratio_num``
+    — integer-exact on both sides (no float ratio), mirrored verbatim
+    in the SQL oracle. Below ``DOMAIN_DRIVER_LIMIT`` domain rows the
+    per-domain totals broadcast as sorted arrays; beyond, candidates
+    and totals co-partition by domain hash and join per part."""
+    import shutil
+
+    import ray
+    import ray.data as rd
+
+    from ..stages.broadcast import get_broadcast
+
+    filtered = line_counts.map_batches(
+        lambda b: b.filter(pc.greater_equal(b["n"], min_docs)),
+        batch_format="pyarrow").materialize()
+    out_schema = pa.schema([("domain", pa.string()),
+                            ("line_key", pa.int64())])
+
+    def mark(df: pd.DataFrame, doms: np.ndarray,
+             nd: np.ndarray) -> pd.DataFrame:
+        if df.empty or not len(doms):
+            return pd.DataFrame({"domain": pd.Series([], dtype=object),
+                                 "line_key": pd.Series([], dtype="int64")})
+        d = df["domain"].to_numpy(dtype=object)
+        j = np.clip(np.searchsorted(doms, d), 0, len(doms) - 1)
+        if not (doms[j] == d).all():
+            raise RuntimeError(
+                "boilerplate ratio join: line-count domain missing from "
+                "the domain totals — partial streams disagree")
+        keep = (df["n"].to_numpy(np.int64) * ratio_den
+                >= nd[j] * np.int64(ratio_num))
+        return pd.DataFrame({
+            "domain": d[keep],
+            "line_key": df["line_key"].to_numpy(np.int64)[keep]})
+
+    if dom_counts.count() <= DOMAIN_DRIVER_LIMIT:
+        dp = dom_counts.to_pandas().sort_values("domain", kind="stable")
+        doms = dp["domain"].to_numpy(dtype=object)
+        nd = dp["n_docs"].to_numpy(np.int64)
+        ref = ray.put((doms, nd))
+
+        def mark_b(df: pd.DataFrame) -> pd.DataFrame:
+            bd, bn = get_broadcast(ref)
+            return mark(df, bd, bn)
+
+        return filtered.map_batches(mark_b, batch_format="pandas")
+
+    from ..stages import exchange as ex
+
+    cand_stage = ex.make_stage("nse_bp_cand_")
+    dom_stage = ex.make_stage("nse_bp_dom_")
+    cand_schema = pa.schema([("domain", pa.string()),
+                             ("line_key", pa.int64()), ("n", pa.int64())])
+    dom_schema = pa.schema([("domain", pa.string()), ("n_docs", pa.int64())])
+    by_domain = lambda b: _term_part(  # noqa: E731
+        b["domain"].to_numpy(zero_copy_only=False), num_parts)
+    try:
+        ex.write_exchange(
+            filtered.map_batches(lambda b: b.select(cand_schema.names)
+                                 .cast(cand_schema),
+                                 batch_format="pyarrow"),
+            cand_stage, by_domain)
+        ex.write_exchange(
+            dom_counts.map_batches(lambda b: b.select(dom_schema.names)
+                                   .cast(dom_schema),
+                                   batch_format="pyarrow"),
+            dom_stage, by_domain)
+
+        def join(cand_t: pa.Table, dom_t: pa.Table) -> pa.Table:
+            dp = dom_t.to_pandas().sort_values("domain", kind="stable")
+            out = mark(cand_t.to_pandas(),
+                       dp["domain"].to_numpy(dtype=object),
+                       dp["n_docs"].to_numpy(np.int64))
+            return pa.Table.from_pandas(out, schema=out_schema,
+                                        preserve_index=False)
+
+        return ex.map_parts([cand_stage, dom_stage], num_parts, join,
+                            out_schema,
+                            in_schemas=[cand_schema, dom_schema]
+                            ).materialize()
+    finally:
+        for s in (cand_stage, dom_stage):
+            shutil.rmtree(s, ignore_errors=True)
+
+
+def _bp_strip_frame(df: pd.DataFrame,
+                    bp_keys: np.ndarray) -> pd.DataFrame:
+    """Strip boilerplate lines from a (doc_id, domain, text) frame
+    given the SORTED int64 boilerplate key array. Blank lines are
+    always kept; remaining lines keep their original order."""
+    df = df.reset_index(drop=True)
+    if df.empty:
+        return pd.DataFrame({
+            "doc_id": pd.Series([], dtype="int64"),
+            "domain": pd.Series([], dtype=object),
+            "n_lines": pd.Series([], dtype="int64"),
+            "n_removed": pd.Series([], dtype="int64"),
+            "clean_text": pd.Series([], dtype=object)})
+    ridx, lines, dom, n_lines = _bp_explode(df)
+    nb = pd.Series(lines).str.strip().ne("").to_numpy()
+    is_bp = np.zeros(len(lines), dtype=bool)
+    if nb.any() and len(bp_keys):
+        combos = np.add(np.add(dom[nb], _BP_SEP), lines[nb])
+        keys = _bp_combo_keys(combos)
+        j = np.clip(np.searchsorted(bp_keys, keys), 0, len(bp_keys) - 1)
+        is_bp[nb] = bp_keys[j] == keys
+    kept = ~is_bp
+    kept_s = pd.Series(lines[kept], index=ridx[kept], dtype=object)
+    clean = kept_s.groupby(level=0).agg("\n".join)
+    clean_full = clean.reindex(range(len(df)), fill_value="").to_numpy(
+        dtype=object)
+    n_kept = np.bincount(ridx[kept], minlength=len(df)).astype(np.int64)
+    return pd.DataFrame({
+        "doc_id": df["doc_id"].astype("int64"),
+        "domain": df["domain"].astype(object),
+        "n_lines": n_lines,
+        "n_removed": n_lines - n_kept,
+        "clean_text": clean_full})
+
+
+def strip_boilerplate(ds, ratio_num: int = 1, ratio_den: int = 2,
+                      min_docs: int = 3, num_parts: int = 32):
+    """Domain-level boilerplate line removal (the CCNet / RefinedWeb /
+    OSCAR cleaning step): a non-blank line is boilerplate for a
+    registered domain when it appears in >= ``min_docs`` distinct
+    documents of that domain AND in >= ``ratio_num/ratio_den`` of
+    them; boilerplate lines are removed, everything else keeps its
+    order. Input (doc_id int64 unique, domain string, text string);
+    output (doc_id, domain, n_lines, n_removed, clean_text).
+
+    Scale shape: two ``grouped_sum_by_key`` combines (per-(domain,
+    line-hash) doc counts under ``TERMS_DRIVER_LIMIT``; per-domain doc
+    totals under ``DOMAIN_DRIVER_LIMIT``), the integer-exact ratio
+    join (broadcast totals / domain-hash co-partition beyond the
+    gate), then the strip pass: the boilerplate key set broadcasts as
+    ONE sorted int64 array below ``BOILERPLATE_KEYS_BROADCAST_LIMIT``,
+    beyond it docs and keys co-partition by domain hash through the
+    exchange (a pathological single domain lands in one part — the
+    same documented skew assumption as ``docs_domain_cap``). Text
+    never shuffles on the broadcast path."""
+    import shutil
+
+    import ray
+
+    from ..stages.broadcast import get_broadcast
+
+    ds = ds.materialize()
+    line_counts = grouped_sum_by_key(
+        _bp_count_partials(ds), ["domain", "line_key"], ["n"],
+        TERMS_DRIVER_LIMIT)
+    dom_counts = grouped_sum_by_key(
+        _bp_domain_partials(ds), "domain", ["n_docs"],
+        DOMAIN_DRIVER_LIMIT)
+    bp = _bp_boilerplate_keys(line_counts, dom_counts, ratio_num,
+                              ratio_den, min_docs, num_parts
+                              ).materialize()
+
+    if bp.count() <= BOILERPLATE_KEYS_BROADCAST_LIMIT:
+        kp = bp.to_pandas()
+        keys = (np.sort(kp["line_key"].to_numpy(np.int64))
+                if len(kp) else np.array([], dtype=np.int64))
+        ref = ray.put(keys)
+
+        def strip_b(df: pd.DataFrame) -> pd.DataFrame:
+            return _bp_strip_frame(df, get_broadcast(ref))
+
+        return ds.map_batches(strip_b, batch_format="pandas")
+
+    from ..stages import exchange as ex
+
+    docs_stage = ex.make_stage("nse_bp_docs_")
+    keys_stage = ex.make_stage("nse_bp_keys_")
+    docs_schema = pa.schema([("doc_id", pa.int64()),
+                             ("domain", pa.string()),
+                             ("text", pa.string())])
+    keys_schema = pa.schema([("domain", pa.string()),
+                             ("line_key", pa.int64())])
+    out_schema = pa.schema([
+        ("doc_id", pa.int64()), ("domain", pa.string()),
+        ("n_lines", pa.int64()), ("n_removed", pa.int64()),
+        ("clean_text", pa.string())])
+    by_domain = lambda b: _term_part(  # noqa: E731
+        b["domain"].to_numpy(zero_copy_only=False), num_parts)
+    try:
+        ex.write_exchange(
+            ds.map_batches(lambda b: b.select(docs_schema.names)
+                           .cast(docs_schema), batch_format="pyarrow"),
+            docs_stage, by_domain)
+        ex.write_exchange(
+            bp.map_batches(lambda b: b.select(keys_schema.names)
+                           .cast(keys_schema), batch_format="pyarrow"),
+            keys_stage, by_domain)
+
+        def strip_part(docs_t: pa.Table, keys_t: pa.Table) -> pa.Table:
+            keys = np.sort(keys_t["line_key"].to_numpy(
+                zero_copy_only=False).astype(np.int64))
+            out = _bp_strip_frame(docs_t.to_pandas(), keys)
+            return pa.Table.from_pandas(out, schema=out_schema,
+                                        preserve_index=False)
+
+        return ex.map_parts([docs_stage, keys_stage], num_parts,
+                            strip_part, out_schema,
+                            in_schemas=[docs_schema, keys_schema]
+                            ).materialize()
+    finally:
+        for s in (docs_stage, keys_stage):
+            shutil.rmtree(s, ignore_errors=True)
+
+
+def docs_boilerplate_strip(sf_dir: str):
+    """Boilerplate-strip query over the documents table: the corpus
+    text is inert (single-line docs, no shared lines), so the wrapper
+    plants deterministic per-domain chrome — a nav header and a
+    copyright footer on EVERY doc (domain ratio 1 -> stripped on head
+    domains, kept on singleton tail domains via min_docs), plus a
+    'subscribe' line on doc_id % 4 == 0 (ratio ~0.25 < 1/2 -> kept) —
+    and the SQL oracle replants it verbatim."""
+
+    def plant(df: pd.DataFrame) -> pd.DataFrame:
+        dom = _plant_domains(df["doc_id"])
+        sub = pd.Series(
+            np.where(df["doc_id"].to_numpy(np.int64) % 4 == 0,
+                     "subscribe to our newsletter\n", ""),
+            index=df.index)
+        text = ("home | about | contact - " + dom + "\n" + sub
+                + df["text"].fillna("") + "\n(c) 2024 " + dom
+                + " all rights reserved")
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].astype("int64"),
+            "domain": dom, "text": text})
+
+    planted = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        plant, batch_format="pandas")
+    return strip_boilerplate(planted)
+
+
 def docs_domain_cap(sf_dir: str, cap: int = 3, num_parts: int = 32):
     """Per-domain document CAP (RefinedWeb-style domain quota): keep at
     most ``cap`` documents per registered domain, chosen by the house
