@@ -243,6 +243,31 @@ def main():
     run("events_hourly_top_exchange",
         lambda: steps.events_hourly_top(OUT).materialize().count())
 
+    def _boilerplate_exchange():
+        # plant 7-head-domain chrome over the 2M-doc corpus (the
+        # docs_boilerplate_strip query shape at 4000x the doc count);
+        # BOILERPLATE gate 0 forces the docs+keys domain co-partition
+        # strip, TERMS/DOMAIN gates 0 (above) force the exchange
+        # combines. ~200k distinct body lines per domain.
+        import ray.data as rd
+        steps.BOILERPLATE_KEYS_BROADCAST_LIMIT = 0
+
+        def plant(df):
+            dom = "site" + (df["doc_id"] % 7).astype(str) + ".example"
+            text = ("home | about | contact - " + dom + "\n"
+                    + df["text"].fillna("") + "\n(c) 2024 " + dom
+                    + " all rights reserved")
+            return pd.DataFrame({
+                "doc_id": df["doc_id"].astype("int64"),
+                "domain": dom, "text": text})
+
+        ds = rd.read_parquet(f"{OUT}/documents.parquet",
+                             columns=["doc_id", "text"]).map_batches(
+            plant, batch_format="pandas")
+        return steps.strip_boilerplate(ds).materialize().count()
+
+    run("boilerplate_strip_exchange", _boilerplate_exchange)
+
     results["driver_maxrss_gb"] = round(
         resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6, 2)
     print(json.dumps(results), flush=True)
