@@ -235,6 +235,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- never driver-verified before r5 ---
         "docs_boilerplate_strip": steps.docs_boilerplate_strip,
+        "docs_diff_planted": steps.docs_diff_planted,
         "evaluation_golden_metrics": _evaluation_golden_metrics,
         "docs_domain_cap": steps.docs_domain_cap,
         "docs_outlinks_anchored": _docs_outlinks_anchored,
@@ -918,6 +919,30 @@ def oracle_sql() -> dict[str, str]:
             " SELECT d.doc_id, coalesce(h.n_hits, 0) AS n_hits,"
             "  coalesce(h.n_hits, 0) > 0 AS contaminated"
             " FROM documents d LEFT JOIN hits h USING (doc_id)"
+        ),
+        # dataset reconciliation: B = documents with planted edits
+        # (%17 edited, %23 dropped, %29 spawns doc_id+10M), statuses
+        # via FULL OUTER JOIN; matched-and-equal rows emit nothing
+        # (IS DISTINCT FROM keeps null==null as unchanged, mirroring
+        # the engine's null sentinel in the row signature)
+        "docs_diff_planted": (
+            "WITH b AS ("
+            "  SELECT doc_id, CASE WHEN doc_id % 17 = 0 THEN "
+            "    coalesce(text,'') || ' [edited v2]' ELSE text END AS text "
+            "  FROM documents WHERE doc_id % 23 <> 0 "
+            "  UNION ALL "
+            "  SELECT doc_id + 10000000 AS doc_id, "
+            "    'synthetic added row' AS text "
+            "  FROM documents WHERE doc_id % 29 = 0), "
+            "j AS (SELECT a.doc_id AS ak, b.doc_id AS bk, "
+            "  a.text AS at, b.text AS bt "
+            "  FROM documents a FULL OUTER JOIN b ON a.doc_id = b.doc_id) "
+            "SELECT coalesce(ak, bk) AS key, "
+            "  CASE WHEN ak IS NULL THEN 'added' "
+            "       WHEN bk IS NULL THEN 'removed' "
+            "       ELSE 'changed' END AS status "
+            "FROM j WHERE ak IS NULL OR bk IS NULL "
+            "  OR (at IS DISTINCT FROM bt)"
         ),
         # domain-level boilerplate strip: the wrapper plants per-domain
         # nav/copyright chrome on every doc plus a 'subscribe' line on

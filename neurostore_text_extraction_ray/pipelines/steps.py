@@ -1698,9 +1698,16 @@ def _bp_boilerplate_keys(line_counts, dom_counts, ratio_num: int,
 
     def mark(df: pd.DataFrame, doms: np.ndarray,
              nd: np.ndarray) -> pd.DataFrame:
-        if df.empty or not len(doms):
+        if df.empty:
             return pd.DataFrame({"domain": pd.Series([], dtype=object),
                                  "line_key": pd.Series([], dtype="int64")})
+        if not len(doms):
+            # non-empty candidates with no co-partitioned totals means
+            # the two partial streams disagree — fail loudly, never
+            # silently emit "no boilerplate"
+            raise RuntimeError(
+                "boilerplate ratio join: candidate part has no domain "
+                "totals — partial streams disagree")
         d = df["domain"].to_numpy(dtype=object)
         j = np.clip(np.searchsorted(doms, d), 0, len(doms) - 1)
         if not (doms[j] == d).all():
@@ -1912,6 +1919,217 @@ def docs_boilerplate_strip(sf_dir: str):
     planted = _docs(sf_dir, ["doc_id", "text"]).map_batches(
         plant, batch_format="pandas")
     return strip_boilerplate(planted)
+
+
+# -- Dataset diff / reconciliation -------------------------------------------
+
+# (key, row-hash) pairs of the B side collected + broadcast below this;
+# beyond it both sides co-partition by key hash through the exchange.
+DIFF_BROADCAST_LIMIT = 20_000_000
+
+
+def _diff_sig_partials(ds, key_col: str, val_cols: list[str]):
+    """(key, sig) per row: sig = blake2b-64 of the unit-separated
+    canonical string of ``val_cols`` (NULL encoded as a sentinel the
+    separator keeps unambiguous). Only these 16-byte pairs ever move —
+    never the payload columns."""
+    from ..functions.hashing import _token_hashes
+
+    def sig(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({
+                "key": pd.Series([], dtype="int64"),
+                "sig": pd.Series([], dtype="int64")})
+        parts = []
+        for c in val_cols:
+            s = df[c]
+            parts.append(np.where(s.isna(), "\x00",
+                                  "\x01" + s.astype(str)))
+        combo = parts[0]
+        for p in parts[1:]:
+            combo = np.add(np.add(combo, "\x1f"), p)
+        return pd.DataFrame({
+            "key": df[key_col].to_numpy().astype(np.int64),
+            "sig": _token_hashes(list(combo)).view(np.int64)})
+
+    return ds.map_batches(sig, batch_format="pandas")
+
+
+def dataset_diff(a, b, key_col: str, val_cols: list[str],
+                 num_parts: int = 32):
+    """Distributed reconciliation of two keyed datasets — the
+    primitive behind validating an incremental run against a
+    from-scratch one: emits (key, status) with status ``added`` (key
+    only in ``b``), ``removed`` (only in ``a``) or ``changed`` (both
+    sides, differing ``val_cols``); unchanged rows emit nothing. Keys
+    must be unique int64 per side.
+
+    Scale shape: each side reduces to (key, blake2b-64 sig) pairs —
+    payloads never move. Below ``DIFF_BROADCAST_LIMIT`` B-side rows,
+    B's pairs broadcast as sorted arrays and A streams once (B-only
+    keys need one bounded driver pass over the broadcast table to
+    subtract A's matches); beyond it both pair streams co-partition by
+    key hash through the exchange and every part diffs locally. A
+    64-bit sig collision would mis-report one changed row as
+    unchanged (the fingerprint64 argument — negligible)."""
+    import shutil
+
+    import ray
+    import ray.data as rd
+
+    from ..stages.broadcast import get_broadcast
+
+    out_schema = pa.schema([("key", pa.int64()), ("status", pa.string())])
+    a_sigs = _diff_sig_partials(a, key_col, val_cols)
+    b_sigs = _diff_sig_partials(b, key_col, val_cols).materialize()
+
+    def diff_frames(ap: pd.DataFrame, bp: pd.DataFrame) -> pd.DataFrame:
+        bk = bp["key"].to_numpy(np.int64)
+        order = np.argsort(bk, kind="stable")
+        bk, bs = bk[order], bp["sig"].to_numpy(np.int64)[order]
+        ak = ap["key"].to_numpy(np.int64)
+        asig = ap["sig"].to_numpy(np.int64)
+        j = (np.clip(np.searchsorted(bk, ak), 0, max(len(bk) - 1, 0))
+             if len(bk) else np.zeros(len(ak), dtype=np.int64))
+        in_b = (bk[j] == ak) if len(bk) else np.zeros(len(ak), bool)
+        changed = in_b & (np.take(bs, j, mode="clip") != asig
+                          if len(bk) else False)
+        removed = ~in_b
+        b_hit = np.zeros(len(bk), dtype=bool)
+        if len(bk):
+            b_hit[j[in_b]] = True
+        out_k = np.concatenate([ak[changed], ak[removed], bk[~b_hit]])
+        out_s = np.concatenate([
+            np.full(int(changed.sum()), "changed", dtype=object),
+            np.full(int(removed.sum()), "removed", dtype=object),
+            np.full(int((~b_hit).sum()), "added", dtype=object)])
+        return pd.DataFrame({"key": out_k.astype(np.int64),
+                             "status": out_s})
+
+    if b_sigs.count() <= DIFF_BROADCAST_LIMIT:
+        a_sigs = a_sigs.materialize()  # consumed by two streamed passes
+        bp = b_sigs.to_pandas().sort_values("key", kind="stable")
+        bk_sorted = bp["key"].to_numpy(np.int64)
+        ref = ray.put((bk_sorted, bp["sig"].to_numpy(np.int64)))
+
+        def a_side(df: pd.DataFrame) -> pa.Table:
+            # returns Arrow with an explicit schema: all-empty batches
+            # (identical sides) must still carry (key, status) types
+            bk, bs = get_broadcast(ref)
+            if df.empty:
+                return out_schema.empty_table()
+            ak = df["key"].to_numpy(np.int64)
+            asig = df["sig"].to_numpy(np.int64)
+            j = (np.clip(np.searchsorted(bk, ak), 0, max(len(bk) - 1, 0))
+                 if len(bk) else np.zeros(len(ak), dtype=np.int64))
+            in_b = (bk[j] == ak) if len(bk) else np.zeros(len(ak), bool)
+            changed = in_b & (np.take(bs, j, mode="clip") != asig
+                              if len(bk) else False)
+            k = np.concatenate([ak[changed], ak[~in_b]])
+            s = np.concatenate([
+                np.full(int(changed.sum()), "changed", dtype=object),
+                np.full(int((~in_b).sum()), "removed", dtype=object)])
+            return pa.table({"key": pa.array(k.astype(np.int64), pa.int64()),
+                             "status": pa.array(s, pa.string())})
+
+        res = a_sigs.map_batches(a_side, batch_format="pandas")
+        # 'added' = B keys never matched by A. A's keys never collect:
+        # each batch emits only its HIT b-indices (total hits <= |B|,
+        # driver-sized on this path by the gate's definition) through
+        # the gated combine; 'added' is the complement.
+        def hits(df: pd.DataFrame) -> pd.DataFrame:
+            bk, _ = get_broadcast(ref)
+            empty = pd.DataFrame({"idx": pd.Series([], dtype="int64"),
+                                  "n": pd.Series([], dtype="int64"),
+                                  "b0": pd.Series([], dtype="int64")})
+            if df.empty or not len(bk):
+                return empty
+            ak = df["key"].to_numpy(np.int64)
+            j = np.clip(np.searchsorted(bk, ak), 0, len(bk) - 1)
+            hit_idx = np.unique(j[bk[j] == ak]).astype(np.int64)
+            if not len(hit_idx):
+                return empty
+            return pd.DataFrame({
+                "idx": hit_idx,
+                "n": np.ones(len(hit_idx), dtype=np.int64),
+                "b0": np.int64(ak.min())})
+
+        hit_partials = a_sigs.map_batches(
+            hits, batch_format="pandas").materialize()
+        hit_df = grouped_sum_by_key(hit_partials, "idx", ["n"],
+                                    DIFF_BROADCAST_LIMIT).to_pandas()
+        hit_mask = np.zeros(len(bk_sorted), dtype=bool)
+        if len(hit_df):
+            hit_mask[hit_df["idx"].to_numpy(np.int64)] = True
+        added = bk_sorted[~hit_mask]
+        if not len(added):
+            return res
+        added_ds = rd.from_arrow(pa.table({
+            "key": pa.array(added, pa.int64()),
+            "status": pa.array(np.full(len(added), "added", dtype=object),
+                               pa.string())}))
+        return res.union(added_ds)
+
+    from ..stages import exchange as ex
+
+    a_stage = ex.make_stage("nse_diff_a_")
+    b_stage = ex.make_stage("nse_diff_b_")
+    pair_schema = pa.schema([("key", pa.int64()), ("sig", pa.int64())])
+    by_key = lambda t: ex.int_part(  # noqa: E731
+        [t["key"].to_numpy(zero_copy_only=False)], num_parts)
+    try:
+        for sds, stage in ((a_sigs, a_stage), (b_sigs, b_stage)):
+            ex.write_exchange(
+                sds.map_batches(lambda t: t.select(pair_schema.names)
+                                .cast(pair_schema),
+                                batch_format="pyarrow"),
+                stage, by_key)
+
+        def part(at: pa.Table, bt: pa.Table) -> pa.Table:
+            out = diff_frames(at.to_pandas(), bt.to_pandas())
+            return pa.Table.from_pandas(out, schema=out_schema,
+                                        preserve_index=False)
+
+        return ex.map_parts([a_stage, b_stage], num_parts, part,
+                            out_schema,
+                            in_schemas=[pair_schema, pair_schema]
+                            ).materialize()
+    finally:
+        for s in (a_stage, b_stage):
+            shutil.rmtree(s, ignore_errors=True)
+
+
+def docs_diff_planted(sf_dir: str):
+    """Reconciliation query: diff the documents table against a
+    deterministically perturbed copy — text edited on doc_id % 17 == 0,
+    rows dropped on doc_id % 23 == 0, synthetic rows added at
+    doc_id + 10_000_000 for doc_id % 29 == 0 (precedence: a dropped
+    row is dropped even if divisible by 17). Output (key, status) for
+    the non-identical keys only; exact FULL-OUTER-JOIN SQL oracle."""
+    import ray.data as rd
+
+    a = _docs(sf_dir, ["doc_id", "text"])
+
+    def perturb(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy().astype(np.int64)
+        keep = ids % 23 != 0
+        # unedited rows keep their ORIGINAL value (a null stays null,
+        # so it diffs as unchanged); edited rows coalesce to '' first,
+        # mirroring the SQL CASE/coalesce
+        text = pd.Series(np.where(ids % 17 == 0,
+                                  df["text"].fillna("") + " [edited v2]",
+                                  df["text"].to_numpy(dtype=object)),
+                         index=df.index)
+        base = pd.DataFrame({"doc_id": ids, "text": text})[keep]
+        addm = ids % 29 == 0
+        added = pd.DataFrame({
+            "doc_id": ids[addm] + 10_000_000,
+            "text": np.full(int(addm.sum()), "synthetic added row",
+                            dtype=object)})
+        return pd.concat([base, added], ignore_index=True)
+
+    b = a.map_batches(perturb, batch_format="pandas")
+    return dataset_diff(a, b, "doc_id", ["text"])
 
 
 def docs_domain_cap(sf_dir: str, cap: int = 3, num_parts: int = 32):
