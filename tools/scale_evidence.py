@@ -268,6 +268,43 @@ def main():
 
     run("boilerplate_strip_exchange", _boilerplate_exchange)
 
+    def _dataset_diff(limit):
+        # documents vs a deterministically perturbed copy (the
+        # docs_diff_planted shape at 4000x): ~118k edited, ~87k
+        # removed, ~69k added over 2M rows. Only 16-byte (key, sig)
+        # pairs ever move; limit=0 forces the key-hash co-partition.
+        import ray.data as rd
+
+        def fn():
+            steps.DIFF_BROADCAST_LIMIT = limit
+            a = rd.read_parquet(f"{OUT}/documents.parquet",
+                                columns=["doc_id", "text"])
+
+            def perturb(df):
+                ids = df["doc_id"].to_numpy().astype(np.int64)
+                keep = ids % 23 != 0
+                text = pd.Series(
+                    np.where(ids % 17 == 0,
+                             df["text"].fillna("") + " [edited v2]",
+                             df["text"].to_numpy(dtype=object)),
+                    index=df.index)
+                base = pd.DataFrame({"doc_id": ids, "text": text})[keep]
+                addm = ids % 29 == 0
+                added = pd.DataFrame({
+                    "doc_id": ids[addm] + 10_000_000,
+                    "text": np.full(int(addm.sum()),
+                                    "synthetic added row", dtype=object)})
+                return pd.concat([base, added], ignore_index=True)
+
+            b = a.map_batches(perturb, batch_format="pandas")
+            return steps.dataset_diff(
+                a, b, "doc_id", ["text"]).materialize().count()
+
+        return fn
+
+    run("dataset_diff_broadcast", _dataset_diff(steps.DIFF_BROADCAST_LIMIT))
+    run("dataset_diff_exchange", _dataset_diff(0))
+
     results["driver_maxrss_gb"] = round(
         resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6, 2)
     print(json.dumps(results), flush=True)
