@@ -236,6 +236,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- never driver-verified before r5 ---
         "docs_boilerplate_strip": steps.docs_boilerplate_strip,
         "docs_diff_planted": steps.docs_diff_planted,
+        "docs_bm25": lambda sf: _round_cols(steps.docs_bm25(sf),
+                                            {"score": 6}),
         "evaluation_golden_metrics": _evaluation_golden_metrics,
         "docs_domain_cap": steps.docs_domain_cap,
         "docs_outlinks_anchored": _docs_outlinks_anchored,
@@ -943,6 +945,29 @@ def oracle_sql() -> dict[str, str]:
             "       ELSE 'changed' END AS status "
             "FROM j WHERE ak IS NULL OR bk IS NULL "
             "  OR (at IS DISTINCT FROM bt)"
+        ),
+        # Okapi BM25 (Lucene idf variant) against the fixed query set
+        # {merge, spark, window}; identical IEEE op order as the
+        # engine: avgdl = total/N first, then dl/avgdl; (1.2 + 1.0)
+        # and (1.0 - 0.75) spelled as the engine computes k1+1 / 1-b
+        "docs_bm25": (
+            "WITH tok AS ("
+            "  SELECT doc_id, unnest(regexp_extract_all(lower(text),"
+            " '\\w\\w+')) AS t FROM documents), "
+            "dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id), "
+            "n AS (SELECT (SELECT count(*) FROM documents) AS n, "
+            "             (SELECT count(*) FROM tok) AS total), "
+            "q(term) AS (VALUES ('merge'), ('spark'), ('window')), "
+            "tf AS (SELECT doc_id, t AS term, count(*) AS tf "
+            "       FROM tok JOIN q ON tok.t = q.term GROUP BY doc_id, t), "
+            "df AS (SELECT term, count(*) AS df FROM tf GROUP BY term) "
+            "SELECT tf.doc_id AS doc_id, "
+            "  round(sum(ln((n.n - df.df + 0.5) / (df.df + 0.5) + 1.0) "
+            "        * (tf.tf * (1.2 + 1.0)) "
+            "        / (tf.tf + 1.2 * ((1.0 - 0.75) "
+            "           + 0.75 * (dl.dl / (n.total / n.n))))), 6) AS score "
+            "FROM tf JOIN df USING (term) JOIN dl USING (doc_id), n "
+            "GROUP BY tf.doc_id"
         ),
         # domain-level boilerplate strip: the wrapper plants per-domain
         # nav/copyright chrome on every doc plus a 'subscribe' line on

@@ -1563,8 +1563,10 @@ def _host_pagerank_exchanged(edges_ds, n_iter: int, damping: float,
         g["o"] = g["o"].astype(np_.int64)
         # b0: batches are disjoint sets of globally-unique (src, dst)
         # rows, so the min pair hash is batch-unique
+        # \x1f separator, not \x00: pandas hash_array truncates object
+        # strings at an embedded NUL, which would drop the dst half
         ph = pd.util.hash_array(
-            (df["src"] + "\x00" + df["dst"]).to_numpy(dtype=object))
+            (df["src"] + "\x1f" + df["dst"]).to_numpy(dtype=object))
         g["b0"] = np_.int64(ph.min()) if len(df) else np_.int64(0)
         return g
 

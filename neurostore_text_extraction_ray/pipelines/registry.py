@@ -354,6 +354,7 @@ def _register_builtins():
     register_op("events_hourly_top")(steps.events_hourly_top)
     register_op("docs_boilerplate_strip")(steps.docs_boilerplate_strip)
     register_op("docs_diff_planted")(steps.docs_diff_planted)
+    register_op("docs_bm25")(steps.docs_bm25)
 
     # Reference pipeline-name aliases (snake-cased extractor class
     # names a reference user types at the CLI, cli/run.py:13-33):

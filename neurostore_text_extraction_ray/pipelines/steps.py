@@ -947,6 +947,104 @@ def top_terms(sf_dir: str, k: int = 20):
     return rd.from_pandas(agg)
 
 
+def docs_bm25(sf_dir: str, query_terms=("merge", "spark", "window"),
+              k1: float = 1.2, b: float = 0.75):
+    """Okapi BM25 ranked retrieval against a fixed query term set
+    (Robertson/Sparck-Jones probabilistic weighting, the Lucene
+    always-positive idf variant ``ln((N - df + 0.5)/(df + 0.5) + 1)``)
+    — the relevance-scoring primitive behind search-index-style corpus
+    triage. Tokens are the sklearn convention (lowercase ``\\w\\w+``,
+    the tfidf/top_terms tokenizer). Output ``(doc_id, score)`` for
+    documents containing at least one query term; the query wrapper
+    rounds to 6.
+
+    Scale shape: pass 1 tokenizes once and emits per-batch count
+    partials — per-query-term document frequency plus the corpus
+    doc/token totals as sentinel-key rows, ``len(query_terms) + 2``
+    rows per batch — through the gated ``grouped_sum_by_key`` combine;
+    the reduced table is query-sized (never vocabulary-sized). Pass 2
+    is a stateless scoring map against the broadcast (terms, idf,
+    avgdl) — a handful of floats. No shuffle touches the token stream
+    or document text. Exact ANSI-SQL oracle (identical IEEE op order:
+    ``avgdl = total/N`` first, then ``dl/avgdl``)."""
+    import ray
+    import ray.data as rd
+
+    from ..stages.broadcast import get_broadcast
+
+    qt = sorted(set(query_terms))
+    out_schema = pa.schema([("doc_id", pa.int64()), ("score", pa.float64())])
+    # sentinel keys can't collide with \w\w+ tokens ('#' is not \w).
+    # NEVER use \x00 in pandas group keys: pandas 2.2 factorize /
+    # groupby / hash_array truncate object strings at an embedded NUL,
+    # so '\x00a' and '\x00b' silently merge into one group.
+    S_NDOCS, S_NTOK = "#ndocs", "#ntok"
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].fillna("").str.lower().str.findall(SK_TOKEN_RE)
+        ex = toks.explode().dropna()
+        hit = ex[ex.isin(qt)]
+        d = pd.DataFrame({"i": hit.index.to_numpy(),
+                          "t": hit.to_numpy(dtype=object)}).drop_duplicates()
+        dfc = d.groupby("t", sort=False).size()
+        out = pd.DataFrame({
+            "term": np.concatenate([dfc.index.to_numpy(dtype=object),
+                                    np.array([S_NDOCS, S_NTOK],
+                                             dtype=object)]),
+            "n": np.concatenate([dfc.to_numpy().astype(np.int64),
+                                 np.array([len(df), len(ex)],
+                                          dtype=np.int64)])})
+        out["b0"] = np.int64(df["doc_id"].min()) if len(df) else np.int64(0)
+        return out
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    partials_ds = docs.map_batches(partial,
+                                   batch_format="pandas").materialize()
+    stats = grouped_sum_by_key(partials_ds, "term", ["n"],
+                               TERMS_DRIVER_LIMIT).to_pandas()
+    if stats.empty:
+        return rd.from_arrow(out_schema.empty_table())
+    by_term = dict(zip(stats["term"], stats["n"].astype(np.int64)))
+    n_docs = int(by_term.pop(S_NDOCS, 0))
+    n_tok = int(by_term.pop(S_NTOK, 0))
+    if not n_docs or not n_tok or not by_term:
+        return rd.from_arrow(out_schema.empty_table())
+    avgdl = n_tok / n_docs
+    terms = np.array(sorted(by_term), dtype=object)
+    dfv = np.array([by_term[t] for t in terms], dtype=np.float64)
+    idf = np.log((n_docs - dfv + 0.5) / (dfv + 0.5) + 1.0)
+    k1p1, omb = k1 + 1.0, 1.0 - b
+    ref = ray.put((terms, idf))
+
+    def score(df: pd.DataFrame) -> pa.Table:
+        bt, bidf = get_broadcast(ref)
+        df = df.reset_index(drop=True)
+        toks = df["text"].fillna("").str.lower().str.findall(SK_TOKEN_RE)
+        ex = toks.explode().dropna()
+        hit = ex[ex.isin(bt)]
+        if hit.empty:
+            return out_schema.empty_table()
+        dl = ex.groupby(level=0).size()
+        g = pd.DataFrame({"i": hit.index.to_numpy(),
+                          "t": hit.to_numpy(dtype=object)})
+        tf = g.groupby(["i", "t"], sort=False).size().reset_index(name="tf")
+        j = np.searchsorted(bt, tf["t"].to_numpy(dtype=object))
+        # membership guaranteed by the isin filter above
+        tfv = tf["tf"].to_numpy().astype(np.float64)
+        x = dl.loc[tf["i"]].to_numpy().astype(np.float64) / avgdl
+        contrib = bidf[j] * (tfv * k1p1) / (tfv + k1 * (omb + b * x))
+        sc = (pd.DataFrame({
+                "doc_id": df["doc_id"].to_numpy()[tf["i"].to_numpy()],
+                "c": contrib})
+              .groupby("doc_id", sort=False)["c"].sum())
+        return pa.table({
+            "doc_id": pa.array(sc.index.to_numpy().astype(np.int64),
+                               pa.int64()),
+            "score": pa.array(sc.to_numpy(), pa.float64())})
+
+    return docs.map_batches(score, batch_format="pandas")
+
+
 def docs_bpe_merges(sf_dir: str, n_merges: int = 40):
     """Learn ``n_merges`` BPE merge operations over the documents
     corpus (``stages/bpe.bpe_learn``): corpus-sized work is only the
