@@ -238,6 +238,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_diff_planted": steps.docs_diff_planted,
         "docs_bm25": lambda sf: _round_cols(steps.docs_bm25(sf),
                                             {"score": 6}),
+        "docs_domain_percentile_filter": lambda sf: _round_cols(
+            steps.docs_domain_percentile_filter(sf), {"pr": 6}),
         "evaluation_golden_metrics": _evaluation_golden_metrics,
         "docs_domain_cap": steps.docs_domain_cap,
         "docs_outlinks_anchored": _docs_outlinks_anchored,
@@ -945,6 +947,20 @@ def oracle_sql() -> dict[str, str]:
             "       ELSE 'changed' END AS status "
             "FROM j WHERE ak IS NULL OR bk IS NULL "
             "  OR (at IS DISTINCT FROM bt)"
+        ),
+        # per-domain percentile filter: percent_rank() semantics
+        # (min-rank ties, (rank-1)/(n-1), singleton -> 0) over the
+        # planted domains; filter on the UNROUNDED pr, round after
+        "docs_domain_percentile_filter": (
+            "WITH d AS (SELECT doc_id, "
+            "  CASE WHEN doc_id % 11 = 0 THEN 'tail' || doc_id || '.example' "
+            "    ELSE 'site' || (doc_id % 7) || '.example' END AS domain, "
+            "  n_chars FROM documents), "
+            "r AS (SELECT doc_id, domain, n_chars, "
+            "  percent_rank() OVER (PARTITION BY domain ORDER BY n_chars)"
+            "  AS pr FROM d) "
+            "SELECT doc_id, domain, n_chars, round(pr, 6) AS pr "
+            "FROM r WHERE pr >= 0.5"
         ),
         # Okapi BM25 (Lucene idf variant) against the fixed query set
         # {merge, spark, window}; identical IEEE op order as the

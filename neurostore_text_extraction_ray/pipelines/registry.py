@@ -355,6 +355,8 @@ def _register_builtins():
     register_op("docs_boilerplate_strip")(steps.docs_boilerplate_strip)
     register_op("docs_diff_planted")(steps.docs_diff_planted)
     register_op("docs_bm25")(steps.docs_bm25)
+    register_op("docs_domain_percentile_filter")(
+        steps.docs_domain_percentile_filter)
 
     # Reference pipeline-name aliases (snake-cased extractor class
     # names a reference user types at the CLI, cli/run.py:13-33):

@@ -2019,6 +2019,190 @@ def docs_boilerplate_strip(sf_dir: str):
     return strip_boilerplate(planted)
 
 
+# -- Per-domain percentile filter ---------------------------------------------
+
+# kept (domain, value, pr) rows above which the filter pass stops
+# broadcasting and co-partitions docs + kept rows by domain hash
+PCTL_KEPT_BROADCAST_LIMIT = 20_000_000
+
+_PCTL_KEPT_SCHEMA = pa.schema([("domain", pa.string()), ("v", pa.int64()),
+                               ("pr", pa.float64())])
+
+
+def _pctl_kept_frame(df: pd.DataFrame, p: float) -> pd.DataFrame:
+    """Combine (domain, v, cnt) partial rows (callable pre- or
+    post-combine: summing already-exact counts is a no-op) and return
+    the kept (domain, v, pr) rows — values whose SQL
+    ``percent_rank()`` (min-rank ties, ``(rank-1)/(n-1)``, singleton
+    group -> 0) is >= ``p``. Exact only when every row of a domain is
+    present (driver path: all rows; exchange path: domains
+    co-locate)."""
+    if df.empty:
+        return pd.DataFrame({"domain": pd.Series([], dtype=object),
+                             "v": pd.Series([], dtype="int64"),
+                             "pr": pd.Series([], dtype="float64")})
+    g = (df.groupby(["domain", "v"], sort=False)["cnt"].sum()
+         .reset_index().sort_values(["domain", "v"], kind="stable"))
+    cnt = g["cnt"].to_numpy(np.int64)
+    n = (g.groupby("domain", sort=False)["cnt"].transform("sum")
+         .to_numpy(np.int64))
+    csum = g.groupby("domain", sort=False)["cnt"].cumsum().to_numpy(np.int64)
+    rank = csum - cnt + 1  # min-rank: 1 + count of strictly smaller
+    pr = np.zeros(len(g), dtype=np.float64)
+    m = n > 1  # singleton groups: percent_rank() is defined as 0
+    pr[m] = (rank[m] - 1) / (n[m] - 1)
+    keep = pr >= p
+    return pd.DataFrame({"domain": g["domain"].to_numpy(dtype=object)[keep],
+                         "v": g["v"].to_numpy(np.int64)[keep],
+                         "pr": pr[keep]})
+
+
+def docs_domain_percentile_filter(sf_dir: str, p: float = 0.5,
+                                  num_parts: int = 32):
+    """Per-domain percentile quality filter (quality-stratified corpus
+    triage): keep documents whose ``n_chars`` sits at or above the
+    ``p`` percent-rank WITHIN their registered domain — SQL
+    ``percent_rank() OVER (PARTITION BY domain ORDER BY n_chars)``
+    semantics exactly (min-rank ties, ``(rank-1)/(n-1)``, singleton
+    domains rank 0 and drop for p > 0). Output (doc_id, domain,
+    n_chars, pr); the query wrapper rounds pr to 6.
+
+    Scale shape: one pass emits per-batch distinct-value count
+    partials (domain, v, cnt, b0) — value-level rows, never the doc
+    stream; below ``TERMS_DRIVER_LIMIT`` partial rows the rank math is
+    a driver groupby, beyond it partials co-partition by DOMAIN hash
+    through the exchange (a domain's values co-locate, so per-part
+    ranks are exact) and the kept rows stay distributed. The filter
+    pass broadcasts kept rows as ONE sorted int64 composite key array
+    (blake2b of ``domain\\x1fv``, the boilerplate-strip convention —
+    64-bit collision argument documented there) below
+    ``PCTL_KEPT_BROADCAST_LIMIT``; beyond it docs + kept rows
+    co-partition by domain hash and every part merges on exact
+    (domain, v). Exact ANSI-SQL oracle."""
+    import shutil
+
+    import ray
+    import ray.data as rd
+
+    from ..stages import exchange as ex
+    from ..stages.broadcast import get_broadcast
+
+    out_schema = pa.schema([("doc_id", pa.int64()), ("domain", pa.string()),
+                            ("n_chars", pa.int64()), ("pr", pa.float64())])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"domain": pd.Series([], dtype=object),
+                                 "v": pd.Series([], dtype="int64"),
+                                 "cnt": pd.Series([], dtype="int64"),
+                                 "b0": pd.Series([], dtype="int64")})
+        g = (pd.DataFrame({"domain": _plant_domains(df["doc_id"]),
+                           "v": df["n_chars"].astype("int64")})
+             .groupby(["domain", "v"], sort=False).size()
+             .reset_index(name="cnt"))
+        g["b0"] = np.int64(df["doc_id"].min())
+        return g
+
+    docs = _docs(sf_dir, ["doc_id", "n_chars"])
+    partials_ds = docs.map_batches(partial,
+                                   batch_format="pandas").materialize()
+
+    if partials_ds.count() <= TERMS_DRIVER_LIMIT:
+        kept_ds = rd.from_arrow(pa.Table.from_pandas(
+            _pctl_kept_frame(partials_ds.to_pandas(), p),
+            schema=_PCTL_KEPT_SCHEMA, preserve_index=False))
+    else:
+        in_schema = _PCTL_KEPT_SCHEMA.remove(2).append(
+            pa.field("cnt", pa.int64())).append(pa.field("b0", pa.int64()))
+        stage = ex.make_stage("nse_pctl_")
+        try:
+            ex.write_exchange(
+                partials_ds.map_batches(
+                    lambda t: t.select(in_schema.names).cast(in_schema),
+                    batch_format="pyarrow"),
+                stage,
+                lambda t: _term_part(
+                    t["domain"].to_numpy(zero_copy_only=False), num_parts))
+            kept_ds = ex.map_parts(
+                stage, num_parts,
+                lambda t: pa.Table.from_pandas(
+                    _pctl_kept_frame(t.to_pandas(), p),
+                    schema=_PCTL_KEPT_SCHEMA, preserve_index=False),
+                _PCTL_KEPT_SCHEMA).materialize()
+        finally:
+            shutil.rmtree(stage, ignore_errors=True)
+
+    def doc_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].astype("int64"),
+            "domain": _plant_domains(df["doc_id"]),
+            "n_chars": df["n_chars"].astype("int64")})
+
+    if kept_ds.count() <= PCTL_KEPT_BROADCAST_LIMIT:
+        kp = kept_ds.to_pandas()
+        combos = np.add(np.add(kp["domain"].to_numpy(dtype=object),
+                               _BP_SEP),
+                        kp["v"].astype(str).to_numpy(dtype=object))
+        keys = (_bp_combo_keys(combos) if len(kp)
+                else np.array([], dtype=np.int64))
+        order = np.argsort(keys, kind="stable")
+        ref = ray.put((keys[order],
+                       kp["pr"].to_numpy(np.float64)[order]))
+
+        def filt(df: pd.DataFrame) -> pa.Table:
+            bk, bpr = get_broadcast(ref)
+            out = doc_rows(df)
+            if out.empty or not len(bk):
+                return out_schema.empty_table()
+            combos = np.add(np.add(out["domain"].to_numpy(dtype=object),
+                                   _BP_SEP),
+                            out["n_chars"].astype(str)
+                            .to_numpy(dtype=object))
+            k = _bp_combo_keys(combos)
+            j = np.clip(np.searchsorted(bk, k), 0, len(bk) - 1)
+            hit = bk[j] == k
+            out = out[hit].assign(pr=bpr[j[hit]])
+            return pa.Table.from_pandas(out, schema=out_schema,
+                                        preserve_index=False)
+
+        return docs.map_batches(filt, batch_format="pandas")
+
+    docs_schema = pa.schema([("doc_id", pa.int64()),
+                             ("domain", pa.string()),
+                             ("n_chars", pa.int64())])
+    d_stage = ex.make_stage("nse_pctl_docs_")
+    k_stage = ex.make_stage("nse_pctl_kept_")
+    by_dom = lambda t: _term_part(  # noqa: E731
+        t["domain"].to_numpy(zero_copy_only=False), num_parts)
+    try:
+        ex.write_exchange(
+            docs.map_batches(doc_rows, batch_format="pandas")
+                .map_batches(lambda t: t.select(docs_schema.names)
+                             .cast(docs_schema), batch_format="pyarrow"),
+            d_stage, by_dom)
+        ex.write_exchange(
+            kept_ds.map_batches(lambda t: t.select(_PCTL_KEPT_SCHEMA.names)
+                                .cast(_PCTL_KEPT_SCHEMA),
+                                batch_format="pyarrow"),
+            k_stage, by_dom)
+
+        def part(dt: pa.Table, kt: pa.Table) -> pa.Table:
+            dd, kk = dt.to_pandas(), kt.to_pandas()
+            m = dd.merge(kk, left_on=["domain", "n_chars"],
+                         right_on=["domain", "v"], how="inner")
+            return pa.Table.from_pandas(
+                m[["doc_id", "domain", "n_chars", "pr"]],
+                schema=out_schema, preserve_index=False)
+
+        return ex.map_parts([d_stage, k_stage], num_parts, part,
+                            out_schema,
+                            in_schemas=[docs_schema, _PCTL_KEPT_SCHEMA]
+                            ).materialize()
+    finally:
+        for s in (d_stage, k_stage):
+            shutil.rmtree(s, ignore_errors=True)
+
+
 # -- Dataset diff / reconciliation -------------------------------------------
 
 # (key, row-hash) pairs of the B side collected + broadcast below this;
