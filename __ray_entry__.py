@@ -39,6 +39,7 @@ from neurostore_text_extraction_ray.pipelines.extras import (  # noqa: E402
     _warc_source_roundtrip,
     _warc_extract_text,
     _docs_url_filter,
+    _host_anchor_topk,
     _host_indegree,
     _host_pagerank,
     _docs_langid_quality,
@@ -234,6 +235,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # item 1).
     return {
         # --- never driver-verified before r5 ---
+        "host_anchor_topk": _host_anchor_topk,
         "docs_boilerplate_strip": steps.docs_boilerplate_strip,
         "docs_diff_planted": steps.docs_diff_planted,
         "docs_bm25": lambda sf: _round_cols(steps.docs_bm25(sf),
@@ -1183,6 +1185,26 @@ def oracle_sql() -> dict[str, str]:
             "  '/nav/local' AS href, CAST(NULL AS VARCHAR) AS host, "
             "  'nav' AS anchor "
             "FROM documents WHERE doc_id % 5 = 0"
+        ),
+        # Anchor-text corpus: per target host the top-2 inbound anchor
+        # texts by (n_links desc, anchor asc) over the same planted
+        # link graph (anchor = 'l' || ord; the relative nav link has
+        # NULL host and is dropped before aggregation).
+        "host_anchor_topk": (
+            "WITH j AS ("
+            "  SELECT doc_id, 0 AS ord FROM documents WHERE doc_id % 4 >= 1 "
+            "  UNION ALL SELECT doc_id, 1 FROM documents WHERE doc_id % 4 >= 2 "
+            "  UNION ALL SELECT doc_id, 2 FROM documents WHERE doc_id % 4 >= 3), "
+            "a AS (SELECT doc_id, 'site' || ((doc_id * ord) % 7) "
+            "  || '.example' AS host, 'l' || ord AS anchor FROM j), "
+            "c AS (SELECT host, anchor, COUNT(*) AS n_links, "
+            "  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs "
+            "  FROM a GROUP BY host, anchor), "
+            "r AS (SELECT host, anchor, n_links, n_docs, "
+            "  CAST(ROW_NUMBER() OVER (PARTITION BY host "
+            "    ORDER BY n_links DESC, anchor) AS BIGINT) AS rnk FROM c) "
+            "SELECT host, anchor, n_links, n_docs, rnk FROM r "
+            "WHERE rnk <= 2"
         ),
         # Host-level in-degree over the same planted link graph.
         "host_indegree": (

@@ -1884,3 +1884,90 @@ def _host_indegree(sf_dir: str):
     return steps.grouped_sum_by_key(
         partials_ds, "host", ["n_links", "n_docs"],
         steps.DOMAIN_DRIVER_LIMIT)
+
+
+def _host_anchor_topk(sf_dir: str, k: int = 2):
+    """Anchor-text corpus aggregation — the web-graph feature behind
+    anchor-based retrieval / query-generation training sets (and the
+    reference's link-metadata normalization, reframed at crawl scale):
+    for each target host, the top-``k`` most frequent inbound anchor
+    texts with their link and linking-doc counts, ranked
+    ``(n_links desc, anchor asc)``.
+
+    Two shared-machinery stages, both budget-gated:
+
+    1. exact (host, anchor) counts — per-batch partial ``groupby``
+       rows (bounded by host x anchor cardinality per batch, never the
+       link stream; per-batch ``nunique(doc_id)`` partials are exactly
+       summable because each doc's links sit in one input row) through
+       ``grouped_sum_by_key`` (driver below ``TERMS_DRIVER_LIMIT``,
+       key-hash partition exchange above — (host, anchor) keys
+       co-locate so per-part sums are exact global totals);
+    2. per-host top-k over the now globally-unique count rows — the
+       associative partial-top-k shape (top-k of a union == top-k of
+       per-part top-ks) through ``_topk_combine``
+       (driver below ``TOPK_PARTIALS_DRIVER_LIMIT``, two-level
+       exchange merge beyond). The combine's required unique int64
+       part key is the blake2b hash of ``host \\x1f anchor``
+       (``_token_hashes`` — NUL-free separator per the repo rule;
+       post-combine rows are unique per (host, anchor), so a 64-bit
+       collision only co-routes rows and cannot change the top-k).
+
+    Output (host, anchor, n_links, n_docs, rnk), rnk 1-based per host.
+    No shuffle of the link stream anywhere; the final frame is bounded
+    by hosts x k."""
+    import ray.data as rd
+
+    from ..functions.hashing import _token_hashes
+    from ..functions.weblinks import anchors_frame
+    from . import steps
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        links = anchors_frame(_plant_linked_html(df)).dropna(
+            subset=["host"])
+        g = links.groupby(["host", "anchor"], sort=False).agg(
+            n_links=("doc_id", "size"),
+            n_docs=("doc_id", "nunique")).reset_index()
+        g["n_links"] = g["n_links"].astype("int64")
+        g["n_docs"] = g["n_docs"].astype("int64")
+        g["b0"] = np.int64(df["doc_id"].min()) if len(df) else np.int64(0)
+        return g
+
+    counts = steps.grouped_sum_by_key(
+        docs.map_batches(partial, batch_format="pandas").materialize(),
+        ["host", "anchor"], ["n_links", "n_docs"],
+        steps.TERMS_DRIVER_LIMIT)
+
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        s = df.sort_values(["n_links", "anchor"], ascending=[False, True],
+                           kind="stable")
+        return s.groupby("host", sort=False, dropna=False).head(k)
+
+    def add_part_key(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        out["doc_id"] = _token_hashes(
+            [f"{h}\x1f{a}" for h, a in zip(df["host"], df["anchor"])]
+        ).view(np.int64) if len(df) else pd.Series([], dtype="int64")
+        return local_topk(out)
+
+    partial_topk = counts.map_batches(
+        add_part_key, batch_format="pandas").materialize()
+    final = steps._topk_combine(
+        partial_topk, local_topk, steps.TOPK_PARTIALS_DRIVER_LIMIT)
+    if final.empty:
+        return rd.from_pandas(pd.DataFrame({
+            "host": pd.Series([], dtype=object),
+            "anchor": pd.Series([], dtype=object),
+            "n_links": pd.Series([], dtype="int64"),
+            "n_docs": pd.Series([], dtype="int64"),
+            "rnk": pd.Series([], dtype="int64")}))
+    final = final.sort_values(["host", "n_links", "anchor"],
+                              ascending=[True, False, True],
+                              kind="stable").reset_index(drop=True)
+    final["rnk"] = (final.groupby("host", sort=False).cumcount() + 1
+                    ).astype("int64")
+    return rd.from_pandas(
+        final[["host", "anchor", "n_links", "n_docs", "rnk"]])

@@ -154,3 +154,34 @@ def test_anchors_query_semantics(ray_session):
     absolute = anch[anch["host"].notna()]
     assert (absolute["anchor"] == "l" + absolute["ord"].astype(str)).all()
     assert (anch[anch["host"].isna()]["anchor"] == "nav").all()
+
+
+def test_host_anchor_topk_semantics_and_gates(ray_session, monkeypatch):
+    from neurostore_text_extraction_ray.pipelines import steps
+    from neurostore_text_extraction_ray.pipelines.extras import (
+        _docs_outlinks_anchored, _host_anchor_topk)
+
+    k = 2
+    out = _host_anchor_topk(SF, k=k).to_pandas()
+    # independent recompute from the anchored outlink stream
+    links = _docs_outlinks_anchored(SF).to_pandas().dropna(subset=["host"])
+    counts = links.groupby(["host", "anchor"]).agg(
+        n_links=("doc_id", "size"),
+        n_docs=("doc_id", "nunique")).reset_index()
+    counts = counts.sort_values(["host", "n_links", "anchor"],
+                                ascending=[True, False, True],
+                                kind="stable").reset_index(drop=True)
+    counts["rnk"] = counts.groupby("host").cumcount() + 1
+    expect = counts[counts["rnk"] <= k].reset_index(drop=True).astype(
+        {"n_links": "int64", "n_docs": "int64", "rnk": "int64"})
+    pd.testing.assert_frame_equal(
+        out.reset_index(drop=True),
+        expect[["host", "anchor", "n_links", "n_docs", "rnk"]])
+    # rank sanity: rnk is 1-based and dense per host; at most k rows
+    assert (out.groupby("host")["rnk"].min() == 1).all()
+    assert (out.groupby("host")["rnk"].max() <= k).all()
+    # both budget gates forced onto the exchange paths: identical output
+    monkeypatch.setattr(steps, "TERMS_DRIVER_LIMIT", 0)
+    monkeypatch.setattr(steps, "TOPK_PARTIALS_DRIVER_LIMIT", 0)
+    exch = _host_anchor_topk(SF, k=k).to_pandas()
+    pd.testing.assert_frame_equal(out, exch)
