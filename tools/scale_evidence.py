@@ -305,6 +305,20 @@ def main():
     run("dataset_diff_broadcast", _dataset_diff(steps.DIFF_BROADCAST_LIMIT))
     run("dataset_diff_exchange", _dataset_diff(0))
 
+    def _anchor_topk_exchange():
+        # both gates to 0: (host, anchor) counts through the key-hash
+        # exchange AND the per-host top-k through the two-level
+        # exchange merge — 2M docs -> ~3M planted anchor rows
+        from neurostore_text_extraction_ray.pipelines import extras
+        saved = steps.TOPK_PARTIALS_DRIVER_LIMIT
+        steps.TOPK_PARTIALS_DRIVER_LIMIT = 0
+        try:
+            return extras._host_anchor_topk(OUT).materialize().count()
+        finally:
+            steps.TOPK_PARTIALS_DRIVER_LIMIT = saved
+
+    run("host_anchor_topk_exchange", _anchor_topk_exchange)
+
     results["driver_maxrss_gb"] = round(
         resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6, 2)
     print(json.dumps(results), flush=True)
