@@ -236,6 +236,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- never driver-verified before r5 ---
         "host_anchor_topk": _host_anchor_topk,
+        "events_user_hll_hourly": steps.events_user_hll_hourly,
         "docs_boilerplate_strip": steps.docs_boilerplate_strip,
         "docs_diff_planted": steps.docs_diff_planted,
         "docs_bm25": lambda sf: _round_cols(steps.docs_bm25(sf),
@@ -636,6 +637,7 @@ def oracle_sql() -> dict[str, str]:
             "  FROM documents) WHERE rn <= 3"
         ),
         "orders_custkey_hll": _golden_sql("orders_custkey_hll"),
+        "events_user_hll_hourly": _golden_sql("events_user_hll_hourly"),
         "lineitem_orders_semijoin": (
             "SELECT l_orderkey, round(l_extendedprice, 2) AS l_extendedprice "
             "FROM lineitem WHERE l_orderkey IN ("

@@ -242,6 +242,8 @@ def _register_builtins():
     register_op("docs_sample_hash")(steps.docs_sample_hash)
     register_op("top_docs_per_lang")(steps.top_docs_per_lang)
     register_op("orders_custkey_hll", dependent=True)(steps.orders_custkey_hll)
+    register_op("events_user_hll_hourly",
+                dependent=True)(steps.events_user_hll_hourly)
     register_op("lineitem_orders_semijoin")(steps.lineitem_orders_semijoin)
     register_op("normalize_part_names")(steps.normalize_part_names)
     register_op("lineitem_agg")(steps.lineitem_agg)

@@ -160,3 +160,50 @@ def test_cms_overestimate_only_and_merge(ray_session):
     est = cms_estimate(whole, hs, width, depth)
     assert (est >= counts).all()
     assert (est > counts).any()  # tight width: some collision happened
+
+
+def test_hll_distinct_by_key_accuracy_and_gates(ray_session, monkeypatch):
+    """Grouped HLL (sketch-per-key merge): per-key estimates within the
+    published error bound vs exact per-key distinct counts; driver and
+    exchange combines byte-identical; NULL values excluded per key."""
+    import duckdb
+    import ray.data as rd
+
+    from neurostore_text_extraction_ray.pipelines import steps
+
+    sf = "/root/testdata/sf0.001"
+    out = steps.events_user_hll_hourly(sf).to_pandas()
+    con = duckdb.connect()
+    exact = con.execute(
+        f"SELECT date_trunc('hour', ts) AS hour, "
+        f"COUNT(DISTINCT user_id) AS n FROM "
+        f"read_parquet('{sf}/events.parquet') GROUP BY 1").fetchdf()
+    con.close()
+    j = out.merge(exact, on="hour", how="outer")
+    assert not j["n_distinct_est"].isna().any()
+    assert not j["n"].isna().any()
+    # sigma ~ 1.04/sqrt(2^12) ~ 1.6%; allow ~5 sigma plus small-count
+    # slack (linear-counting regime is near-exact anyway)
+    rel = (j["n_distinct_est"] - j["n"]).abs() / j["n"].clip(lower=1)
+    assert (rel < 0.09).all(), j[rel >= 0.09]
+    # exchange path equality
+    monkeypatch.setattr(steps, "HLL_GROUP_PARTIALS_DRIVER_LIMIT", 0)
+    exch = steps.events_user_hll_hourly(sf).to_pandas()
+    pd.testing.assert_frame_equal(
+        out.sort_values("hour").reset_index(drop=True),
+        exch.sort_values("hour").reset_index(drop=True))
+    monkeypatch.undo()
+    # NULL values excluded per key (COUNT(DISTINCT) semantics), and the
+    # NULL-driven float promotion of a nullable int column round-trips
+    pre = rd.from_pandas(pd.DataFrame({
+        "k": ["a", "a", "a", "b"],
+        "v": pd.array([1, None, 1, 2], dtype="Int64"),
+        "i": [1, 2, 3, 4]}))
+    got = steps.hll_distinct_by_key(pre, "k", "v", "i").to_pandas()
+    got = got.set_index("k")["n_distinct_est"]
+    assert int(got.loc["a"]) == 1 and int(got.loc["b"]) == 1
+    # a genuinely non-integral value column is rejected loudly
+    bad = rd.from_pandas(pd.DataFrame({
+        "k": ["a"], "v": [1.5], "i": [1]}))
+    with pytest.raises(Exception, match="integer"):
+        steps.hll_distinct_by_key(bad, "k", "v", "i").to_pandas()

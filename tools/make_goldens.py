@@ -44,6 +44,7 @@ SF_QUERIES = [
     "umls_disease_groups",
     "abbrev_expand",
     "orders_custkey_hll",
+    "events_user_hll_hourly",
     "top_terms_cms",
     "docs_dup_spans",
     "docs_bloom_seen",
