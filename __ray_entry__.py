@@ -237,6 +237,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- never driver-verified before r5 ---
         "host_anchor_topk": _host_anchor_topk,
         "events_user_hll_hourly": steps.events_user_hll_hourly,
+        "lineitem_rollup": lambda sf: _round_cols(
+            steps.lineitem_rollup(sf), {"sum_qty": 4, "sum_revenue": 4}),
+        "customer_order_counts": lambda sf: _round_cols(
+            steps.customer_order_counts(sf), {"total_spent": 4}),
         "docs_boilerplate_strip": steps.docs_boilerplate_strip,
         "docs_diff_planted": steps.docs_diff_planted,
         "docs_bm25": lambda sf: _round_cols(steps.docs_bm25(sf),
@@ -638,6 +642,24 @@ def oracle_sql() -> dict[str, str]:
         ),
         "orders_custkey_hll": _golden_sql("orders_custkey_hll"),
         "events_user_hll_hourly": _golden_sql("events_user_hll_hourly"),
+        "lineitem_rollup": (
+            "SELECT l_returnflag, l_linestatus, "
+            "round(sum(l_quantity), 4) AS sum_qty, "
+            "round(sum(l_extendedprice * (1 - l_discount)), 4) "
+            "  AS sum_revenue, "
+            "count(*) AS n_rows "
+            "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)"
+        ),
+        "customer_order_counts": (
+            "SELECT c.c_custkey, c.c_name, "
+            "COALESCE(o.n_orders, 0) AS n_orders, "
+            "round(COALESCE(o.sum_total, 0.0), 4) AS total_spent "
+            "FROM customer c LEFT JOIN ("
+            "  SELECT o_custkey, count(*) AS n_orders, "
+            "    sum(o_totalprice) AS sum_total "
+            "  FROM orders WHERE o_totalprice > 450000.0 "
+            "  GROUP BY o_custkey) o ON o.o_custkey = c.c_custkey"
+        ),
         "lineitem_orders_semijoin": (
             "SELECT l_orderkey, round(l_extendedprice, 2) AS l_extendedprice "
             "FROM lineitem WHERE l_orderkey IN ("

@@ -247,6 +247,8 @@ def _register_builtins():
     register_op("lineitem_orders_semijoin")(steps.lineitem_orders_semijoin)
     register_op("normalize_part_names")(steps.normalize_part_names)
     register_op("lineitem_agg")(steps.lineitem_agg)
+    register_op("lineitem_rollup")(steps.lineitem_rollup)
+    register_op("customer_order_counts")(steps.customer_order_counts)
     register_op("events_hourly")(steps.events_hourly)
     register_op("events_sessionize")(steps.events_sessionize)
     register_op("events_asof_orders")(steps.events_asof_orders)

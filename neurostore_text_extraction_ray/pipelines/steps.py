@@ -3183,6 +3183,95 @@ def lineitem_agg(sf_dir: str):
     return summed.map_batches(finish, batch_format="pandas")
 
 
+def lineitem_rollup(sf_dir: str):
+    """``GROUP BY ROLLUP(l_returnflag, l_linestatus)`` — the OLAP
+    subtotal lattice (finest level + per-flag subtotals + grand
+    total), the multi-level aggregate a corpus report computes in one
+    pass. The fact stream is touched ONCE: per-batch partials feed the
+    shared gated ``grouped_sum_by_key`` combine for the finest level;
+    each coarser level then re-aggregates the PREVIOUS level's
+    combined rows (group-cardinality-sized, stays distributed through
+    the same gated combine — rollup levels are sum-additive, so
+    re-aggregation is exact for sums/counts). NULL marks a rolled-up
+    column, SQL ROLLUP semantics; the data columns are non-NULL here,
+    so no GROUPING() disambiguation is needed. CUBE is this same
+    construction over all grouping subsets."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_returnflag",
+                 "l_linestatus", "l_quantity", "l_extendedprice",
+                 "l_discount"],
+    )
+
+    out_schema = pa.schema([
+        ("l_returnflag", pa.string()), ("l_linestatus", pa.string()),
+        ("sum_qty", pa.float64()), ("sum_revenue", pa.float64()),
+        ("n_rows", pa.int64()),
+    ])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(
+            revenue=df["l_extendedprice"] * (1.0 - df["l_discount"]))
+        g = df.groupby(["l_returnflag", "l_linestatus"], sort=False).agg(
+            sum_qty=("l_quantity", "sum"),
+            sum_revenue=("revenue", "sum"),
+            n_rows=("l_quantity", "size"),
+        ).reset_index()
+        g["n_rows"] = g["n_rows"].astype("int64")
+        g["b0"] = (np.int64((df["l_orderkey"].to_numpy() * 8
+                             + df["l_linenumber"].to_numpy()).min())
+                   if len(df) else np.int64(0))
+        return g
+
+    sums = ["sum_qty", "sum_revenue", "n_rows"]
+    level2 = grouped_sum_by_key(
+        ds.map_batches(partial, batch_format="pandas").materialize(),
+        ["l_returnflag", "l_linestatus"], sums, AGG_PARTIALS_DRIVER_LIMIT)
+
+    def rollup_partial(df: pd.DataFrame, keys: list[str]) -> pd.DataFrame:
+        # input rows are the previous level's COMBINED output — one
+        # row per group key, globally unique — so the batch-min key
+        # hash satisfies the b0 batch-uniqueness contract
+        if keys:
+            g = df.groupby(keys, sort=False)[sums].sum().reset_index()
+            hk = df[keys[0]].astype(str)
+            for k in keys[1:]:
+                hk = hk + "\x1f" + df[k].astype(str)
+        else:
+            g = pd.DataFrame({c: [df[c].sum()] for c in sums})
+            g["n_rows"] = g["n_rows"].astype("int64")
+            hk = df["l_returnflag"].astype(str)
+        g["b0"] = (np.int64(pd.util.hash_array(
+            hk.to_numpy(dtype=object)).min()) if len(df)
+            else np.int64(0))
+        return g
+
+    level1 = grouped_sum_by_key(
+        level2.map_batches(lambda df: rollup_partial(df, ["l_returnflag"]),
+                           batch_format="pandas").materialize(),
+        "l_returnflag", sums, AGG_PARTIALS_DRIVER_LIMIT)
+    # the grand total has no group key: a constant-key gated combine
+    # (one partial row per batch of level-1 rows)
+    level0 = grouped_sum_by_key(
+        level1.map_batches(
+            lambda df: rollup_partial(df, []).assign(all=np.int64(0)),
+            batch_format="pandas").materialize(),
+        "all", sums, AGG_PARTIALS_DRIVER_LIMIT)
+
+    def finish(df: pd.DataFrame) -> pa.Table:
+        # absent key columns are this level's rolled-up ones -> NULL
+        arrs = [pa.array(df[name], typ) if name in df.columns
+                else pa.nulls(len(df), typ)
+                for name, typ in zip(out_schema.names, out_schema.types)]
+        return pa.Table.from_arrays(arrs, schema=out_schema)
+
+    return (level2.map_batches(finish, batch_format="pandas")
+            .union(level1.map_batches(finish, batch_format="pandas"))
+            .union(level0.map_batches(finish, batch_format="pandas")))
+
+
 def events_hourly(sf_dir: str):
     """Tumbling 1-hour window per event_type: count + value sum.
     Event-time windows via truncation + per-batch partial aggregate,
@@ -3923,6 +4012,136 @@ def _revenue_by_nation_exchanged(sf_dir: str, num_parts: int = 32):
     final["total_revenue"] = final["total_revenue"].round(4)
     final["n_orders"] = final["n_orders"].astype("int64")
     return rd.from_pandas(final)
+
+
+# the per-customer order aggregate is customer-cardinality-sized;
+# beyond this many aggregate rows the zero-fill join stops
+# broadcasting and co-partitions both sides by custkey hash through
+# the filesystem exchange (tests patch to 0 and assert path equality)
+ORDER_COUNTS_BROADCAST_LIMIT = 20_000_000
+
+
+def customer_order_counts(sf_dir: str,
+                          min_totalprice: float = 450_000.0,
+                          num_parts: int = 32):
+    """LEFT OUTER enrich with zero-fill: every customer with the count
+    and total value of their big orders (``o_totalprice >
+    min_totalprice``) — customers with NONE keep their row with 0/0.0,
+    the outer-join semantics an inner join or semi-join cannot
+    express. Shape: the orders stream aggregates per custkey through
+    the shared gated ``grouped_sum_by_key`` combine (the fact stream
+    never shuffles — one partial row per custkey per batch); the
+    aggregate side then joins to customer either as a broadcast of
+    sorted numpy arrays (searchsorted probe, miss -> zero-fill; below
+    ``ORDER_COUNTS_BROADCAST_LIMIT`` aggregate rows) or, beyond the
+    budget, via custkey-hash co-partitioning of BOTH sides through the
+    filesystem exchange with the identical vectorized per-part join.
+    Output (c_custkey, c_name, n_orders, total_spent)."""
+    import shutil
+
+    import ray
+    import ray.data as rd
+
+    from ..stages import exchange as ex
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        big = df[df["o_totalprice"] > min_totalprice]
+        g = big.groupby("o_custkey", sort=False)["o_totalprice"].agg(
+            ["count", "sum"]).reset_index()
+        g.columns = ["o_custkey", "n_orders", "sum_total"]
+        g["n_orders"] = g["n_orders"].astype("int64")
+        # b0 contract: o_orderkey is row-unique and batches disjoint
+        g["b0"] = (np.int64(df["o_orderkey"].min()) if len(df)
+                   else np.int64(0))
+        return g
+
+    agg = grouped_sum_by_key(
+        rd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_orderkey", "o_custkey", "o_totalprice"])
+        .map_batches(partial, batch_format="pandas").materialize(),
+        "o_custkey", ["n_orders", "sum_total"],
+        AGG_PARTIALS_DRIVER_LIMIT).materialize()
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_name"])
+    out_schema = pa.schema([
+        ("c_custkey", pa.int64()), ("c_name", pa.string()),
+        ("n_orders", pa.int64()), ("total_spent", pa.float64()),
+    ])
+
+    def left_join(ck: np.ndarray, names: np.ndarray, ak_s: np.ndarray,
+                  n_s: np.ndarray, s_s: np.ndarray) -> pa.Table:
+        # ak_s sorted by custkey; probe + zero-fill the misses
+        n_out = np.zeros(len(ck), np.int64)
+        s_out = np.zeros(len(ck), np.float64)
+        if len(ak_s):
+            j = np.clip(np.searchsorted(ak_s, ck), 0, len(ak_s) - 1)
+            hit = ak_s[j] == ck
+            n_out[hit] = n_s[j[hit]]
+            s_out[hit] = s_s[j[hit]]
+        return pa.table({"c_custkey": pa.array(ck, pa.int64()),
+                         "c_name": pa.array(names, pa.string()),
+                         "n_orders": pa.array(n_out),
+                         "total_spent": pa.array(s_out)})
+
+    if agg.count() <= ORDER_COUNTS_BROADCAST_LIMIT:
+        adf = agg.to_pandas()
+        order = np.argsort(adf["o_custkey"].to_numpy(), kind="stable")
+        ref = ray.put((adf["o_custkey"].to_numpy(np.int64)[order],
+                       adf["n_orders"].to_numpy(np.int64)[order],
+                       adf["sum_total"].to_numpy(np.float64)[order]))
+
+        def probe(batch: pa.Table) -> pa.Table:
+            from ..stages.broadcast import get_broadcast
+
+            ak_s, n_s, s_s = get_broadcast(ref)
+            return left_join(
+                batch["c_custkey"].to_numpy(zero_copy_only=False)
+                .astype(np.int64),
+                batch["c_name"].to_numpy(zero_copy_only=False),
+                ak_s, n_s, s_s)
+
+        return cust.map_batches(probe, batch_format="pyarrow")
+
+    agg_schema = pa.schema([("o_custkey", pa.int64()),
+                            ("n_orders", pa.int64()),
+                            ("sum_total", pa.float64())])
+    cust_schema = pa.schema([("c_custkey", pa.int64()),
+                             ("c_name", pa.string())])
+    agg_stage = ex.make_stage("nse_coc_agg_")
+    cust_stage = ex.make_stage("nse_coc_cust_")
+    try:
+        ex.write_exchange(
+            agg.map_batches(lambda b: b.cast(agg_schema),
+                            batch_format="pyarrow"),
+            agg_stage,
+            lambda b: ex.int_part(
+                [b["o_custkey"].to_numpy(zero_copy_only=False)], num_parts))
+        ex.write_exchange(
+            cust.map_batches(lambda b: b.cast(cust_schema),
+                             batch_format="pyarrow"),
+            cust_stage,
+            lambda b: ex.int_part(
+                [b["c_custkey"].to_numpy(zero_copy_only=False)], num_parts))
+
+        def join_part(cust_t: pa.Table, agg_t: pa.Table) -> pa.Table:
+            ak = agg_t["o_custkey"].to_numpy(zero_copy_only=False)
+            order = np.argsort(ak, kind="stable")
+            return left_join(
+                cust_t["c_custkey"].to_numpy(zero_copy_only=False)
+                .astype(np.int64),
+                cust_t["c_name"].to_numpy(zero_copy_only=False),
+                ak[order],
+                agg_t["n_orders"].to_numpy(zero_copy_only=False)[order],
+                agg_t["sum_total"].to_numpy(zero_copy_only=False)[order])
+
+        return ex.map_parts([cust_stage, agg_stage], num_parts, join_part,
+                            out_schema,
+                            in_schemas=[cust_schema, agg_schema]
+                            ).materialize()
+    finally:
+        for s in (agg_stage, cust_stage):
+            shutil.rmtree(s, ignore_errors=True)
 
 
 # -- Set op: distinct values (partial-unique + combine) ---------------------

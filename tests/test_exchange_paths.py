@@ -119,6 +119,44 @@ def test_lineitem_agg_exchange_equivalence(ray_session, monkeypatch):
     assert len(drv) == 6
 
 
+def test_lineitem_rollup_exchange_equivalence(ray_session, monkeypatch):
+    """ROLLUP lattice: exchange path equals the driver path; the three
+    levels are internally consistent (each subtotal is the exact int
+    sum of its children; grand total = corpus row count)."""
+    from neurostore_text_extraction_ray.pipelines import steps
+
+    drv = _canon(steps.lineitem_rollup(SF).to_pandas())
+    monkeypatch.setattr(steps, "AGG_PARTIALS_DRIVER_LIMIT", 0)
+    exch = _canon(steps.lineitem_rollup(SF).to_pandas())
+    pd.testing.assert_frame_equal(drv, exch)
+    finest = drv[drv["l_linestatus"].notna()]
+    flags = drv[drv["l_returnflag"].notna() & drv["l_linestatus"].isna()]
+    grand = drv[drv["l_returnflag"].isna()]
+    assert len(finest) == 6 and len(flags) == 3 and len(grand) == 1
+    per_flag = finest.groupby("l_returnflag")["n_rows"].sum()
+    for _, r in flags.iterrows():
+        assert int(r["n_rows"]) == int(per_flag[r["l_returnflag"]])
+    assert int(grand["n_rows"].iloc[0]) == int(finest["n_rows"].sum())
+
+
+def test_customer_order_counts_exchange_equivalence(ray_session, monkeypatch):
+    """LEFT OUTER zero-fill join: the co-partitioned exchange path
+    (both gates patched to 0 — aggregate combine AND join broadcast)
+    equals the broadcast path; zero-order customers keep their rows
+    with exact 0 / 0.0 fills."""
+    from neurostore_text_extraction_ray.pipelines import steps
+
+    drv = _canon(steps.customer_order_counts(SF).to_pandas())
+    monkeypatch.setattr(steps, "AGG_PARTIALS_DRIVER_LIMIT", 0)
+    monkeypatch.setattr(steps, "ORDER_COUNTS_BROADCAST_LIMIT", 0)
+    exch = _canon(steps.customer_order_counts(SF).to_pandas())
+    pd.testing.assert_frame_equal(drv, exch)
+    assert len(drv) == 150  # every customer kept (outer semantics)
+    zero = drv[drv["n_orders"] == 0]
+    assert len(zero) > 0
+    assert (zero["total_spent"] == 0.0).all()
+
+
 def test_events_hourly_exchange_equivalence(ray_session, monkeypatch):
     from neurostore_text_extraction_ray.pipelines import steps
 

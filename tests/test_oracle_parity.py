@@ -100,7 +100,7 @@ def _pairs():
     "corpus_stats", "embeddings_label_centroids", "events_hourly_top",
     "docs_boilerplate_strip", "docs_diff_planted", "docs_bm25",
     "docs_domain_percentile_filter", "host_anchor_topk",
-    "events_user_hll_hourly",
+    "events_user_hll_hourly", "lineitem_rollup", "customer_order_counts",
 ])
 def test_query_matches_oracle(name, ray_session):
     import __ray_entry__ as e
