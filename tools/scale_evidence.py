@@ -62,6 +62,48 @@ def build_side_tables():
             "props": pa.array(np.full(n, "{}", dtype=object), pa.string()),
         })
         pq.write_table(t, vp, row_group_size=125_000)
+    # TPC-H-ish fact/dim tables for the rollup and outer-join runs:
+    # 2M orders over 1M customers (~37% of customers get zero
+    # qualifying orders at the 450k cutoff), 2M lineitem rows
+    op = f"{OUT}/orders.parquet"
+    if not os.path.exists(op):
+        rng = np.random.default_rng(19)
+        t = pa.table({
+            "o_orderkey": pa.array(np.arange(N, dtype=np.int64)),
+            "o_custkey": pa.array(rng.integers(0, 1_000_000, N)),
+            "o_totalprice": pa.array(
+                np.round(rng.random(N) * 500_000.0, 2)),
+        })
+        pq.write_table(t, op, row_group_size=125_000)
+    cp = f"{OUT}/customer.parquet"
+    if not os.path.exists(cp):
+        ck = np.arange(1_000_000, dtype=np.int64)
+        t = pa.table({
+            "c_custkey": pa.array(ck),
+            "c_name": pa.array(
+                pd.Series(ck).map("Customer#{:09d}".format).to_numpy(
+                    dtype=object), pa.string()),
+        })
+        pq.write_table(t, cp, row_group_size=125_000)
+    lp = f"{OUT}/lineitem.parquet"
+    if not os.path.exists(lp):
+        rng = np.random.default_rng(23)
+        ids = np.arange(N, dtype=np.int64)
+        t = pa.table({
+            "l_orderkey": pa.array(ids // 4),
+            "l_linenumber": pa.array((ids % 4) + 1),
+            "l_returnflag": pa.array(
+                np.array(["A", "N", "R"], dtype=object)[ids % 3],
+                pa.string()),
+            "l_linestatus": pa.array(
+                np.array(["F", "O"], dtype=object)[ids % 2], pa.string()),
+            "l_quantity": pa.array(rng.integers(1, 51, N).astype(
+                np.float64)),
+            "l_extendedprice": pa.array(
+                np.round(rng.random(N) * 100_000.0, 2)),
+            "l_discount": pa.array(np.round(rng.random(N) * 0.1, 2)),
+        })
+        pq.write_table(t, lp, row_group_size=125_000)
 
 
 def build_corpus():
@@ -318,6 +360,32 @@ def main():
             steps.TOPK_PARTIALS_DRIVER_LIMIT = saved
 
     run("host_anchor_topk_exchange", _anchor_topk_exchange)
+
+    def _hll_by_key_exchange():
+        # 2M events / ~1000 hours x 100k users; gate 0 forces the
+        # key-hash register exchange (one 4 KiB blob per hour per
+        # batch moves, never the event stream)
+        steps.HLL_GROUP_PARTIALS_DRIVER_LIMIT = 0
+        return steps.events_user_hll_hourly(OUT).materialize().count()
+
+    run("events_user_hll_hourly_exchange", _hll_by_key_exchange)
+
+    def _rollup_exchange():
+        # AGG gate 0: all three lattice levels combine through the
+        # key-hash exchange; the 2M-row fact stream itself never moves
+        steps.AGG_PARTIALS_DRIVER_LIMIT = 0
+        return steps.lineitem_rollup(OUT).materialize().count()
+
+    run("lineitem_rollup_exchange", _rollup_exchange)
+
+    def _outer_join_exchange():
+        # both gates 0: per-custkey aggregate through the exchange AND
+        # the 1M-customer zero-fill join custkey-hash co-partitioned
+        steps.AGG_PARTIALS_DRIVER_LIMIT = 0
+        steps.ORDER_COUNTS_BROADCAST_LIMIT = 0
+        return steps.customer_order_counts(OUT).materialize().count()
+
+    run("customer_order_counts_exchange", _outer_join_exchange)
 
     results["driver_maxrss_gb"] = round(
         resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6, 2)
