@@ -40,6 +40,7 @@ from neurostore_text_extraction_ray.pipelines.extras import (  # noqa: E402
     _warc_extract_text,
     _docs_url_filter,
     _host_anchor_topk,
+    _host_components,
     _host_indegree,
     _host_pagerank,
     _docs_langid_quality,
@@ -241,6 +242,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             steps.lineitem_rollup(sf), {"sum_qty": 4, "sum_revenue": 4}),
         "customer_order_counts": lambda sf: _round_cols(
             steps.customer_order_counts(sf), {"total_spent": 4}),
+        "host_components": _host_components,
         "docs_boilerplate_strip": steps.docs_boilerplate_strip,
         "docs_diff_planted": steps.docs_diff_planted,
         "docs_bm25": lambda sf: _round_cols(steps.docs_bm25(sf),
@@ -649,6 +651,30 @@ def oracle_sql() -> dict[str, str]:
             "  AS sum_revenue, "
             "count(*) AS n_rows "
             "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)"
+        ),
+        # Connected components of the planted host graph, oracled by a
+        # genuine recursive-CTE reachability query (not a plant
+        # re-derivation): component = min reachable host over the
+        # undirected edge set, n_hosts = reachable-set size.
+        "host_components": (
+            "WITH RECURSIVE d AS ("
+            "  SELECT doc_id % 3 AS s, doc_id % 7 AS k, doc_id "
+            "  FROM documents), "
+            "e0 AS ("
+            "  SELECT 'sub' || s || '.site' || k || '.example' AS a, "
+            "    'sub' || s || '.site' || ((k + 1) % 7) || '.example' AS b "
+            "  FROM d "
+            "  UNION "
+            "  SELECT 'sub0.site' || k || '.example' AS a, "
+            "    'sub1.site' || k || '.example' AS b "
+            "  FROM d WHERE doc_id % 33 = 0), "
+            "e AS (SELECT a, b FROM e0 UNION SELECT b AS a, a AS b FROM e0), "
+            "r AS ("
+            "  SELECT a AS host, a AS peer FROM e "
+            "  UNION "
+            "  SELECT r.host, e.b AS peer FROM r JOIN e ON e.a = r.peer) "
+            "SELECT host, min(peer) AS component, count(*) AS n_hosts "
+            "FROM r GROUP BY host"
         ),
         "customer_order_counts": (
             "SELECT c.c_custkey, c.c_name, "

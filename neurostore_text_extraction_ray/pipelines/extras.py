@@ -1702,6 +1702,212 @@ def _host_pagerank_exchanged(edges_ds, n_iter: int, damping: float,
             shutil.rmtree(s, ignore_errors=True)
 
 
+# the (host, label) decorate table is host-cardinality-sized; beyond
+# this many rows the component representative/size aggregate and the
+# decorate join run label-co-partitioned through the exchange instead
+# of one driver groupby (tests patch to 0 and assert path equality)
+HOSTLABEL_DRIVER_LIMIT = 20_000_000
+
+# below this many deduped host-pair edges the component labeling is a
+# vectorized driver min-propagation (the distributed labeling's ~10
+# exchange rounds are pure overhead on a small graph); beyond, the
+# O(log n) pointer-jumping exchange propagation runs with labels never
+# on the driver (tests patch to 0 and assert path equality)
+COMPONENT_EDGES_DRIVER_LIMIT = 20_000_000
+
+
+def _components_driver(edf: pd.DataFrame) -> pd.DataFrame:
+    """Driver-side connected components over deduped int64 edges:
+    per-round edge min-propagation (np.minimum.at both directions) +
+    full pointer-jumping compression — same fixed point as
+    ``pairs.label_components_exchanged`` (label = min node id of the
+    component under int64 order)."""
+    a = edf["a"].to_numpy(dtype=np.int64)
+    b = edf["b"].to_numpy(dtype=np.int64)
+    nodes = np.unique(np.concatenate([a, b]))
+    ai = np.searchsorted(nodes, a)
+    bi = np.searchsorted(nodes, b)
+    lab = np.arange(len(nodes), dtype=np.int64)
+    while True:
+        old = lab.copy()
+        np.minimum.at(lab, bi, lab[ai])
+        np.minimum.at(lab, ai, lab[bi])
+        while True:  # compress: label index chains -> roots
+            nxt = lab[lab]
+            if (nxt == lab).all():
+                break
+            lab = nxt
+        if (lab == old).all():
+            break
+    return pd.DataFrame({"node": nodes, "label": nodes[lab]})
+
+
+def _host_components(sf_dir: str, num_parts: int = 32):
+    """Connected components of the host link graph — the site-cluster
+    operator behind host-level dedup, mirror detection and spam-farm
+    grouping; the undirected complement of ``host_pagerank``. Edges
+    are planted deterministically from doc_id (three sub-rings of 7
+    sites each: sub{doc_id%3}.site{k} -> same sub, site (k+1)%7; cross
+    links sub0.site{k} -> sub1.site{k} on doc_id % 33 == 0 merge two
+    of the rings), so the WHOLE chain is oracled by a recursive-CTE
+    reachability query — the expected structure is two components of
+    14 and 7 hosts. Output (host, component, n_hosts) with component =
+    min host string of the component.
+
+    Scale shape: per-batch edge partials (bounded by per-batch
+    host-pair cardinality, never the doc stream) dedupe through the
+    gated ``grouped_sum_by_key`` combine; hosts hash to int64 node ids
+    (the house blake2b-64 token hash — a collision would merge two
+    hosts, the same documented 64-bit-birthday assumption as the
+    near-dup band keys); components label via a vectorized driver
+    min-propagation below ``COMPONENT_EDGES_DRIVER_LIMIT`` deduped
+    edges and the O(log n) pointer-jumping exchange propagation
+    (``pairs.label_components_exchanged`` — labels never on the
+    driver) beyond it; the (host, label) decorate and the
+    per-label (min host, size) aggregate run node- then
+    label-co-partitioned through the exchange beyond
+    ``HOSTLABEL_DRIVER_LIMIT`` (labels co-locate, so per-part min/size
+    are exact global values), or as one driver groupby below it."""
+    import shutil
+
+    import ray.data as rd
+
+    from ..functions.hashing import _token_hashes
+    from ..stages import exchange as ex
+    from ..stages.pairs import label_components_exchanged
+    from .steps import (AGG_PARTIALS_DRIVER_LIMIT, _key_part,
+                        grouped_sum_by_key)
+
+    def edge_partial(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].astype("int64")
+        k = (ids % 7).astype(str)
+        src = "sub" + (ids % 3).astype(str) + ".site" + k + ".example"
+        dst = ("sub" + (ids % 3).astype(str) + ".site"
+               + ((ids + 1) % 7).astype(str) + ".example")
+        cm = (ids % 33 == 0).to_numpy()
+        e = pd.DataFrame({
+            "src": pd.concat([src, ("sub0.site" + k + ".example")[cm]],
+                             ignore_index=True),
+            "dst": pd.concat([dst, ("sub1.site" + k + ".example")[cm]],
+                             ignore_index=True),
+        })
+        g = e.groupby(["src", "dst"], sort=False).size().reset_index(name="n")
+        g["n"] = g["n"].astype("int64")
+        g["b0"] = np.int64(ids.min()) if len(df) else np.int64(0)
+        return g
+
+    edges = grouped_sum_by_key(
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+        .map_batches(edge_partial, batch_format="pandas").materialize(),
+        ["src", "dst"], ["n"], AGG_PARTIALS_DRIVER_LIMIT).materialize()
+
+    def to_int_edges(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "a": _token_hashes(df["src"].tolist()).view(np.int64),
+            "b": _token_hashes(df["dst"].tolist()).view(np.int64),
+        })
+
+    edges_int = edges.map_batches(
+        to_int_edges, batch_format="pandas").materialize()
+    if edges_int.count() <= COMPONENT_EDGES_DRIVER_LIMIT:
+        labels = rd.from_pandas(_components_driver(edges_int.to_pandas()))
+    else:
+        labels = label_components_exchanged(edges_int, num_parts=num_parts)
+
+    def node_partial(df: pd.DataFrame) -> pd.DataFrame:
+        hosts = pd.concat([df["src"], df["dst"]],
+                          ignore_index=True).drop_duplicates()
+        g = pd.DataFrame({"host": hosts.to_numpy(dtype=object)})
+        g["node"] = _token_hashes(g["host"].tolist()).view(np.int64)
+        g["n"] = np.int64(1)
+        # b0: distinct edge batches CAN carry identical host sets
+        # ({(A,B)} vs {(B,A)}) and collapse in the exchange — harmless
+        # here because the combine is used as DISTINCT (n discarded),
+        # which is idempotent, unlike a true sum
+        g["b0"] = (np.int64(g["node"].min()) if len(g) else np.int64(0))
+        return g
+
+    nodes = grouped_sum_by_key(
+        edges.map_batches(node_partial, batch_format="pandas").materialize(),
+        ["node", "host"], ["n"], AGG_PARTIALS_DRIVER_LIMIT).materialize()
+
+    out_schema = pa.schema([
+        ("host", pa.string()), ("component", pa.string()),
+        ("n_hosts", pa.int64()),
+    ])
+
+    def decorate(nodes_df: pd.DataFrame, lab_df: pd.DataFrame
+                 ) -> pd.DataFrame:
+        # pure-int64 searchsorted join (never a pandas merge — the
+        # float64 NaN path silently rounds 64-bit hash ids); nodes
+        # absent from labels (edgeless — impossible here, kept for
+        # robustness) default to self
+        nid = nodes_df["node"].to_numpy(dtype=np.int64)
+        lab = nid.copy()
+        ln = lab_df["node"].to_numpy(dtype=np.int64)
+        if len(ln):
+            order = np.argsort(ln, kind="stable")
+            ln_s = ln[order]
+            ll_s = lab_df["label"].to_numpy(dtype=np.int64)[order]
+            j = np.clip(np.searchsorted(ln_s, nid), 0, len(ln_s) - 1)
+            hit = ln_s[j] == nid
+            lab[hit] = ll_s[j[hit]]
+        return pd.DataFrame({
+            "label": lab, "host": nodes_df["host"].to_numpy(dtype=object)})
+
+    def finish(hl: pd.DataFrame) -> pd.DataFrame:
+        g = hl.groupby("label", sort=False)
+        return pd.DataFrame({
+            "host": hl["host"].to_numpy(dtype=object),
+            "component": g["host"].transform("min").to_numpy(dtype=object),
+            "n_hosts": g["host"].transform("size").to_numpy(np.int64),
+        })
+
+    if nodes.count() <= HOSTLABEL_DRIVER_LIMIT:
+        return rd.from_pandas(finish(decorate(nodes.to_pandas(),
+                                              labels.to_pandas())))
+
+    node_schema = pa.schema([("node", pa.int64()), ("host", pa.string())])
+    lab_schema = pa.schema([("node", pa.int64()), ("label", pa.int64())])
+    hl_schema = pa.schema([("label", pa.int64()), ("host", pa.string())])
+    nodes_stage = ex.make_stage("nse_hc_nodes_")
+    lab_stage = ex.make_stage("nse_hc_lab_")
+    hl_stage = ex.make_stage("nse_hc_hl_")
+    try:
+        ex.write_exchange(
+            nodes.map_batches(
+                lambda b: b.select(["node", "host"]).cast(node_schema),
+                batch_format="pyarrow"),
+            nodes_stage, lambda b: _key_part(b, ["node"], num_parts))
+        ex.write_exchange(
+            labels.map_batches(lambda b: b.cast(lab_schema),
+                               batch_format="pyarrow"),
+            lab_stage, lambda b: _key_part(b, ["node"], num_parts))
+
+        def decorate_part(nodes_t: pa.Table, lab_t: pa.Table) -> pa.Table:
+            return pa.Table.from_pandas(
+                decorate(nodes_t.to_pandas(), lab_t.to_pandas()),
+                schema=hl_schema, preserve_index=False)
+
+        hl = ex.map_parts([nodes_stage, lab_stage], num_parts,
+                          decorate_part, hl_schema,
+                          in_schemas=[node_schema, lab_schema])
+        # labels co-locate per part, so per-part min/size are exact
+        ex.write_exchange(hl, hl_stage,
+                          lambda b: _key_part(b, ["label"], num_parts))
+
+        def finish_part(hl_t: pa.Table) -> pa.Table:
+            return pa.Table.from_pandas(finish(hl_t.to_pandas()),
+                                        schema=out_schema,
+                                        preserve_index=False)
+
+        return ex.map_parts(hl_stage, num_parts, finish_part,
+                            out_schema).materialize()
+    finally:
+        for s in (nodes_stage, lab_stage, hl_stage):
+            shutil.rmtree(s, ignore_errors=True)
+
+
 def _docs_outlinks(sf_dir: str):
     """Anchor/outlink extraction over planted link-rich pages (the
     documents table has no html column) — one row per anchor in

@@ -308,6 +308,7 @@ def _register_builtins():
     register_op("docs_url_filter")(extras._docs_url_filter)
     register_op("docs_outlinks")(extras._docs_outlinks)
     register_op("host_indegree")(extras._host_indegree)
+    register_op("host_components")(extras._host_components)
     register_op("host_anchor_topk", dependent=True)(extras._host_anchor_topk)
     register_op("docs_normalize_text")(extras._docs_normalize_text)
     register_op("docs_training_mix")(extras._docs_training_mix)
