@@ -236,6 +236,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # item 1).
     return {
         # --- never driver-verified before r5 ---
+        "docs_lang_quantiles": steps.docs_lang_quantiles,
         "host_anchor_topk": _host_anchor_topk,
         "events_user_hll_hourly": steps.events_user_hll_hourly,
         "lineitem_rollup": lambda sf: _round_cols(
@@ -620,6 +621,17 @@ def oracle_sql() -> dict[str, str]:
             "  UNION ALL SELECT 0.50, quantile_disc(n_chars, 0.50) FROM documents"
             "  UNION ALL SELECT 0.75, quantile_disc(n_chars, 0.75) FROM documents"
             "  UNION ALL SELECT 0.95, quantile_disc(n_chars, 0.95) FROM documents)"
+        ),
+        "docs_lang_quantiles": (
+            "SELECT lang, q, value FROM ("
+            "  SELECT lang, 0.25 AS q, quantile_disc(n_chars, 0.25) AS value"
+            "    FROM documents GROUP BY lang"
+            "  UNION ALL SELECT lang, 0.50, quantile_disc(n_chars, 0.50)"
+            "    FROM documents GROUP BY lang"
+            "  UNION ALL SELECT lang, 0.75, quantile_disc(n_chars, 0.75)"
+            "    FROM documents GROUP BY lang"
+            "  UNION ALL SELECT lang, 0.95, quantile_disc(n_chars, 0.95)"
+            "    FROM documents GROUP BY lang)"
         ),
         "docs_nchars_quantiles_sampled": (
             "WITH s AS (SELECT n_chars FROM documents "

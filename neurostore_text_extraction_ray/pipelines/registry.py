@@ -262,6 +262,7 @@ def _register_builtins():
     register_op("docs_lang_temperature_sample")(
         steps.docs_lang_temperature_sample)
     register_op("docs_nchars_quantiles")(steps.docs_nchars_quantiles)
+    register_op("docs_lang_quantiles")(steps.docs_lang_quantiles)
     register_op("docs_nchars_quantiles_sampled")(
         steps.docs_nchars_quantiles_sampled)
     register_op("top_terms")(steps.top_terms)

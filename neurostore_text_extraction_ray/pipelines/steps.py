@@ -848,6 +848,98 @@ def docs_nchars_quantiles_sampled(sf_dir: str, qs=(0.25, 0.5, 0.75, 0.95),
     }))
 
 
+# grouped-quantile histogram partials are (group x distinct-value x
+# batches) sized; beyond this the combine leaves the driver for a
+# group-hash partition exchange (tests patch to 0, assert path equality)
+LANG_QUANTILES_DRIVER_LIMIT = 5_000_000
+
+
+def docs_lang_quantiles(sf_dir: str, qs=(0.25, 0.5, 0.75, 0.95),
+                        num_parts: int = 32,
+                        driver_limit: int | None = None):
+    """Exact PER-GROUP discrete quantiles of an integer column without
+    any sort — the grouped form of ``docs_nchars_quantiles`` (DuckDB
+    ``quantile_disc GROUP BY`` semantics: per group, the smallest value
+    whose cumulative count reaches ``ceil(q * n_group)``; rule verified
+    against DuckDB over randomized multisets). Per-batch partial rows
+    (lang, value, n, b0) are bounded by group-x-distinct-value
+    cardinality per batch, never the row stream. Below
+    ``LANG_QUANTILES_DRIVER_LIMIT`` partial rows the combine is a small
+    driver groupby; beyond, a GROUP-hash partition exchange — the part
+    key is the lang alone (not lang+value), so one group's whole
+    histogram co-locates and the per-part selection is exact, and the
+    result stays distributed. ``b0`` (batch-min doc_id) satisfies the
+    ``write_exchange`` batch-uniqueness CONTRACT. Output
+    (lang, q, value), one row per group per requested quantile."""
+    import math
+    import shutil
+
+    import ray.data as rd
+
+    from ..stages import exchange as ex
+
+    if driver_limit is None:
+        driver_limit = LANG_QUANTILES_DRIVER_LIMIT
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.select(["lang", "n_chars"]).to_pandas()
+        g = (t.groupby(["lang", "n_chars"], sort=False, dropna=False)
+             .size().reset_index(name="n"))
+        b0 = int(batch["doc_id"].to_numpy(zero_copy_only=False).min())
+        return pa.table({
+            "lang": pa.array(g["lang"].astype(object), pa.string()),
+            "value": pa.array(g["n_chars"].to_numpy().astype(np.int64)),
+            "n": pa.array(g["n"].to_numpy().astype(np.int64)),
+            "b0": pa.array(np.full(len(g), b0, np.int64)),
+        })
+
+    out_schema = pa.schema([("lang", pa.string()), ("q", pa.float64()),
+                            ("value", pa.int64())])
+
+    def select(df: pd.DataFrame) -> pd.DataFrame:
+        """(lang, value, n) histogram rows -> (lang, q, value)."""
+        out_l, out_q, out_v = [], [], []
+        for lang, g in df.groupby("lang", sort=False, dropna=False):
+            h = g.groupby("value", sort=True)["n"].sum()
+            values = h.index.to_numpy()
+            cum = h.to_numpy().cumsum()
+            n = int(cum[-1]) if len(cum) else 0
+            if n == 0:
+                continue
+            for q in qs:
+                out_l.append(lang)
+                out_q.append(float(q))
+                out_v.append(int(values[np.searchsorted(
+                    cum, max(1, math.ceil(q * n)))]))
+        return pd.DataFrame({"lang": out_l, "q": out_q, "value": out_v})
+
+    partials = (
+        _docs(sf_dir, ["doc_id", "lang", "n_chars"])
+        .map_batches(partial, batch_format="pyarrow")
+    )
+    if partials.count() <= driver_limit:
+        pdf = partials.to_pandas()
+        if pdf.empty:
+            return rd.from_arrow(out_schema.empty_table())
+        return rd.from_pandas(select(pdf))
+
+    stage = ex.make_stage("nse_gq_")
+    try:
+        ex.write_exchange(
+            partials, stage,
+            lambda b: _key_part(b, ["lang"], num_parts))
+
+        def part_select(t: pa.Table) -> pa.Table:
+            return pa.Table.from_pandas(
+                select(t.to_pandas()), schema=out_schema,
+                preserve_index=False)
+
+        return ex.map_parts(stage, num_parts, part_select,
+                            out_schema).materialize()
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+
+
 # -- Quantile-bucket assignment (two-phase stats -> broadcast) ---------------
 
 

@@ -406,3 +406,29 @@ def test_grouped_sum_null_keys_kept(ray_session):
         assert len(null_rows) == 1, f"limit={limit}: null key dropped"
         assert int(null_rows["n"].iloc[0]) == 6
         assert int(df["n"].sum()) == 15 and len(df) == 3
+
+
+def test_lang_quantiles_exchange_equivalence(ray_session, monkeypatch):
+    """Grouped quantile_disc: beyond-the-gate lang-hash exchange path
+    equals the driver combine, and both equal an in-memory pandas
+    re-derivation of the ceil(q*n) rule."""
+    import math
+
+    from neurostore_text_extraction_ray.pipelines import steps
+
+    drv = _canon(steps.docs_lang_quantiles(SF).to_pandas())
+    monkeypatch.setattr(steps, "LANG_QUANTILES_DRIVER_LIMIT", 0)
+    exch = _canon(steps.docs_lang_quantiles(SF).to_pandas())
+    pd.testing.assert_frame_equal(drv, exch)
+    assert len(drv) > 0
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["lang", "n_chars"])
+    rows = []
+    for lang, g in docs.groupby("lang"):
+        v = np.sort(g["n_chars"].to_numpy())
+        for q in (0.25, 0.5, 0.75, 0.95):
+            rows.append({"lang": lang, "q": q,
+                         "value": int(v[max(1, math.ceil(q * len(v))) - 1])})
+    want = _canon(pd.DataFrame(rows))
+    pd.testing.assert_frame_equal(drv, want)
