@@ -237,6 +237,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- never driver-verified before r5 ---
         "docs_lang_quantiles": steps.docs_lang_quantiles,
+        "events_user_retention": steps.events_user_retention,
         "host_anchor_topk": _host_anchor_topk,
         "events_user_hll_hourly": steps.events_user_hll_hourly,
         "lineitem_rollup": lambda sf: _round_cols(
@@ -621,6 +622,15 @@ def oracle_sql() -> dict[str, str]:
             "  UNION ALL SELECT 0.50, quantile_disc(n_chars, 0.50) FROM documents"
             "  UNION ALL SELECT 0.75, quantile_disc(n_chars, 0.75) FROM documents"
             "  UNION ALL SELECT 0.95, quantile_disc(n_chars, 0.95) FROM documents)"
+        ),
+        "events_user_retention": (
+            "WITH ud AS (SELECT DISTINCT date_trunc('day', ts) AS day, "
+            "  user_id FROM events) "
+            "SELECT ud.day AS day, count(*) AS n_active, "
+            "  count(nxt.user_id) AS n_retained_next "
+            "FROM ud LEFT JOIN ud nxt ON nxt.user_id = ud.user_id "
+            "  AND nxt.day = ud.day + INTERVAL 1 DAY "
+            "GROUP BY ud.day"
         ),
         "docs_lang_quantiles": (
             "SELECT lang, q, value FROM ("

@@ -359,6 +359,7 @@ def _register_builtins():
     register_op("embeddings_label_centroids")(
         steps.embeddings_label_centroids)
     register_op("events_hourly_top")(steps.events_hourly_top)
+    register_op("events_user_retention")(steps.events_user_retention)
     register_op("docs_boilerplate_strip")(steps.docs_boilerplate_strip)
     register_op("docs_diff_planted")(steps.docs_diff_planted)
     register_op("docs_bm25")(steps.docs_bm25)

@@ -3454,6 +3454,103 @@ def events_hourly_top(sf_dir: str, num_parts: int = 32):
         shutil.rmtree(stage, ignore_errors=True)
 
 
+# distinct (user, day) pair rows; beyond this the retention kernel
+# leaves the driver for a user-hash partition exchange (tests patch to
+# 0 and assert path equality)
+USER_DAYS_DRIVER_LIMIT = 5_000_000
+
+
+def events_user_retention(sf_dir: str, num_parts: int = 32,
+                          driver_limit: int | None = None):
+    """Day-over-day retention: for every active day, the count of
+    distinct active users and how many of them return the NEXT day —
+    the cohort-retention primitive behind DAU/stickiness reports.
+    Phase 1 streams per-batch DISTINCT (user_id, day) pairs (repeats
+    across batches are fine: the consumer re-dedups, so the exchange
+    consumption is dedup-idempotent per the ``write_exchange``
+    CONTRACT — no ``b0`` needed). Below ``USER_DAYS_DRIVER_LIMIT``
+    pairs the retention kernel runs on the driver; beyond, pairs
+    co-partition by USER hash (each user's full day set lands in one
+    part, so the per-part next-day flags are exact) and only bounded
+    per-day partial counts come back through ``grouped_sum_by_key``.
+    The kernel is one vectorized pass: sort (user, day), a shifted
+    same-user/day-diff==1-day comparison — no per-user Python loop.
+    Output (day, n_active, n_retained_next)."""
+    import shutil
+
+    import ray.data as rd
+
+    from ..stages import exchange as ex
+
+    if driver_limit is None:
+        driver_limit = USER_DAYS_DRIVER_LIMIT
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            "user_id": batch["user_id"],
+            "day": pc.floor_temporal(batch["ts"], unit="day"),
+        }).to_pandas().drop_duplicates()
+        return pa.Table.from_pandas(t, preserve_index=False)
+
+    def retention(t: pd.DataFrame) -> pd.DataFrame:
+        """Distinct (user_id, day) pairs -> per-day (n_active,
+        n_retained_next) counts, fully vectorized."""
+        t = (t.drop_duplicates()
+             .sort_values(["user_id", "day"], kind="stable")
+             .reset_index(drop=True))
+        u = t["user_id"].to_numpy()
+        d = t["day"].to_numpy().astype("datetime64[us]")
+        nxt = np.zeros(len(t), dtype=bool)
+        if len(t) > 1:
+            nxt[:-1] = (u[1:] == u[:-1]) & (
+                (d[1:] - d[:-1]) == np.timedelta64(1, "D"))
+        g = t.groupby("day", sort=True)
+        out = g.size().rename("n_active").reset_index()
+        out["n_retained_next"] = (
+            pd.Series(nxt).groupby(t["day"], sort=True).sum()
+            .to_numpy().astype(np.int64))
+        out["n_active"] = out["n_active"].astype(np.int64)
+        return out[["day", "n_active", "n_retained_next"]]
+
+    pair_ds = (
+        rd.read_parquet(f"{sf_dir}/events.parquet",
+                        columns=["ts", "user_id"])
+        .map_batches(pairs, batch_format="pyarrow")
+        .materialize()
+    )
+    out_schema = pa.schema([
+        ("day", pa.timestamp("us")), ("n_active", pa.int64()),
+        ("n_retained_next", pa.int64())])
+    if pair_ds.count() <= driver_limit:
+        pdf = pair_ds.to_pandas()
+        if pdf.empty:
+            return rd.from_arrow(out_schema.empty_table())
+        return rd.from_pandas(retention(pdf))
+
+    stage = ex.make_stage("nse_ret_")
+    try:
+        ex.write_exchange(
+            pair_ds, stage,
+            lambda b: _key_part(b, ["user_id"], num_parts))
+
+        def part_counts(t: pa.Table) -> pa.Table:
+            df = retention(t.to_pandas())
+            # batch-uniqueness for the combine exchange: parts with
+            # byte-identical per-day counts must not collapse
+            df["b0"] = (np.int64(t["user_id"].to_numpy().min())
+                        if t.num_rows else np.int64(0))
+            return pa.Table.from_pandas(df, preserve_index=False)
+
+        partials = ex.map_parts(
+            stage, num_parts, part_counts,
+            out_schema.append(pa.field("b0", pa.int64()))).materialize()
+        return grouped_sum_by_key(
+            partials, "day", ["n_active", "n_retained_next"],
+            AGG_PARTIALS_DRIVER_LIMIT)
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+
+
 # -- Streaming-shaped: session windows (gap-based) --------------------------
 
 

@@ -432,3 +432,25 @@ def test_lang_quantiles_exchange_equivalence(ray_session, monkeypatch):
                          "value": int(v[max(1, math.ceil(q * len(v))) - 1])})
     want = _canon(pd.DataFrame(rows))
     pd.testing.assert_frame_equal(drv, want)
+
+
+def test_user_retention_exchange_equivalence(ray_session, monkeypatch):
+    """Beyond-the-gate user-hash exchange path equals the driver
+    kernel, and both equal an in-memory pandas re-derivation."""
+    from neurostore_text_extraction_ray.pipelines import steps
+
+    drv = _canon(steps.events_user_retention(SF).to_pandas())
+    monkeypatch.setattr(steps, "USER_DAYS_DRIVER_LIMIT", 0)
+    exch = _canon(steps.events_user_retention(SF).to_pandas())
+    pd.testing.assert_frame_equal(drv, exch)
+    assert len(drv) > 0 and (drv["n_retained_next"] <= drv["n_active"]).all()
+
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["ts", "user_id"])
+    ev["day"] = ev["ts"].dt.floor("D")
+    ud = ev[["user_id", "day"]].drop_duplicates()
+    nxt = ud.assign(day=ud["day"] - pd.Timedelta(days=1), r=1)
+    j = ud.merge(nxt, on=["user_id", "day"], how="left")
+    want = (j.groupby("day").agg(n_active=("user_id", "size"),
+                                 r=("r", "sum")).reset_index())
+    want["n_retained_next"] = want.pop("r").astype("int64")
+    pd.testing.assert_frame_equal(drv, _canon(want))

@@ -101,7 +101,7 @@ def _pairs():
     "docs_boilerplate_strip", "docs_diff_planted", "docs_bm25",
     "docs_domain_percentile_filter", "host_anchor_topk",
     "events_user_hll_hourly", "lineitem_rollup", "customer_order_counts",
-    "host_components", "docs_lang_quantiles",
+    "host_components", "docs_lang_quantiles", "events_user_retention",
 ])
 def test_query_matches_oracle(name, ray_session):
     import __ray_entry__ as e
