@@ -78,6 +78,14 @@ _GOLDEN_DIR = os.path.join(
 )
 
 
+def _part_name_fuzzy_pairs(sf_dir: str):
+    from neurostore_text_extraction_ray.stages.fuzzyjoin import (
+        part_name_fuzzy_pairs,
+    )
+
+    return part_name_fuzzy_pairs(sf_dir)
+
+
 def _golden_sql(name: str, discriminated: bool = True) -> str:
     """Oracle SQL for a pinned-golden query: read the committed golden
     parquet (regenerate with ``python tools/make_goldens.py``). For
@@ -292,6 +300,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_stats": steps.corpus_stats,
         "embeddings_label_centroids": steps.embeddings_label_centroids,
         "events_hourly_top": steps.events_hourly_top,
+        "events_range_join": steps.events_range_join,
+        "events_user_running_total": steps.events_user_running_total,
+        "part_name_fuzzy_pairs": _part_name_fuzzy_pairs,
         # --- last driver-verified in r3 ---
         "ngram_jaccard_dups": _ngram_jaccard_dups,
         "embedding_cosine_dups": _embedding_cosine_dups,
@@ -755,6 +766,36 @@ def oracle_sql() -> dict[str, str]:
             "CAST(count(*) OVER (PARTITION BY user_id ORDER BY ts "
             "RANGE BETWEEN INTERVAL 60 MINUTE PRECEDING AND CURRENT ROW) "
             "AS BIGINT) AS n_window FROM events"
+        ),
+        "events_range_join": (
+            "SELECT a.event_id AS a_id, b.event_id AS b_id, a.user_id "
+            "FROM events a JOIN events b ON a.user_id = b.user_id "
+            "AND b.ts >= a.ts AND b.ts < a.ts + INTERVAL 10 MINUTE "
+            "AND b.event_id <> a.event_id"
+        ),
+        # deletion-neighborhood blocking is complete for edit
+        # distance <= 1, so the exact levenshtein predicate is a true
+        # oracle; the trailing-char plant replays identically
+        "part_name_fuzzy_pairs": (
+            "WITH s AS ("
+            "  SELECT DISTINCT trim(p_name) AS nm FROM part "
+            "  UNION "
+            "  SELECT DISTINCT substr(trim(p_name), 1, "
+            "length(trim(p_name)) - 1) AS nm FROM part "
+            "  WHERE p_partkey % 7 = 0) "
+            "SELECT a.nm AS nm_a, b.nm AS nm_b FROM s a JOIN s b "
+            "ON a.nm < b.nm AND levenshtein(a.nm, b.nm) <= 1"
+        ),
+        # integer-cents running sum: floor(v*100 + 0.5) is the same
+        # IEEE op sequence as the numpy kernel, so prefix sums are
+        # exact and accumulation-order-independent
+        "events_user_running_total": (
+            "SELECT event_id, user_id, ts, "
+            "CAST(count(*) OVER w AS BIGINT) AS run_n, "
+            "CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER w "
+            "AS BIGINT) AS run_cents FROM events "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS UNBOUNDED PRECEDING)"
         ),
         "knn_embeddings": knn,
         # IVF with n_probe == n_cells is exhaustive -> provably equal

@@ -5039,3 +5039,228 @@ def docs_chunk_windows(sf_dir: str, window: int = 64, stride: int = 48):
 
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         chunk, batch_format="pandas")
+
+
+# -- Range (interval) self-join: same-user event co-occurrence ---------------
+
+# above this many event rows the build side stops broadcasting and both
+# join roles hash-bucket on the user key (tests patch to 0)
+RANGE_EVENTS_BROADCAST_LIMIT = 5_000_000
+
+_RANGE_PAIRS_SCHEMA = pa.schema([
+    ("a_id", pa.int64()), ("b_id", pa.int64()), ("user_id", pa.int64()),
+])
+
+
+def _range_build_state(df: pd.DataFrame, window_us: int):
+    """Events frame -> build-side state for the interval probe: the
+    sorted unique user ids, a sorted composite key ``user-rank *
+    padded-span + (ts - ts_min)``, the event ids in composite order,
+    and ``(ts_min, span)``. The span is padded by ``window_us + 1`` so
+    a probe's upper bound never crosses into the next user's key range.
+    Returns None when ``n_users * span`` would overflow the int64
+    composite (the caller then routes to / subdivides the exchange
+    path)."""
+    u = df["user_id"].to_numpy().astype(np.int64)
+    u_unique = np.unique(u)
+    if not len(u):
+        return u_unique, np.empty(0, np.int64), np.empty(0, np.int64), 0, 1
+    t = df["ts"].to_numpy().astype("datetime64[us]").view(np.int64)
+    m0 = int(t.min())
+    span = int(t.max()) - m0 + int(window_us) + 1
+    if span <= 0 or int(len(u_unique)) >= (1 << 62) // int(span):
+        return None
+    comp = (np.searchsorted(u_unique, u).astype(np.int64) * np.int64(span)
+            + (t - m0))
+    ix = np.argsort(comp, kind="stable")
+    return (u_unique, comp[ix],
+            df["event_id"].to_numpy().astype(np.int64)[ix], m0, span)
+
+
+def _range_probe(df: pd.DataFrame, state, window_us: int) -> pd.DataFrame:
+    """Vectorized interval probe shared by both join paths: for every
+    probe row ``a`` emit all build rows ``b`` of the same user with
+    ``a.ts <= b.ts < a.ts + window`` and ``b.event_id != a.event_id``
+    (ts ties emit both directions, matching the SQL self-join). Two
+    searchsorted calls bound each probe's candidate run; pair emission
+    is the repeat/offset trick — no per-row Python loop."""
+    u_unique, comp_s, eid_s, m0, span = state
+    empty = pd.DataFrame({
+        "a_id": pd.Series(dtype="int64"), "b_id": pd.Series(dtype="int64"),
+        "user_id": pd.Series(dtype="int64")})
+    if not len(comp_s) or not len(df):
+        return empty
+    u = df["user_id"].to_numpy().astype(np.int64)
+    t = df["ts"].to_numpy().astype("datetime64[us]").view(np.int64)
+    e = df["event_id"].to_numpy().astype(np.int64)
+    k = np.searchsorted(u_unique, u)
+    kc = np.minimum(k, len(u_unique) - 1)
+    comp_a = kc.astype(np.int64) * np.int64(span) + (t - m0)
+    lo = np.searchsorted(comp_s, comp_a, side="left")
+    hi = np.searchsorted(comp_s, comp_a + np.int64(window_us), side="left")
+    counts = np.where(u_unique[kc] == u, hi - lo, 0).astype(np.int64)
+    total = int(counts.sum())
+    if not total:
+        return empty
+    rep = np.repeat(np.arange(len(u), dtype=np.int64), counts)
+    starts = np.concatenate(([np.int64(0)], np.cumsum(counts)[:-1]))
+    bix = lo[rep] + (np.arange(total, dtype=np.int64) - starts[rep])
+    a_id, b_id = e[rep], eid_s[bix]
+    keep = a_id != b_id
+    return pd.DataFrame({"a_id": a_id[keep], "b_id": b_id[keep],
+                         "user_id": u[rep][keep]})
+
+
+def events_range_join(sf_dir: str, window_minutes: int = 10,
+                      num_parts: int = 32):
+    """Range (interval) self-join over the events stream: every pair of
+    same-user events ``(a, b)`` with ``a.ts <= b.ts < a.ts + window``
+    and ``b != a`` — the co-occurrence / attribution primitive SQL
+    spells ``JOIN ... ON b.ts >= a.ts AND b.ts < a.ts + INTERVAL w
+    MINUTE`` and the Dataset API lacks natively (custom operator per
+    SURVEY guidance; reference analog: the study-level input pairing of
+    ns_extract/dataset.py:80-96 is an equality join — this is the
+    event-time generalization a crawl/clickstream corpus needs).
+
+    Below ``RANGE_EVENTS_BROADCAST_LIMIT`` events (and while the global
+    composite key fits int64) the build side broadcasts as sorted
+    composite arrays and probe batches stream with no shuffle; beyond
+    either bound, BOTH roles co-partition by user hash through the
+    filesystem exchange and the identical kernel runs per part —
+    per-part user ranks shrink the composite, so at scale you raise
+    ``num_parts`` instead of overflowing (a part that still overflows
+    raises with that hint). Output (a_id, b_id, user_id)."""
+    import duckdb
+    import ray
+    import ray.data as rd
+
+    window_us = int(window_minutes) * 60_000_000
+    con = duckdb.connect()
+    n_events = con.execute(
+        f"SELECT count(*) FROM read_parquet('{sf_dir}/events.parquet')"
+    ).fetchone()[0]
+    state = None
+    if n_events <= RANGE_EVENTS_BROADCAST_LIMIT:
+        build = con.execute(
+            f"SELECT event_id, user_id, ts FROM "
+            f"read_parquet('{sf_dir}/events.parquet')").fetchdf()
+        state = _range_build_state(build, window_us)
+    con.close()
+    if state is None:
+        return _events_range_join_exchanged(sf_dir, window_us, num_parts)
+    ref = ray.put(state)
+
+    def probe(df: pd.DataFrame) -> pd.DataFrame:
+        from ..stages.broadcast import get_broadcast
+
+        return _range_probe(df, get_broadcast(ref), window_us)
+
+    return rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    ).map_batches(probe, batch_format="pandas")
+
+
+def _events_range_join_exchanged(sf_dir: str, window_us: int,
+                                 num_parts: int):
+    """Scale path: events co-partition by hash(user_id); each part is
+    both build and probe side (a user's full event set lands in one
+    part, so per-part pairs equal the global ones)."""
+    import shutil
+
+    import ray.data as rd
+
+    from ..stages import exchange as ex
+
+    stage = ex.make_stage("nse_rjoin_")
+    in_schema = pa.schema([
+        ("event_id", pa.int64()), ("user_id", pa.int64()),
+        ("ts", pa.timestamp("us")),
+    ])
+    try:
+        ex.write_exchange(
+            rd.read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "user_id", "ts"])
+            .map_batches(lambda b: b.cast(in_schema), batch_format="pyarrow"),
+            stage,
+            lambda b: ex.int_part(
+                [b["user_id"].to_numpy(zero_copy_only=False)], num_parts))
+
+        def pairs_of_part(t: pa.Table) -> pa.Table:
+            df = t.to_pandas()
+            state = _range_build_state(df, window_us)
+            if state is None:
+                raise ValueError(
+                    "events_range_join: per-part users x time-span "
+                    "overflows the int64 composite key; raise num_parts "
+                    f"(currently {num_parts}) so parts hold fewer users")
+            return pa.Table.from_pandas(
+                _range_probe(df, state, window_us),
+                preserve_index=False).cast(_RANGE_PAIRS_SCHEMA)
+
+        return ex.map_parts(stage, num_parts, pairs_of_part,
+                            _RANGE_PAIRS_SCHEMA).materialize()
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+
+
+# -- Cumulative window: per-user running totals ------------------------------
+
+
+def events_user_running_total(sf_dir: str, num_parts: int = 32):
+    """Per-user cumulative window (SQL ``ROWS UNBOUNDED PRECEDING``):
+    for every event, the count and value total of the same user's
+    events so far, ordered by (ts, event_id). The running sum is kept
+    in integer cents (``floor(value * 100 + 0.5)`` — the same IEEE op
+    sequence on both oracle sides) so the prefix sums are exact and
+    independent of accumulation order. Same user-hash partition
+    exchange as sessionize — no driver collect, no broadcast; each part
+    is one vectorized pass: lexsort, one int64 cumsum, a per-group base
+    subtraction at group starts (no per-user Python loop). Output
+    (event_id, user_id, ts, run_n, run_cents)."""
+    import shutil
+
+    import ray.data as rd
+
+    from ..stages import exchange as ex
+
+    stage = ex.make_stage("nse_runtot_")
+    out_schema = pa.schema([
+        ("event_id", pa.int64()), ("user_id", pa.int64()),
+        ("ts", pa.timestamp("us")), ("run_n", pa.int64()),
+        ("run_cents", pa.int64()),
+    ])
+    try:
+        ex.write_exchange(
+            rd.read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "user_id", "ts", "value"]),
+            stage,
+            lambda b: ex.int_part(
+                [b["user_id"].to_numpy(zero_copy_only=False)], num_parts))
+
+        def totals_of_part(t: pa.Table) -> pa.Table:
+            df = t.to_pandas().sort_values(
+                ["user_id", "ts", "event_id"], kind="stable"
+            ).reset_index(drop=True)
+            if not len(df):
+                return out_schema.empty_table()
+            u = df["user_id"].to_numpy().astype(np.int64)
+            cents = np.floor(
+                df["value"].to_numpy().astype(np.float64) * 100.0 + 0.5
+            ).astype(np.int64)
+            cs = np.cumsum(cents)
+            new_grp = np.ones(len(u), dtype=bool)
+            new_grp[1:] = u[1:] != u[:-1]
+            starts = np.flatnonzero(new_grp)
+            counts = np.diff(np.append(starts, len(u)))
+            base = np.where(starts > 0, cs[starts - 1], 0)
+            df["run_cents"] = cs - np.repeat(base, counts)
+            df["run_n"] = (np.arange(len(u), dtype=np.int64)
+                           - np.repeat(starts, counts) + 1)
+            return pa.Table.from_pandas(
+                df[["event_id", "user_id", "ts", "run_n", "run_cents"]],
+                preserve_index=False).cast(out_schema)
+
+        return ex.map_parts(stage, num_parts, totals_of_part,
+                            out_schema).materialize()
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)

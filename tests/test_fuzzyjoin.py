@@ -1,0 +1,100 @@
+"""Fuzzy string join (stages/fuzzyjoin.py): the vectorized
+edit-distance<=1 verify against a hand truth table and DuckDB's
+levenshtein, deletion-neighborhood completeness on a random vocabulary,
+and driver/exchange path equivalence."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    return df.sort_values(list(df.columns), kind="stable").reset_index(drop=True)
+
+
+def test_edit1_mask_truth_table():
+    from neurostore_text_extraction_ray.stages.fuzzyjoin import _edit1_mask
+
+    cases = [
+        ("abc", "abc", True),     # identical
+        ("abc", "abd", True),     # substitution
+        ("abc", "ab", True),      # deletion
+        ("ab", "abc", True),      # insertion (either side longer)
+        ("abc", "xabc", True),    # leading insertion
+        ("abc", "axc", True),
+        ("ab", "ba", False),      # transposition = distance 2
+        ("abc", "adc!", False),   # sub + insert = 2
+        ("abc", "a", False),      # two deletions
+        ("abc", "xyz", False),
+        ("", "a", True),          # empty vs 1-char
+        ("", "", True),
+        ("a", "b", True),
+        ("aaaa", "aaab", True),
+        ("aaaa", "abab", False),
+    ]
+    a = np.array([c[0] for c in cases])
+    b = np.array([c[1] for c in cases])
+    got = _edit1_mask(a, b)
+    exp = np.array([c[2] for c in cases])
+    assert (got == exp).all(), list(zip(a, b, got, exp))
+
+
+def test_edit1_mask_matches_duckdb_levenshtein():
+    from neurostore_text_extraction_ray.stages.fuzzyjoin import _edit1_mask
+
+    rng = np.random.RandomState(7)
+    alpha = list("abc")
+    vocab = ["".join(rng.choice(alpha, rng.randint(0, 5)))
+             for _ in range(60)]
+    a = np.array([vocab[rng.randint(len(vocab))] for _ in range(400)])
+    b = np.array([vocab[rng.randint(len(vocab))] for _ in range(400)])
+    con = duckdb.connect()
+    exp = np.array([
+        con.execute("SELECT levenshtein(?, ?) <= 1", [x, y]).fetchone()[0]
+        for x, y in zip(a, b)])
+    got = _edit1_mask(a, b)
+    assert (got == exp).all()
+
+
+def test_deletion_blocking_is_complete_for_distance_1():
+    """Every distance<=1 pair of distinct strings must share a blocking
+    hash (the FastSS completeness property) — brute-force checked on a
+    random short-string vocabulary."""
+    from neurostore_text_extraction_ray.stages.fuzzyjoin import (
+        _deletion_blocks,
+    )
+
+    rng = np.random.RandomState(11)
+    alpha = list("ab")
+    vocab = sorted({"".join(rng.choice(alpha, rng.randint(0, 4)))
+                    for _ in range(40)})
+    blocks = _deletion_blocks(pd.Series(vocab))
+    by_nm = blocks.groupby("nm")["bh"].apply(set)
+    con = duckdb.connect()
+    for i, x in enumerate(vocab):
+        for y in vocab[i + 1:]:
+            d = con.execute("SELECT levenshtein(?, ?)", [x, y]).fetchone()[0]
+            if d <= 1:
+                assert by_nm[x] & by_nm[y], (x, y)
+
+
+def test_fuzzy_pairs_matches_oracle_and_exchange_path(ray_session,
+                                                      monkeypatch):
+    import __ray_entry__ as e
+    from neurostore_text_extraction_ray.stages import fuzzyjoin
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW part AS SELECT * FROM "
+                f"read_parquet('{SF}/part.parquet')")
+    gold = _canon(con.execute(
+        e.oracle_sql()["part_name_fuzzy_pairs"]).fetchdf())
+    drv = _canon(fuzzyjoin.part_name_fuzzy_pairs(SF).to_pandas())
+    pd.testing.assert_frame_equal(drv, gold)
+    assert len(drv) > 0
+    monkeypatch.setattr(fuzzyjoin, "FUZZY_BLOCKS_DRIVER_LIMIT", 0)
+    exch = _canon(fuzzyjoin.part_name_fuzzy_pairs(SF, num_parts=7).to_pandas())
+    pd.testing.assert_frame_equal(exch, gold)
