@@ -5264,3 +5264,88 @@ def events_user_running_total(sf_dir: str, num_parts: int = 32):
                             out_schema).materialize()
     finally:
         shutil.rmtree(stage, ignore_errors=True)
+
+
+# -- Funnel analysis: ordered-stage conversion counts ------------------------
+
+
+def events_funnel(sf_dir: str,
+                  stages: tuple = ("view", "click", "purchase"),
+                  num_parts: int = 32):
+    """Funnel conversion over the event stream: for every stage k, the
+    number of users with a strictly-increasing timestamp chain
+    ``t_1 < t_2 < ... < t_k`` where ``t_i`` is an event of stage-i's
+    type — each ``t_i`` the EARLIEST qualifying time (the greedy
+    earliest chain, which reaches stage k iff any chain does). The
+    clickstream primitive behind signup/checkout conversion reports.
+
+    The stream is pruned to the stage types at the read, co-partitions
+    by user hash (a user's chain is decided wholly in its part), and
+    each part runs one vectorized pass per stage (``np.minimum.at``
+    scatter-min over factorized users — no per-user Python loop).
+    Only ``len(stages)``-row partial counts leave the parts, through
+    the gated ``grouped_sum_by_key`` combine. Output
+    (stage, n_users)."""
+    import shutil
+
+    import ray.data as rd
+
+    from ..stages import exchange as ex
+
+    stage_list = list(stages)
+    stage_dir = ex.make_stage("nse_funnel_")
+    in_schema = pa.schema([
+        ("user_id", pa.int64()), ("ts", pa.timestamp("us")),
+        ("event_type", pa.string()),
+    ])
+    out_schema = pa.schema([("stage", pa.string()), ("n_users", pa.int64())])
+
+    def prune(b: pa.Table) -> pa.Table:
+        keep = pc.is_in(b["event_type"],
+                        value_set=pa.array(stage_list, pa.string()))
+        return b.filter(keep).select(in_schema.names).cast(in_schema)
+
+    try:
+        ex.write_exchange(
+            rd.read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts", "event_type"])
+            .map_batches(prune, batch_format="pyarrow"),
+            stage_dir,
+            lambda b: ex.int_part(
+                [b["user_id"].to_numpy(zero_copy_only=False)], num_parts))
+
+        def part_counts(tbl: pa.Table) -> pa.Table:
+            df = tbl.to_pandas()
+            if not len(df):
+                return out_schema.empty_table()
+            codes, uniques = pd.factorize(df["user_id"], sort=False)
+            t = df["ts"].to_numpy().astype("datetime64[us]").view(np.int64)
+            et = df["event_type"].to_numpy()
+            n_users = len(uniques)
+            inf = np.iinfo(np.int64).max
+            prev = np.full(n_users, np.iinfo(np.int64).min, dtype=np.int64)
+            counts = []
+            for s in stage_list:
+                cand = np.where((et == s) & (t > prev[codes]), t, inf)
+                cur = np.full(n_users, inf, dtype=np.int64)
+                np.minimum.at(cur, codes, cand)
+                counts.append(int((cur < inf).sum()))
+                prev = cur
+            return pa.table({
+                "stage": pa.array(stage_list, pa.string()),
+                "n_users": pa.array(counts, pa.int64()),
+                # batch-uniqueness for the combine exchange
+                # (write_exchange CONTRACT): parts with identical
+                # counts must not collapse to one fragment
+                "b0": pa.array(
+                    [np.int64(df["user_id"].min())] * len(stage_list),
+                    pa.int64()),
+            })
+
+        partials = ex.map_parts(
+            stage_dir, num_parts, part_counts,
+            out_schema.append(pa.field("b0", pa.int64()))).materialize()
+        return grouped_sum_by_key(partials, "stage", ["n_users"],
+                                  AGG_PARTIALS_DRIVER_LIMIT)
+    finally:
+        shutil.rmtree(stage_dir, ignore_errors=True)

@@ -85,6 +85,20 @@ def build_side_tables():
                     dtype=object), pa.string()),
         })
         pq.write_table(t, cp, row_group_size=125_000)
+    pp = f"{OUT}/part.parquet"
+    if not os.path.exists(pp):
+        # 2M part rows over a 200k-name vocabulary (10x duplication);
+        # the fuzzy join's own %7 truncation plant supplies the
+        # distance-1 mass — vocabulary-sized blocking is what's measured
+        rng = np.random.default_rng(29)
+        nm = np.array([f"item {i:06d}" for i in range(200_000)],
+                      dtype=object)
+        t = pa.table({
+            "p_partkey": pa.array(np.arange(N, dtype=np.int64)),
+            "p_name": pa.array(nm[rng.integers(0, 200_000, N)],
+                               pa.string()),
+        })
+        pq.write_table(t, pp, row_group_size=125_000)
     lp = f"{OUT}/lineitem.parquet"
     if not os.path.exists(lp):
         rng = np.random.default_rng(23)
@@ -386,6 +400,29 @@ def main():
         return steps.customer_order_counts(OUT).materialize().count()
 
     run("customer_order_counts_exchange", _outer_join_exchange)
+
+    def _range_join_exchange():
+        # gate 0: 2M events co-partition by user hash; per-part
+        # composite-key searchsorted probe (100k users x 42 days)
+        steps.RANGE_EVENTS_BROADCAST_LIMIT = 0
+        return steps.events_range_join(OUT).materialize().count()
+
+    run("events_range_join_exchange", _range_join_exchange)
+
+    # pure exchange (no broadcast/driver path exists): 2M events, one
+    # segmented int64 cumsum per user-hash part
+    run("events_user_running_total",
+        lambda: steps.events_user_running_total(OUT).materialize().count())
+
+    def _fuzzy_join_exchange():
+        # gate 0: ~200k distinct names -> ~2.4M deletion-blocking rows
+        # through the block-hash exchange + the two-round payload verify
+        from neurostore_text_extraction_ray.stages import fuzzyjoin
+
+        fuzzyjoin.FUZZY_BLOCKS_DRIVER_LIMIT = 0
+        return fuzzyjoin.part_name_fuzzy_pairs(OUT).count()
+
+    run("part_name_fuzzy_pairs_exchange", _fuzzy_join_exchange)
 
     results["driver_maxrss_gb"] = round(
         resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6, 2)
