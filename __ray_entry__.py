@@ -303,6 +303,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_range_join": steps.events_range_join,
         "events_user_running_total": steps.events_user_running_total,
         "part_name_fuzzy_pairs": _part_name_fuzzy_pairs,
+        "events_funnel": steps.events_funnel,
+        "docs_pmi_bigrams": steps.docs_pmi_bigrams,
+        "lineitem_cube": lambda sf: _round_cols(
+            steps.lineitem_cube(sf), {"sum_qty": 4, "sum_revenue": 4}),
         # --- last driver-verified in r3 ---
         "ngram_jaccard_dups": _ngram_jaccard_dups,
         "embedding_cosine_dups": _embedding_cosine_dups,
@@ -685,6 +689,14 @@ def oracle_sql() -> dict[str, str]:
             "count(*) AS n_rows "
             "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)"
         ),
+        "lineitem_cube": (
+            "SELECT l_returnflag, l_linestatus, "
+            "round(sum(l_quantity), 4) AS sum_qty, "
+            "round(sum(l_extendedprice * (1 - l_discount)), 4) "
+            "  AS sum_revenue, "
+            "count(*) AS n_rows "
+            "FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)"
+        ),
         # Connected components of the planted host graph, oracled by a
         # genuine recursive-CTE reachability query (not a plant
         # re-derivation): component = min reachable host over the
@@ -785,6 +797,49 @@ def oracle_sql() -> dict[str, str]:
             "  WHERE p_partkey % 7 = 0) "
             "SELECT a.nm AS nm_a, b.nm AS nm_b FROM s a JOIN s b "
             "ON a.nm < b.nm AND levenshtein(a.nm, b.nm) <= 1"
+        ),
+        # PMI over adjacent \w\w+ token pairs; identical IEEE op tree
+        # (nab/B) / ((na/T) * (nb/T)) inside ln on both sides, rounded
+        # to 6dp BEFORE the (pmi desc, bigram asc) total order
+        "docs_pmi_bigrams": (
+            r"WITH arrs AS (SELECT regexp_extract_all(lower(text), "
+            r"'\w\w+') AS a FROM documents), "
+            "uni AS (SELECT unnest(a) AS w FROM arrs), "
+            "big AS (SELECT a[i] || ' ' || a[i+1] AS bg FROM arrs, "
+            "  unnest(generate_series(1, greatest(len(a) - 1, 0))) "
+            "  AS t(i)), "
+            "uc AS (SELECT w, count(*) AS n FROM uni GROUP BY w), "
+            "bc AS (SELECT bg, count(*) AS n FROM big GROUP BY bg "
+            "  HAVING count(*) >= 5), "
+            "tot AS (SELECT CAST((SELECT count(*) FROM uni) AS DOUBLE) "
+            "  AS t, CAST((SELECT count(*) FROM big) AS DOUBLE) AS b) "
+            "SELECT bc.bg AS bigram, bc.n AS n, "
+            "round(ln((CAST(bc.n AS DOUBLE) / tot.b) / "
+            "((CAST(ua.n AS DOUBLE) / tot.t) * "
+            "(CAST(ub.n AS DOUBLE) / tot.t))), 6) AS pmi "
+            "FROM bc, tot "
+            "JOIN uc ua ON ua.w = split_part(bc.bg, ' ', 1) "
+            "JOIN uc ub ON ub.w = split_part(bc.bg, ' ', 2) "
+            "ORDER BY pmi DESC, bigram LIMIT 20"
+        ),
+        # greedy earliest chain: each stage's time is the min event
+        # time strictly after the previous stage's — a user reaches
+        # stage k under ANY chain iff under the greedy one
+        "events_funnel": (
+            "WITH u1 AS (SELECT user_id, min(ts) AS t FROM events "
+            "  WHERE event_type = 'view' GROUP BY user_id), "
+            "u2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e "
+            "  JOIN u1 ON e.user_id = u1.user_id "
+            "  WHERE e.event_type = 'click' AND e.ts > u1.t "
+            "  GROUP BY e.user_id), "
+            "u3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e "
+            "  JOIN u2 ON e.user_id = u2.user_id "
+            "  WHERE e.event_type = 'purchase' AND e.ts > u2.t "
+            "  GROUP BY e.user_id) "
+            "SELECT 'view' AS stage, CAST(count(*) AS BIGINT) AS n_users "
+            "FROM u1 UNION ALL "
+            "SELECT 'click', CAST(count(*) AS BIGINT) FROM u2 UNION ALL "
+            "SELECT 'purchase', CAST(count(*) AS BIGINT) FROM u3"
         ),
         # integer-cents running sum: floor(v*100 + 0.5) is the same
         # IEEE op sequence as the numpy kernel, so prefix sums are

@@ -3322,36 +3322,49 @@ def lineitem_rollup(sf_dir: str):
         ds.map_batches(partial, batch_format="pandas").materialize(),
         ["l_returnflag", "l_linestatus"], sums, AGG_PARTIALS_DRIVER_LIMIT)
 
-    def rollup_partial(df: pd.DataFrame, keys: list[str]) -> pd.DataFrame:
-        # input rows are the previous level's COMBINED output — one
-        # row per group key, globally unique — so the batch-min key
-        # hash satisfies the b0 batch-uniqueness contract
-        if keys:
-            g = df.groupby(keys, sort=False)[sums].sum().reset_index()
-            hk = df[keys[0]].astype(str)
-            for k in keys[1:]:
-                hk = hk + "\x1f" + df[k].astype(str)
-        else:
-            g = pd.DataFrame({c: [df[c].sum()] for c in sums})
-            g["n_rows"] = g["n_rows"].astype("int64")
-            hk = df["l_returnflag"].astype(str)
-        g["b0"] = (np.int64(pd.util.hash_array(
-            hk.to_numpy(dtype=object)).min()) if len(df)
-            else np.int64(0))
-        return g
-
     level1 = grouped_sum_by_key(
-        level2.map_batches(lambda df: rollup_partial(df, ["l_returnflag"]),
-                           batch_format="pandas").materialize(),
+        level2.map_batches(
+            lambda df: _lattice_partial(df, ["l_returnflag"], sums,
+                                        ["l_returnflag"]),
+            batch_format="pandas").materialize(),
         "l_returnflag", sums, AGG_PARTIALS_DRIVER_LIMIT)
     # the grand total has no group key: a constant-key gated combine
     # (one partial row per batch of level-1 rows)
     level0 = grouped_sum_by_key(
         level1.map_batches(
-            lambda df: rollup_partial(df, []).assign(all=np.int64(0)),
+            lambda df: _lattice_partial(df, [], sums, ["l_returnflag"])
+            .assign(all=np.int64(0)),
             batch_format="pandas").materialize(),
         "all", sums, AGG_PARTIALS_DRIVER_LIMIT)
 
+    finish = _lattice_finish(out_schema)
+    return (level2.map_batches(finish, batch_format="pandas")
+            .union(level1.map_batches(finish, batch_format="pandas"))
+            .union(level0.map_batches(finish, batch_format="pandas")))
+
+
+def _lattice_partial(df: pd.DataFrame, keys: list[str], sums: list[str],
+                     hash_cols: list[str]) -> pd.DataFrame:
+    """Re-aggregate an already-combined lattice level into a coarser
+    grouping subset. Input rows are a previous level's COMBINED output
+    — one row per group key, globally unique — so the batch-min key
+    hash over ``hash_cols`` satisfies the ``b0`` batch-uniqueness
+    contract."""
+    if keys:
+        g = df.groupby(keys, sort=False)[sums].sum().reset_index()
+    else:
+        g = pd.DataFrame({c: [df[c].sum()] for c in sums})
+        g["n_rows"] = g["n_rows"].astype("int64")
+    hk = df[hash_cols[0]].astype(str)
+    for k in hash_cols[1:]:
+        hk = hk + "\x1f" + df[k].astype(str)
+    g["b0"] = (np.int64(pd.util.hash_array(
+        hk.to_numpy(dtype=object)).min()) if len(df)
+        else np.int64(0))
+    return g
+
+
+def _lattice_finish(out_schema: pa.Schema):
     def finish(df: pd.DataFrame) -> pa.Table:
         # absent key columns are this level's rolled-up ones -> NULL
         arrs = [pa.array(df[name], typ) if name in df.columns
@@ -3359,9 +3372,42 @@ def lineitem_rollup(sf_dir: str):
                 for name, typ in zip(out_schema.names, out_schema.types)]
         return pa.Table.from_arrays(arrs, schema=out_schema)
 
-    return (level2.map_batches(finish, batch_format="pandas")
-            .union(level1.map_batches(finish, batch_format="pandas"))
-            .union(level0.map_batches(finish, batch_format="pandas")))
+    return finish
+
+
+def lineitem_cube(sf_dir: str):
+    """``GROUP BY CUBE(l_returnflag, l_linestatus)`` — the full
+    grouping-subset lattice (ROLLUP plus the per-status level). Shares
+    the ROLLUP construction: the fact stream feeds the finest level
+    ONCE through ``lineitem_rollup``'s level-2 combine; every coarser
+    subset re-aggregates combined rows (sum-additive, exact). The
+    per-status level comes from level 2 and the grand total from the
+    per-flag level — each through the same gated combine."""
+    rollup = lineitem_rollup(sf_dir)
+    # rollup emits levels (flag,status), (flag), (); recompute the
+    # finest level once more for the missing (status) subset: the fact
+    # partial pass below reuses rollup's own level-2 combine output by
+    # filtering the finest rows (both key columns non-NULL)
+    import ray.data as rd  # noqa: F401  (Dataset ops below)
+
+    out_schema = pa.schema([
+        ("l_returnflag", pa.string()), ("l_linestatus", pa.string()),
+        ("sum_qty", pa.float64()), ("sum_revenue", pa.float64()),
+        ("n_rows", pa.int64()),
+    ])
+    sums = ["sum_qty", "sum_revenue", "n_rows"]
+    finest = rollup.map_batches(
+        lambda b: b.filter(pc.and_(pc.is_valid(b["l_returnflag"]),
+                                   pc.is_valid(b["l_linestatus"]))),
+        batch_format="pyarrow")
+    status_level = grouped_sum_by_key(
+        finest.map_batches(
+            lambda df: _lattice_partial(df, ["l_linestatus"], sums,
+                                        ["l_returnflag", "l_linestatus"]),
+            batch_format="pandas").materialize(),
+        "l_linestatus", sums, AGG_PARTIALS_DRIVER_LIMIT)
+    return rollup.union(status_level.map_batches(
+        _lattice_finish(out_schema), batch_format="pandas"))
 
 
 def events_hourly(sf_dir: str):
@@ -5349,3 +5395,208 @@ def events_funnel(sf_dir: str,
                                   AGG_PARTIALS_DRIVER_LIMIT)
     finally:
         shutil.rmtree(stage_dir, ignore_errors=True)
+
+
+# -- PMI collocations: phrase mining over corpus bigrams ---------------------
+
+# above this many combined (gram, n) vocabulary rows the PMI scoring
+# join leaves the driver for the two-round co-partitioned exchange
+# (tests patch to 0)
+PMI_SCORE_DRIVER_LIMIT = 5_000_000
+
+_PMI_SCHEMA = pa.schema([
+    ("bigram", pa.string()), ("n", pa.int64()), ("pmi", pa.float64()),
+])
+
+
+def _pmi_value(nab, na, nb, tot_t: float, tot_b: float) -> np.ndarray:
+    """round(ln((nab/B) / ((na/T) * (nb/T))), 6) — the exact IEEE op
+    tree the SQL oracle spells, so scores hash-match."""
+    return np.round(np.log(
+        (nab.astype(np.float64) / tot_b)
+        / ((na.astype(np.float64) / tot_t)
+           * (nb.astype(np.float64) / tot_t))), 6)
+
+
+def docs_pmi_bigrams(sf_dir: str, k: int = 20, min_count: int = 5,
+                     num_parts: int = 32):
+    """Top-``k`` corpus bigram collocations by pointwise mutual
+    information (phrase mining — the multi-word-expression signal a
+    tokenizer/vocabulary pipeline wants before merging phrases).
+    ``pmi = ln(p(ab) / (p(a) p(b)))`` over adjacent ``\\w\\w+`` token
+    pairs, restricted to bigrams with count >= ``min_count``;
+    deterministic total order (pmi desc, bigram asc) on the ROUNDED
+    score so both oracle sides rank identically.
+
+    One tokenize pass emits per-batch unigram + bigram count partials
+    in a single stream (unigram keys never contain a space, bigram
+    keys always do; ``#T``/``#B`` sentinel rows carry the token/bigram
+    totals — ``#`` cannot appear in a ``\\w`` token), all combined by
+    the shared gated ``grouped_sum_by_key``. Scoring joins each
+    bigram's count with both words' counts: a driver merge below
+    ``PMI_SCORE_DRIVER_LIMIT`` combined vocabulary rows; beyond it a
+    two-round co-partitioned exchange join (bigrams by hash(word1)
+    against unigrams by hash(word), then re-keyed by hash(word2) —
+    the verify_pairs attach shape), each part taking its local top-k
+    under the same total order (a bigram's score lands in exactly one
+    part, so the global top-k is a subset of the per-part union) and
+    the driver merging ``num_parts * k`` rows. The token stream never
+    leaves the tokenize pass. Output (bigram, n, pmi)."""
+    import ray.data as rd
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].fillna("").str.lower().str.findall(SK_TOKEN_RE)
+        flat = toks.explode().dropna()
+        uc = flat.value_counts()
+        # bigrams: adjacent within one doc — shift-compare the doc ids
+        # of the exploded stream to mask cross-doc seams
+        fv = flat.to_numpy(dtype=object)
+        di = flat.index.to_numpy()
+        if len(fv) > 1:
+            same = di[1:] == di[:-1]
+            bg = pd.Series(fv[:-1][same]) + " " + pd.Series(fv[1:][same])
+        else:
+            bg = pd.Series([], dtype=object)
+        bc = bg.value_counts()
+        out = pd.DataFrame({
+            "gram": np.concatenate([
+                uc.index.to_numpy(dtype=object),
+                bc.index.to_numpy(dtype=object),
+                np.array(["#T", "#B"], dtype=object)]),
+            "n": np.concatenate([
+                uc.to_numpy().astype(np.int64),
+                bc.to_numpy().astype(np.int64),
+                np.array([len(flat), len(bg)], dtype=np.int64)]),
+        })
+        out["b0"] = np.int64(df["doc_id"].min()) if len(df) else np.int64(0)
+        return out
+
+    partials_ds = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(partial, batch_format="pandas")
+        .materialize()
+    )
+    combined = grouped_sum_by_key(
+        partials_ds, "gram", ["n"], TERMS_DRIVER_LIMIT).materialize()
+    tot = (combined
+           .map_batches(lambda df: df[df["gram"].isin(["#T", "#B"])],
+                        batch_format="pandas")
+           .to_pandas().set_index("gram")["n"])
+    tot_t = float(tot.get("#T", 0))
+    tot_b = float(tot.get("#B", 0))
+    if tot_b == 0.0 or tot_t == 0.0:
+        return rd.from_arrow(_PMI_SCHEMA.empty_table())
+
+    if combined.count() <= PMI_SCORE_DRIVER_LIMIT:
+        df = combined.to_pandas()
+        is_big = df["gram"].str.contains(" ", regex=False)
+        uni = df[~is_big & ~df["gram"].str.startswith("#")]
+        big = df[is_big & (df["n"] >= min_count)].copy()
+        if not len(big):
+            return rd.from_arrow(_PMI_SCHEMA.empty_table())
+        w = big["gram"].str.split(" ", n=1, expand=True)
+        un = uni.set_index("gram")["n"]
+        big["pmi"] = _pmi_value(
+            big["n"].to_numpy(),
+            un.reindex(w[0].to_numpy()).to_numpy(),
+            un.reindex(w[1].to_numpy()).to_numpy(), tot_t, tot_b)
+        big = big.sort_values(["pmi", "gram"], ascending=[False, True],
+                              kind="stable").head(k)
+        return rd.from_pandas(pd.DataFrame({
+            "bigram": big["gram"].to_numpy(dtype=object),
+            "n": big["n"].to_numpy(),
+            "pmi": big["pmi"].to_numpy()}))
+    return _pmi_scored_exchanged(combined, k, min_count, tot_t, tot_b,
+                                 num_parts)
+
+
+def _pmi_scored_exchanged(combined, k: int, min_count: int,
+                          tot_t: float, tot_b: float, num_parts: int):
+    """Scale path for the PMI scoring join: unigram rows partition by
+    hash(word); bigram rows attach word-1's count in word-1's part,
+    re-exchange to word-2's part for the second count, score, and take
+    a per-part top-k under the global total order."""
+    import shutil
+
+    import ray.data as rd
+
+    from ..stages import exchange as ex
+
+    uni_stage = ex.make_stage("nse_pmi_uni_")
+    b1_stage = ex.make_stage("nse_pmi_b1_")
+    b2_stage = ex.make_stage("nse_pmi_b2_")
+    uni_schema = pa.schema([("gram", pa.string()), ("n", pa.int64())])
+    b1_schema = pa.schema([
+        ("bigram", pa.string()), ("n", pa.int64()),
+        ("w1", pa.string()), ("w2", pa.string())])
+    b2_schema = pa.schema([
+        ("bigram", pa.string()), ("n", pa.int64()),
+        ("w2", pa.string()), ("na", pa.int64())])
+
+    def uni_rows(df: pd.DataFrame) -> pd.DataFrame:
+        m = ~df["gram"].str.contains(" ", regex=False)
+        return df[m & ~df["gram"].str.startswith("#")][["gram", "n"]]
+
+    def big_rows(df: pd.DataFrame) -> pd.DataFrame:
+        sub = df[df["gram"].str.contains(" ", regex=False)
+                 & (df["n"] >= min_count)]
+        if not len(sub):
+            return pd.DataFrame({"bigram": pd.Series(dtype="object"),
+                                 "n": pd.Series(dtype="int64"),
+                                 "w1": pd.Series(dtype="object"),
+                                 "w2": pd.Series(dtype="object")})
+        w = sub["gram"].str.split(" ", n=1, expand=True)
+        return pd.DataFrame({"bigram": sub["gram"].to_numpy(dtype=object),
+                             "n": sub["n"].to_numpy(),
+                             "w1": w[0].to_numpy(dtype=object),
+                             "w2": w[1].to_numpy(dtype=object)})
+
+    by_col = lambda c: lambda b: _term_part(  # noqa: E731
+        b[c].to_numpy(zero_copy_only=False), num_parts)
+    try:
+        ex.write_exchange(
+            combined.map_batches(uni_rows, batch_format="pandas")
+            .map_batches(lambda b: b.cast(uni_schema), batch_format="pyarrow"),
+            uni_stage, by_col("gram"))
+        ex.write_exchange(
+            combined.map_batches(big_rows, batch_format="pandas")
+            .map_batches(lambda b: b.cast(b1_schema), batch_format="pyarrow"),
+            b1_stage, by_col("w1"))
+
+        def attach_a(big_t: pa.Table, uni_t: pa.Table) -> pa.Table:
+            bdf = big_t.to_pandas()
+            un = uni_t.to_pandas().set_index("gram")["n"]
+            bdf["na"] = un.reindex(bdf["w1"].to_numpy()).to_numpy()
+            return pa.Table.from_pandas(
+                bdf[["bigram", "n", "w2", "na"]],
+                preserve_index=False).cast(b2_schema)
+
+        mid = ex.map_parts([b1_stage, uni_stage], num_parts, attach_a,
+                           b2_schema, in_schemas=[b1_schema, uni_schema])
+        ex.write_exchange(mid, b2_stage, by_col("w2"))
+
+        def attach_b_score(mid_t: pa.Table, uni_t: pa.Table) -> pa.Table:
+            mdf = mid_t.to_pandas()
+            if not len(mdf):
+                return _PMI_SCHEMA.empty_table()
+            un = uni_t.to_pandas().set_index("gram")["n"]
+            nb = un.reindex(mdf["w2"].to_numpy()).to_numpy()
+            mdf["pmi"] = _pmi_value(mdf["n"].to_numpy(),
+                                    mdf["na"].to_numpy(), nb, tot_t, tot_b)
+            top = mdf.sort_values(["pmi", "bigram"],
+                                  ascending=[False, True],
+                                  kind="stable").head(k)
+            return pa.Table.from_pandas(
+                top[["bigram", "n", "pmi"]],
+                preserve_index=False).cast(_PMI_SCHEMA)
+
+        cand = ex.map_parts([b2_stage, uni_stage], num_parts,
+                            attach_b_score, _PMI_SCHEMA,
+                            in_schemas=[b2_schema, uni_schema]).to_pandas()
+        out = cand.sort_values(["pmi", "bigram"], ascending=[False, True],
+                               kind="stable").head(k).reset_index(drop=True)
+        return rd.from_pandas(out) if len(out) else rd.from_arrow(
+            _PMI_SCHEMA.empty_table())
+    finally:
+        for s in (uni_stage, b1_stage, b2_stage):
+            shutil.rmtree(s, ignore_errors=True)

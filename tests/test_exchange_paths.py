@@ -139,6 +139,24 @@ def test_lineitem_rollup_exchange_equivalence(ray_session, monkeypatch):
     assert int(grand["n_rows"].iloc[0]) == int(finest["n_rows"].sum())
 
 
+def test_lineitem_cube_exchange_equivalence(ray_session, monkeypatch):
+    """CUBE lattice: exchange path equals the driver path; CUBE =
+    ROLLUP plus an internally-consistent per-status level (its
+    subtotals are the exact int sums of the finest level's columns)."""
+    from neurostore_text_extraction_ray.pipelines import steps
+
+    drv = _canon(steps.lineitem_cube(SF).to_pandas())
+    monkeypatch.setattr(steps, "AGG_PARTIALS_DRIVER_LIMIT", 0)
+    exch = _canon(steps.lineitem_cube(SF).to_pandas())
+    pd.testing.assert_frame_equal(drv, exch)
+    finest = drv[drv["l_returnflag"].notna() & drv["l_linestatus"].notna()]
+    states = drv[drv["l_returnflag"].isna() & drv["l_linestatus"].notna()]
+    assert len(finest) == 6 and len(states) == 2 and len(drv) == 12
+    per_status = finest.groupby("l_linestatus")["n_rows"].sum()
+    for _, r in states.iterrows():
+        assert int(r["n_rows"]) == int(per_status[r["l_linestatus"]])
+
+
 def test_customer_order_counts_exchange_equivalence(ray_session, monkeypatch):
     """LEFT OUTER zero-fill join: the co-partitioned exchange path
     (both gates patched to 0 — aggregate combine AND join broadcast)

@@ -103,7 +103,8 @@ def _pairs():
     "events_user_hll_hourly", "lineitem_rollup", "customer_order_counts",
     "host_components", "docs_lang_quantiles", "events_user_retention",
     "events_range_join", "events_user_running_total",
-    "part_name_fuzzy_pairs",
+    "part_name_fuzzy_pairs", "events_funnel", "docs_pmi_bigrams",
+    "lineitem_cube",
 ])
 def test_query_matches_oracle(name, ray_session):
     import __ray_entry__ as e

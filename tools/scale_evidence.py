@@ -424,6 +424,24 @@ def main():
 
     run("part_name_fuzzy_pairs_exchange", _fuzzy_join_exchange)
 
+    def _funnel_exchange():
+        # AGG gate 0: the 6-row-per-part stage counts combine through
+        # the key-hash exchange; the 2M-event stream crosses once
+        steps.AGG_PARTIALS_DRIVER_LIMIT = 0
+        return steps.events_funnel(
+            OUT, stages=("view", "click", "buy")).materialize().count()
+
+    run("events_funnel_exchange", _funnel_exchange)
+
+    def _pmi_exchange():
+        # both gates 0: ~2.4M-row gram vocabulary combines and scores
+        # entirely through term-hash exchanges (two-round attach join)
+        steps.TERMS_DRIVER_LIMIT = 0
+        steps.PMI_SCORE_DRIVER_LIMIT = 0
+        return steps.docs_pmi_bigrams(OUT).materialize().count()
+
+    run("docs_pmi_bigrams_exchange", _pmi_exchange)
+
     results["driver_maxrss_gb"] = round(
         resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6, 2)
     print(json.dumps(results), flush=True)
