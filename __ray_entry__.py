@@ -307,6 +307,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_pmi_bigrams": steps.docs_pmi_bigrams,
         "lineitem_cube": lambda sf: _round_cols(
             steps.lineitem_cube(sf), {"sum_qty": 4, "sum_revenue": 4}),
+        "docs_nchars_quantiles_cont": steps.docs_nchars_quantiles_cont,
+        "docs_lang_corr": steps.docs_lang_corr,
         # --- last driver-verified in r3 ---
         "ngram_jaccard_dups": _ngram_jaccard_dups,
         "embedding_cosine_dups": _embedding_cosine_dups,
@@ -637,6 +639,36 @@ def oracle_sql() -> dict[str, str]:
             "  UNION ALL SELECT 0.50, quantile_disc(n_chars, 0.50) FROM documents"
             "  UNION ALL SELECT 0.75, quantile_disc(n_chars, 0.75) FROM documents"
             "  UNION ALL SELECT 0.95, quantile_disc(n_chars, 0.95) FROM documents)"
+        ),
+        "docs_nchars_quantiles_cont": (
+            "SELECT q, value FROM ("
+            "  SELECT 0.25 AS q, round(quantile_cont(n_chars, 0.25), 4)"
+            "    AS value FROM documents"
+            "  UNION ALL SELECT 0.50, round(quantile_cont(n_chars, 0.50), 4)"
+            "    FROM documents"
+            "  UNION ALL SELECT 0.75, round(quantile_cont(n_chars, 0.75), 4)"
+            "    FROM documents"
+            "  UNION ALL SELECT 0.95, round(quantile_cont(n_chars, 0.95), 4)"
+            "    FROM documents)"
+        ),
+        # exact integer moment sums on both sides; the identical
+        # (n*Sxy - Sx*Sy) / (sqrt(n*Sxx - Sx^2) * sqrt(n*Syy - Sy^2))
+        # double expression — NOT the stream-order-dependent corr()
+        "docs_lang_corr": (
+            r"WITH t AS (SELECT lang, n_chars AS x, "
+            r"len(regexp_extract_all(lower(text), '\w\w+')) AS y "
+            "FROM documents), "
+            "m AS (SELECT lang, count(*) AS n, sum(x) AS sx, sum(y) AS sy, "
+            "  sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy "
+            "  FROM t GROUP BY lang) "
+            "SELECT lang, CAST(n AS BIGINT) AS n, "
+            "round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) "
+            "  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) "
+            " / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) "
+            "    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) "
+            "  * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) "
+            "    - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) "
+            "AS corr_len_tokens FROM m"
         ),
         "events_user_retention": (
             "WITH ud AS (SELECT DISTINCT date_trunc('day', ts) AS day, "

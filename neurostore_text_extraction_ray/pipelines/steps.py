@@ -5600,3 +5600,106 @@ def _pmi_scored_exchanged(combined, k: int, min_count: int,
     finally:
         for s in (uni_stage, b1_stage, b2_stage):
             shutil.rmtree(s, ignore_errors=True)
+
+
+# -- Interpolated (continuous) quantiles --------------------------------------
+
+
+def docs_nchars_quantiles_cont(sf_dir: str, qs=(0.25, 0.5, 0.75, 0.95)):
+    """Exact INTERPOLATED quantiles (SQL ``quantile_cont`` /
+    ``percentile_cont``) of an integer column without a sort — the
+    continuous companion of ``docs_nchars_quantiles``: the same
+    distinct-value histogram partials and driver combine, then the two
+    order statistics around ``pos = q * (n - 1)`` are read off the
+    cumulative counts and linearly interpolated
+    (``lo + (pos - floor(pos)) * (hi - lo)`` — exact in float64 for
+    int values below 2^52, matching DuckDB's interpolator bit-for-bit
+    on integer inputs). Output (q, value[double])."""
+    import math
+
+    import ray.data as rd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v, c = np.unique(
+            batch["n_chars"].to_numpy(zero_copy_only=False),
+            return_counts=True)
+        return pa.table({"value": pa.array(v, pa.int64()),
+                         "n": pa.array(c.astype(np.int64), pa.int64())})
+
+    partials = (
+        _docs(sf_dir, ["n_chars"])
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+    )
+    hist = partials.groupby("value", sort=True)["n"].sum()
+    values = hist.index.to_numpy()
+    cum = hist.to_numpy().cumsum()
+    n = int(cum[-1]) if len(cum) else 0
+    rows_q, rows_v = [], []
+    for q in qs:
+        if n == 0:
+            continue
+        pos = float(q) * (n - 1)
+        lo_k, hi_k = math.floor(pos), math.ceil(pos)
+        # order statistic k (0-indexed) = first value with cum >= k+1
+        lo_v = float(values[np.searchsorted(cum, lo_k + 1)])
+        hi_v = float(values[np.searchsorted(cum, hi_k + 1)])
+        rows_q.append(float(q))
+        rows_v.append(round(lo_v + (pos - lo_k) * (hi_v - lo_v), 4))
+    return rd.from_arrow(pa.table({
+        "q": pa.array(rows_q, pa.float64()),
+        "value": pa.array(rows_v, pa.float64()),
+    }))
+
+
+# -- Grouped correlation (distributed covariance from exact int sums) --------
+
+
+def docs_lang_corr(sf_dir: str, num_parts: int = 32):
+    """Per-language Pearson correlation between document length
+    (n_chars) and token count — the distributed covariance/correlation
+    aggregate, computed EXACTLY: per-batch integer moment partials
+    (n, Sx, Sy, Sxx, Syy, Sxy — int64, exact) through the shared gated
+    ``grouped_sum_by_key`` combine, then one float evaluation of
+    ``(n*Sxy - Sx*Sy) / (sqrt(n*Sxx - Sx^2) * sqrt(n*Syy - Sy^2))``
+    per group. The SQL oracle computes the SAME expression from the
+    same exact integer sums (not the stream-order-dependent ``corr()``
+    aggregate), so both sides match to the last bit before the 6dp
+    round. Output (lang, n, corr_len_tokens)."""
+    import ray.data as rd
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        x = df["n_chars"].to_numpy().astype(np.int64)
+        y = (df["text"].fillna("").str.lower()
+             .str.count(SK_TOKEN_RE).to_numpy().astype(np.int64))
+        g = pd.DataFrame({
+            "lang": df["lang"].to_numpy(),
+            "n": np.int64(1), "sx": x, "sy": y,
+            "sxx": x * x, "syy": y * y, "sxy": x * y,
+        }).groupby("lang", sort=False).sum().reset_index()
+        g["b0"] = np.int64(df["doc_id"].min()) if len(df) else np.int64(0)
+        return g
+
+    combined = grouped_sum_by_key(
+        _docs(sf_dir, ["doc_id", "lang", "n_chars", "text"])
+        .map_batches(partial, batch_format="pandas").materialize(),
+        "lang", ["n", "sx", "sy", "sxx", "syy", "sxy"],
+        AGG_PARTIALS_DRIVER_LIMIT, num_parts=num_parts)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["n"].to_numpy().astype(np.float64)
+        sx = df["sx"].to_numpy().astype(np.float64)
+        sy = df["sy"].to_numpy().astype(np.float64)
+        sxx = df["sxx"].to_numpy().astype(np.float64)
+        syy = df["syy"].to_numpy().astype(np.float64)
+        sxy = df["sxy"].to_numpy().astype(np.float64)
+        corr = np.round((n * sxy - sx * sy)
+                        / (np.sqrt(n * sxx - sx * sx)
+                           * np.sqrt(n * syy - sy * sy)), 6)
+        return pd.DataFrame({
+            "lang": df["lang"].to_numpy(),
+            "n": df["n"].to_numpy().astype(np.int64),
+            "corr_len_tokens": corr,
+        })
+
+    return combined.map_batches(finish, batch_format="pandas")
