@@ -3384,12 +3384,9 @@ def lineitem_cube(sf_dir: str):
     per-status level comes from level 2 and the grand total from the
     per-flag level — each through the same gated combine."""
     rollup = lineitem_rollup(sf_dir)
-    # rollup emits levels (flag,status), (flag), (); recompute the
-    # finest level once more for the missing (status) subset: the fact
-    # partial pass below reuses rollup's own level-2 combine output by
-    # filtering the finest rows (both key columns non-NULL)
-    import ray.data as rd  # noqa: F401  (Dataset ops below)
-
+    # rollup emits levels (flag,status), (flag), (); the missing
+    # (status) subset re-aggregates rollup's own finest combined rows
+    # (both key columns non-NULL)
     out_schema = pa.schema([
         ("l_returnflag", pa.string()), ("l_linestatus", pa.string()),
         ("sum_qty", pa.float64()), ("sum_revenue", pa.float64()),
