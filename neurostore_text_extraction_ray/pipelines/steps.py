@@ -758,19 +758,15 @@ def lineitem_orders_semijoin(sf_dir: str, price_threshold: float = 400000.0):
 # -- Distributed quantiles via value-histogram sketch -----------------------
 
 
-def docs_nchars_quantiles(sf_dir: str, qs=(0.25, 0.5, 0.75, 0.95)):
-    """Exact discrete quantiles of an integer column without a sort:
-    per-batch (value, count) histogram partials -> small driver combine
-    -> cumulative-count quantile selection (DuckDB ``quantile_disc``
-    semantics: the smallest value whose cumulative count reaches
-    ``ceil(q * n)``). The combine is bounded by the DISTINCT-value
-    cardinality, not the row count — the right shape for bounded-int
-    columns (lengths, scores, days); for unbounded/float columns,
-    pre-bucket the value in the partial (fixed-width bins) and the same
-    machinery yields bin-accurate quantiles. Output (q, value)."""
-    import math
-
-    import ray.data as rd
+def _nchars_histogram(sf_dir: str):
+    """Shared first phase of the exact quantile family: per-batch
+    (value, count) histogram partials over ``n_chars`` -> small driver
+    combine -> ``(sorted distinct values, cumulative counts, n)``. The
+    combine is bounded by the DISTINCT-value cardinality, not the row
+    count — the right shape for bounded-int columns (lengths, scores,
+    days); for unbounded/float columns, pre-bucket the value in the
+    partial (fixed-width bins) and the same machinery yields
+    bin-accurate quantiles."""
 
     def partial(batch: pa.Table) -> pa.Table:
         v, c = np.unique(
@@ -786,7 +782,19 @@ def docs_nchars_quantiles(sf_dir: str, qs=(0.25, 0.5, 0.75, 0.95)):
     hist = partials.groupby("value", sort=True)["n"].sum()
     values = hist.index.to_numpy()
     cum = hist.to_numpy().cumsum()
-    n = int(cum[-1]) if len(cum) else 0
+    return values, cum, (int(cum[-1]) if len(cum) else 0)
+
+
+def docs_nchars_quantiles(sf_dir: str, qs=(0.25, 0.5, 0.75, 0.95)):
+    """Exact discrete quantiles of an integer column without a sort
+    (DuckDB ``quantile_disc`` semantics: the smallest value whose
+    cumulative count reaches ``ceil(q * n)``), read off the shared
+    ``_nchars_histogram`` combine. Output (q, value)."""
+    import math
+
+    import ray.data as rd
+
+    values, cum, n = _nchars_histogram(sf_dir)
     rows_q, rows_v = [], []
     for q in qs:
         if n == 0:
@@ -5179,15 +5187,20 @@ def events_range_join(sf_dir: str, window_minutes: int = 10,
 
     window_us = int(window_minutes) * 60_000_000
     con = duckdb.connect()
-    n_events = con.execute(
-        f"SELECT count(*) FROM read_parquet('{sf_dir}/events.parquet')"
-    ).fetchone()[0]
+    # route on aggregates only — no row materialization before the
+    # overflow check (the exchange route would discard it)
+    n_events, n_users, ts_lo, ts_hi = con.execute(
+        f"SELECT count(*), count(DISTINCT user_id), min(ts), max(ts) "
+        f"FROM read_parquet('{sf_dir}/events.parquet')").fetchone()
     state = None
-    if n_events <= RANGE_EVENTS_BROADCAST_LIMIT:
-        build = con.execute(
-            f"SELECT event_id, user_id, ts FROM "
-            f"read_parquet('{sf_dir}/events.parquet')").fetchdf()
-        state = _range_build_state(build, window_us)
+    if 0 < n_events <= RANGE_EVENTS_BROADCAST_LIMIT:
+        span = (int(pd.Timestamp(ts_hi).value - pd.Timestamp(ts_lo).value)
+                // 1000 + window_us + 1)
+        if int(n_users) < (1 << 62) // span:
+            build = con.execute(
+                f"SELECT event_id, user_id, ts FROM "
+                f"read_parquet('{sf_dir}/events.parquet')").fetchdf()
+            state = _range_build_state(build, window_us)
     con.close()
     if state is None:
         return _events_range_join_exchanged(sf_dir, window_us, num_parts)
@@ -5360,7 +5373,10 @@ def events_funnel(sf_dir: str,
         def part_counts(tbl: pa.Table) -> pa.Table:
             df = tbl.to_pandas()
             if not len(df):
-                return out_schema.empty_table()
+                # the partial schema INCLUDING b0 — grouped_sum's
+                # exchange path selects that column
+                return out_schema.append(
+                    pa.field("b0", pa.int64())).empty_table()
             codes, uniques = pd.factorize(df["user_id"], sort=False)
             t = df["ts"].to_numpy().astype("datetime64[us]").view(np.int64)
             et = df["event_type"].to_numpy()
@@ -5605,10 +5621,10 @@ def _pmi_scored_exchanged(combined, k: int, min_count: int,
 def docs_nchars_quantiles_cont(sf_dir: str, qs=(0.25, 0.5, 0.75, 0.95)):
     """Exact INTERPOLATED quantiles (SQL ``quantile_cont`` /
     ``percentile_cont``) of an integer column without a sort — the
-    continuous companion of ``docs_nchars_quantiles``: the same
-    distinct-value histogram partials and driver combine, then the two
-    order statistics around ``pos = q * (n - 1)`` are read off the
-    cumulative counts and linearly interpolated
+    continuous companion of ``docs_nchars_quantiles``, over the same
+    shared ``_nchars_histogram`` combine: the two order statistics
+    around ``pos = q * (n - 1)`` are read off the cumulative counts
+    and linearly interpolated
     (``lo + (pos - floor(pos)) * (hi - lo)`` — exact in float64 for
     int values below 2^52, matching DuckDB's interpolator bit-for-bit
     on integer inputs). Output (q, value[double])."""
@@ -5616,22 +5632,7 @@ def docs_nchars_quantiles_cont(sf_dir: str, qs=(0.25, 0.5, 0.75, 0.95)):
 
     import ray.data as rd
 
-    def partial(batch: pa.Table) -> pa.Table:
-        v, c = np.unique(
-            batch["n_chars"].to_numpy(zero_copy_only=False),
-            return_counts=True)
-        return pa.table({"value": pa.array(v, pa.int64()),
-                         "n": pa.array(c.astype(np.int64), pa.int64())})
-
-    partials = (
-        _docs(sf_dir, ["n_chars"])
-        .map_batches(partial, batch_format="pyarrow")
-        .to_pandas()
-    )
-    hist = partials.groupby("value", sort=True)["n"].sum()
-    values = hist.index.to_numpy()
-    cum = hist.to_numpy().cumsum()
-    n = int(cum[-1]) if len(cum) else 0
+    values, cum, n = _nchars_histogram(sf_dir)
     rows_q, rows_v = [], []
     for q in qs:
         if n == 0:
@@ -5662,7 +5663,17 @@ def docs_lang_corr(sf_dir: str, num_parts: int = 32):
     per group. The SQL oracle computes the SAME expression from the
     same exact integer sums (not the stream-order-dependent ``corr()``
     aggregate), so both sides match to the last bit before the 6dp
-    round. Output (lang, n, corr_len_tokens)."""
+    round.
+
+    Exactness bound: the int64 moments hold while every group's
+    ``sum(x^2)`` stays below 2^63 (~9.2e18 — e.g. 1e9 docs of 3e4
+    chars; a corpus of 1e6-char documents overflows near 1e7 docs).
+    x, y >= 0 makes every true moment nonnegative, so the finishing
+    pass raises loudly on a negative combined moment (the common wrap
+    signature) instead of emitting a silent garbage correlation; past
+    the bound, pre-scale the inputs (e.g. n_chars // 256) — the
+    DuckDB oracle sums into HUGEINT and would otherwise diverge.
+    Output (lang, n, corr_len_tokens)."""
     import ray.data as rd
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
@@ -5684,6 +5695,12 @@ def docs_lang_corr(sf_dir: str, num_parts: int = 32):
         AGG_PARTIALS_DRIVER_LIMIT, num_parts=num_parts)
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
+        moments = df[["n", "sx", "sy", "sxx", "syy", "sxy"]].to_numpy()
+        if (moments < 0).any():
+            # x, y >= 0: a negative combined moment means int64 wrap
+            raise ValueError(
+                "docs_lang_corr: int64 moment overflow (negative combined "
+                "sum) — pre-scale the inputs; see the docstring bound")
         n = df["n"].to_numpy().astype(np.float64)
         sx = df["sx"].to_numpy().astype(np.float64)
         sy = df["sy"].to_numpy().astype(np.float64)

@@ -209,14 +209,20 @@ def _emit_pairs_from_bucket(g: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame({"a": ids[a], "b": ids[b]})
 
 
-def _pairs_from_band_rows(df: pd.DataFrame) -> pd.DataFrame:
+def _pairs_from_band_rows(df: pd.DataFrame,
+                          bucket_cap: int | None = HOT_BUCKET_CAP
+                          ) -> pd.DataFrame:
     """Vectorized bucket->pairs combine over (doc_id, band, key) rows:
     one lexsort delimits buckets, then every bucket's upper-triangle
-    pairs are emitted with size-grouped numpy gathers — at most
-    ``HOT_BUCKET_CAP - 1`` distinct bucket sizes to iterate instead of
-    a Python loop over millions of buckets (round-4 VERDICT weak item
-    #2: the old per-bucket ``groupby`` loop cost minutes of single-core
-    driver time at the 50 M-row budget). Set-equal to mapping
+    pairs are emitted with size-grouped numpy gathers — one gather per
+    DISTINCT bucket size instead of a Python loop over millions of
+    buckets (round-4 VERDICT weak item #2: the old per-bucket
+    ``groupby`` loop cost minutes of single-core driver time at the
+    50 M-row budget). ``bucket_cap`` truncates hot buckets to the
+    smallest ids (the LSH near-dup approximation, default); pass
+    ``None`` for the EXACT all-pairs emission — required by callers
+    with a completeness contract (the fuzzy string join), whose true
+    pair mass per bucket is genuinely O(size^2). Set-equal to mapping
     ``_emit_pairs_from_bucket`` over ``groupby([band, key])`` +
     ``drop_duplicates`` (property-tested); output is deduped and
     (a, b)-sorted — downstream consumers (signature verification,
@@ -235,7 +241,7 @@ def _pairs_from_band_rows(df: pd.DataFrame) -> pd.DataFrame:
     new[1:] = (band[1:] != band[:-1]) | (key[1:] != key[:-1])
     starts = np.flatnonzero(new)
     sizes = np.diff(np.append(starts, len(doc)))
-    cap = np.minimum(sizes, HOT_BUCKET_CAP)
+    cap = sizes if bucket_cap is None else np.minimum(sizes, bucket_cap)
     multi = cap >= 2
     starts, cap = starts[multi], cap[multi]
     if not len(starts):

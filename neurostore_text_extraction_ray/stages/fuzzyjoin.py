@@ -149,7 +149,7 @@ def part_name_fuzzy_pairs(sf_dir: str, num_parts: int = 32):
             "band": np.zeros(len(rows), dtype=np.int64),
             "key": rows["bh"].to_numpy(),
         })
-        p = dd._pairs_from_band_rows(band_rows)
+        p = dd._pairs_from_band_rows(band_rows, bucket_cap=None)
         p = p[p["a"] != p["b"]]
         cand = pd.DataFrame({
             "nm_a": id_to_nm.reindex(p["a"].to_numpy()).to_numpy(),
@@ -188,7 +188,7 @@ def _fuzzy_pairs_exchanged(blocks_ds, num_parts: int, dd, pr):
                 "doc_id": rows["id"].to_numpy(),
                 "band": np.zeros(len(rows), dtype=np.int64),
                 "key": rows["bh"].to_numpy(),
-            }))
+            }), bucket_cap=None)
             p = p[p["a"] != p["b"]]
             return pa.Table.from_pandas(
                 p, preserve_index=False).cast(pr.PAIR_SCHEMA)

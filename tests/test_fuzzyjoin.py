@@ -98,3 +98,40 @@ def test_fuzzy_pairs_matches_oracle_and_exchange_path(ray_session,
     monkeypatch.setattr(fuzzyjoin, "FUZZY_BLOCKS_DRIVER_LIMIT", 0)
     exch = _canon(fuzzyjoin.part_name_fuzzy_pairs(SF, num_parts=7).to_pandas())
     pd.testing.assert_frame_equal(exch, gold)
+
+
+def test_hot_bucket_completeness(ray_session, tmp_path):
+    """A deletion-variant bucket larger than the LSH kernel's
+    HOT_BUCKET_CAP must still emit EVERY true distance-1 pair (the
+    fuzzy join passes bucket_cap=None — regression for the round-5
+    review finding where the capped kernel silently dropped 92% of
+    pairs on a 776-string shared-variant vocabulary)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from neurostore_text_extraction_ray.stages import dedup as dd
+    from neurostore_text_extraction_ray.stages import fuzzyjoin
+
+    base = "a" * 30
+    # every single-char insertion into base: the ~280 distinct strings
+    # all share the deletion variant `base` -> one bucket past the cap
+    vocab = sorted({base[:i] + ch + base[i:]
+                    for i in range(31) for ch in "abcdefghij"})
+    assert len(vocab) > dd.HOT_BUCKET_CAP
+    df = pd.DataFrame({
+        "p_partkey": np.arange(len(vocab), dtype=np.int64) * 7 + 1,
+        "p_name": vocab,  # %7 != 0 -> no truncation plant
+    })
+    d = str(tmp_path)
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   os.path.join(d, "part.parquet"))
+    got = fuzzyjoin.part_name_fuzzy_pairs(d).to_pandas()
+    con = duckdb.connect()
+    exp = con.execute(
+        f"WITH s AS (SELECT DISTINCT p_name AS nm FROM "
+        f"read_parquet('{d}/part.parquet')) "
+        "SELECT count(*) FROM s a JOIN s b ON a.nm < b.nm "
+        "AND levenshtein(a.nm, b.nm) <= 1").fetchone()[0]
+    assert len(got) == exp and exp > 0
