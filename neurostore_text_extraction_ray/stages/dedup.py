@@ -210,8 +210,8 @@ def _emit_pairs_from_bucket(g: pd.DataFrame) -> pd.DataFrame:
 
 
 def _pairs_from_band_rows(df: pd.DataFrame,
-                          bucket_cap: int | None = HOT_BUCKET_CAP
-                          ) -> pd.DataFrame:
+                          bucket_cap: int | None = HOT_BUCKET_CAP,
+                          max_pairs: int | None = None) -> pd.DataFrame:
     """Vectorized bucket->pairs combine over (doc_id, band, key) rows:
     one lexsort delimits buckets, then every bucket's upper-triangle
     pairs are emitted with size-grouped numpy gathers — one gather per
@@ -249,6 +249,15 @@ def _pairs_from_band_rows(df: pd.DataFrame,
     n_pairs = (cap * (cap - 1)) // 2
     off = np.concatenate([[0], np.cumsum(n_pairs)])
     m = int(off[-1])
+    if max_pairs is not None and m > max_pairs:
+        # raise BEFORE the O(m) allocation: with bucket_cap=None this
+        # is the caller's declared memory budget against a vocabulary
+        # whose true pair mass is quadratic in a hot bucket's size
+        raise ValueError(
+            f"bucket->pairs emission would produce {m} pairs "
+            f"(> max_pairs={max_pairs}); the input has hot buckets "
+            "with quadratic true-pair mass — dedupe or pre-partition "
+            "the vocabulary first")
     out_a = np.empty(m, dtype=np.int64)
     out_b = np.empty(m, dtype=np.int64)
     for c in np.unique(cap):

@@ -34,6 +34,12 @@ from ..functions.hashing import _token_hashes
 # driver and the whole join runs through the exchange (tests patch to 0)
 FUZZY_BLOCKS_DRIVER_LIMIT = 5_000_000
 
+# hard memory budget per pair emission (driver path: the whole join;
+# exchange path: per part). The EXACT kernel's pair mass is quadratic
+# in a hot bucket's size, so a degenerate vocabulary raises loudly
+# before the allocation instead of OOMing a worker.
+FUZZY_PAIRS_HARD_LIMIT = 200_000_000
+
 _OUT_SCHEMA = pa.schema([("nm_a", pa.string()), ("nm_b", pa.string())])
 
 
@@ -149,7 +155,8 @@ def part_name_fuzzy_pairs(sf_dir: str, num_parts: int = 32):
             "band": np.zeros(len(rows), dtype=np.int64),
             "key": rows["bh"].to_numpy(),
         })
-        p = dd._pairs_from_band_rows(band_rows, bucket_cap=None)
+        p = dd._pairs_from_band_rows(band_rows, bucket_cap=None,
+                                     max_pairs=FUZZY_PAIRS_HARD_LIMIT)
         p = p[p["a"] != p["b"]]
         cand = pd.DataFrame({
             "nm_a": id_to_nm.reindex(p["a"].to_numpy()).to_numpy(),
@@ -188,7 +195,7 @@ def _fuzzy_pairs_exchanged(blocks_ds, num_parts: int, dd, pr):
                 "doc_id": rows["id"].to_numpy(),
                 "band": np.zeros(len(rows), dtype=np.int64),
                 "key": rows["bh"].to_numpy(),
-            }), bucket_cap=None)
+            }), bucket_cap=None, max_pairs=FUZZY_PAIRS_HARD_LIMIT)
             p = p[p["a"] != p["b"]]
             return pa.Table.from_pandas(
                 p, preserve_index=False).cast(pr.PAIR_SCHEMA)

@@ -135,3 +135,26 @@ def test_hot_bucket_completeness(ray_session, tmp_path):
         "SELECT count(*) FROM s a JOIN s b ON a.nm < b.nm "
         "AND levenshtein(a.nm, b.nm) <= 1").fetchone()[0]
     assert len(got) == exp and exp > 0
+
+
+def test_pair_budget_raises_loudly(ray_session, tmp_path, monkeypatch):
+    """FUZZY_PAIRS_HARD_LIMIT must raise BEFORE the quadratic pair
+    allocation, not OOM."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from neurostore_text_extraction_ray.stages import fuzzyjoin
+
+    vocab = [f"ab{i}" for i in range(10)]  # all pair via deleting i
+    df = pd.DataFrame({
+        "p_partkey": np.arange(len(vocab), dtype=np.int64) * 7 + 1,
+        "p_name": vocab,
+    })
+    d = str(tmp_path)
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   os.path.join(d, "part.parquet"))
+    monkeypatch.setattr(fuzzyjoin, "FUZZY_PAIRS_HARD_LIMIT", 3)
+    with pytest.raises(ValueError, match="max_pairs"):
+        fuzzyjoin.part_name_fuzzy_pairs(d).to_pandas()
