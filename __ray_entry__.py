@@ -309,6 +309,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             steps.lineitem_cube(sf), {"sum_qty": 4, "sum_revenue": 4}),
         "docs_nchars_quantiles_cont": steps.docs_nchars_quantiles_cont,
         "docs_lang_corr": steps.docs_lang_corr,
+        "events_global_rolling_sum": steps.events_global_rolling_sum,
         # --- last driver-verified in r3 ---
         "ngram_jaccard_dups": _ngram_jaccard_dups,
         "embedding_cosine_dups": _embedding_cosine_dups,
@@ -872,6 +873,16 @@ def oracle_sql() -> dict[str, str]:
             "FROM u1 UNION ALL "
             "SELECT 'click', CAST(count(*) AS BIGINT) FROM u2 UNION ALL "
             "SELECT 'purchase', CAST(count(*) AS BIGINT) FROM u3"
+        ),
+        # global (no PARTITION BY) trailing window; RANGE peers share
+        # the frame on both bounds; integer cents keep sums exact
+        "events_global_rolling_sum": (
+            "SELECT event_id, ts, "
+            "CAST(count(*) OVER w AS BIGINT) AS win_n, "
+            "CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER w "
+            "AS BIGINT) AS win_cents FROM events "
+            "WINDOW w AS (ORDER BY ts "
+            "RANGE BETWEEN INTERVAL 60 MINUTE PRECEDING AND CURRENT ROW)"
         ),
         # integer-cents running sum: floor(v*100 + 0.5) is the same
         # IEEE op sequence as the numpy kernel, so prefix sums are

@@ -5717,3 +5717,113 @@ def docs_lang_corr(sf_dir: str, num_parts: int = 32):
         })
 
     return combined.map_batches(finish, batch_format="pandas")
+
+
+# -- Global event-time sliding window (range partition + halo) ---------------
+
+
+def events_global_rolling_sum(sf_dir: str, window_minutes: int = 60,
+                              num_parts: int = 32):
+    """GLOBAL event-time sliding window: for every event, the count and
+    integer-cents value total of ALL events (any user) in the trailing
+    ``window_minutes`` — SQL ``ORDER BY ts RANGE BETWEEN w PRECEDING
+    AND CURRENT ROW`` with no PARTITION BY. The per-user rolling ops
+    co-partition by user; a global window has no partition key, so this
+    is the RANGE-PARTITION + HALO pattern: rows range-partition on ts
+    (the global_rank shape), and every row additionally duplicates into
+    the later part(s) whose leading windows reach back to it, flagged
+    ``emit=false`` — counted by those parts' windows, emitted only by
+    its home part. The effective part count is floored so a part span
+    is at least the window width (halo ≈ one part ahead; a degenerate
+    ts-range collapses to one part instead of duplicating rows
+    num_parts times). Each part is one vectorized pass: sort by ts,
+    one int64 prefix sum, two searchsorted calls (RANGE semantics:
+    ts-ties are frame peers on both bounds). Output
+    (event_id, ts, win_n, win_cents)."""
+    import math
+    import shutil
+
+    import ray.data as rd
+
+    from ..stages import exchange as ex
+
+    w_us = int(window_minutes) * 60_000_000
+    out_schema = pa.schema([
+        ("event_id", pa.int64()), ("ts", pa.timestamp("us")),
+        ("win_n", pa.int64()), ("win_cents", pa.int64()),
+    ])
+
+    from ray.data.aggregate import Max, Min
+
+    base = rd.read_parquet(f"{sf_dir}/events.parquet",
+                           columns=["event_id", "ts", "value"])
+    mm = base.aggregate(Min("ts"), Max("ts"))
+    if mm["min(ts)"] is None:
+        return rd.from_arrow(out_schema.empty_table())
+    gmin = int(pd.Timestamp(mm["min(ts)"]).value) // 1000
+    gmax = int(pd.Timestamp(mm["max(ts)"]).value) // 1000
+    span = gmax - gmin + 1
+    eff_parts = max(1, min(num_parts, span // max(w_us, 1) + 1))
+    chunk = -(-span // eff_parts)
+    halo_k = math.ceil(w_us / chunk)  # how many parts a window reaches back
+
+    mid_schema = pa.schema([
+        ("event_id", pa.int64()), ("m", pa.int64()),
+        ("cents", pa.int64()), ("part", pa.int64()),
+        ("emit", pa.bool_()),
+    ])
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        m = df["ts"].to_numpy().astype("datetime64[us]").view(np.int64)
+        cents = np.floor(
+            df["value"].to_numpy().astype(np.float64) * 100.0 + 0.5
+        ).astype(np.int64)
+        eid = df["event_id"].to_numpy().astype(np.int64)
+        home = (m - gmin) // chunk
+        frames = [pd.DataFrame({
+            "event_id": eid, "m": m, "cents": cents,
+            "part": home, "emit": True})]
+        for k in range(1, halo_k + 1):
+            # part home+k's leading window [start, start+w) reaches
+            # back to rows with m >= start - w
+            start = gmin + (home + k) * chunk
+            need = (home + k < eff_parts) & (m >= start - w_us)
+            if need.any():
+                frames.append(pd.DataFrame({
+                    "event_id": eid[need], "m": m[need],
+                    "cents": cents[need], "part": home[need] + k,
+                    "emit": False}))
+        return pd.concat(frames, ignore_index=True)
+
+    stage = ex.make_stage("nse_grs_")
+    try:
+        ex.write_exchange(
+            base.map_batches(explode, batch_format="pandas")
+            .map_batches(lambda b: b.cast(mid_schema),
+                         batch_format="pyarrow"),
+            stage,
+            lambda b: b["part"].to_numpy(zero_copy_only=False))
+
+        def roll_part(t: pa.Table) -> pa.Table:
+            df = t.to_pandas().sort_values(["m", "event_id"],
+                                           kind="stable")
+            m = df["m"].to_numpy()
+            pref = np.concatenate(
+                [[np.int64(0)], np.cumsum(df["cents"].to_numpy())])
+            lo = np.searchsorted(m, m - w_us, side="left")
+            hi = np.searchsorted(m, m, side="right")
+            keep = df["emit"].to_numpy()
+            return pa.table({
+                "event_id": pa.array(df["event_id"].to_numpy()[keep],
+                                     pa.int64()),
+                "ts": pa.array(m[keep].view("datetime64[us]"),
+                               pa.timestamp("us")),
+                "win_n": pa.array((hi - lo)[keep], pa.int64()),
+                "win_cents": pa.array((pref[hi] - pref[lo])[keep],
+                                      pa.int64()),
+            })
+
+        return ex.map_parts(stage, eff_parts, roll_part,
+                            out_schema).materialize()
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)

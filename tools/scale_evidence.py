@@ -442,6 +442,11 @@ def main():
 
     run("docs_pmi_bigrams_exchange", _pmi_exchange)
 
+    # pure range-partition + halo (no gate): 2M events over 42 days,
+    # 60-min global window -> ~1 halo part ahead per row
+    run("events_global_rolling_sum",
+        lambda: steps.events_global_rolling_sum(OUT).materialize().count())
+
     results["driver_maxrss_gb"] = round(
         resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6, 2)
     print(json.dumps(results), flush=True)
