@@ -310,6 +310,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_nchars_quantiles_cont": steps.docs_nchars_quantiles_cont,
         "docs_lang_corr": steps.docs_lang_corr,
         "events_global_rolling_sum": steps.events_global_rolling_sum,
+        "events_user_top_type": steps.events_user_top_type,
         # --- last driver-verified in r3 ---
         "ngram_jaccard_dups": _ngram_jaccard_dups,
         "embedding_cosine_dups": _embedding_cosine_dups,
@@ -873,6 +874,15 @@ def oracle_sql() -> dict[str, str]:
             "FROM u1 UNION ALL "
             "SELECT 'click', CAST(count(*) AS BIGINT) FROM u2 UNION ALL "
             "SELECT 'purchase', CAST(count(*) AS BIGINT) FROM u3"
+        ),
+        # grouped mode with the (count desc, type asc) total order
+        "events_user_top_type": (
+            "SELECT user_id, event_type, n_events FROM ("
+            "  SELECT user_id, event_type, count(*) AS n_events, "
+            "  row_number() OVER (PARTITION BY user_id "
+            "    ORDER BY count(*) DESC, event_type) AS rn "
+            "  FROM events GROUP BY user_id, event_type) "
+            "WHERE rn = 1"
         ),
         # global (no PARTITION BY) trailing window; RANGE peers share
         # the frame on both bounds; integer cents keep sums exact

@@ -5827,3 +5827,75 @@ def events_global_rolling_sum(sf_dir: str, window_minutes: int = 60,
                             out_schema).materialize()
     finally:
         shutil.rmtree(stage, ignore_errors=True)
+
+
+# -- Grouped mode: most frequent value per key --------------------------------
+
+
+def events_user_top_type(sf_dir: str, num_parts: int = 32):
+    """Grouped mode: each user's most frequent event type (count desc,
+    type asc tie-break) — SQL's ``mode() WITHIN GROUP`` /
+    ``row_number() OVER (PARTITION BY user ORDER BY n DESC)`` shape.
+    Per-batch (user, type) count partials feed the shared gated
+    ``grouped_sum_by_key`` combine; the argmax then needs each user's
+    rows co-located, which the (user, type) combine does NOT give
+    beyond its gate — so the argmax has both paths: a driver groupby
+    below ``AGG_PARTIALS_DRIVER_LIMIT`` combined rows, a USER-hash
+    partition exchange beyond it (per-part argmax exact). Output
+    (user_id, event_type, n_events)."""
+    import shutil
+
+    import ray.data as rd
+
+    from ..stages import exchange as ex
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby(["user_id", "event_type"], sort=False)
+             .size().rename("n_events").reset_index())
+        g["n_events"] = g["n_events"].astype("int64")
+        g["b0"] = np.int64(df["event_id"].min()) if len(df) else np.int64(0)
+        return g
+
+    combined = grouped_sum_by_key(
+        rd.read_parquet(f"{sf_dir}/events.parquet",
+                        columns=["event_id", "user_id", "event_type"])
+        .map_batches(partial, batch_format="pandas").materialize(),
+        ["user_id", "event_type"], ["n_events"],
+        AGG_PARTIALS_DRIVER_LIMIT, num_parts=num_parts).materialize()
+
+    out_schema = pa.schema([
+        ("user_id", pa.int64()), ("event_type", pa.string()),
+        ("n_events", pa.int64())])
+
+    def argmax(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["n_events", "event_type"],
+                            ascending=[False, True], kind="stable")
+        return (df.groupby("user_id", sort=False).head(1)
+                [["user_id", "event_type", "n_events"]]
+                .reset_index(drop=True))
+
+    if combined.count() <= AGG_PARTIALS_DRIVER_LIMIT:
+        pdf = combined.to_pandas()
+        if pdf.empty:
+            return rd.from_arrow(out_schema.empty_table())
+        return rd.from_pandas(argmax(pdf))
+
+    stage = ex.make_stage("nse_utop_")
+    try:
+        ex.write_exchange(
+            combined.map_batches(
+                lambda b: b.select(["user_id", "event_type", "n_events"]),
+                batch_format="pyarrow"),
+            stage,
+            lambda b: ex.int_part(
+                [b["user_id"].to_numpy(zero_copy_only=False)], num_parts))
+
+        def part_argmax(t: pa.Table) -> pa.Table:
+            return pa.Table.from_pandas(
+                argmax(t.to_pandas()), schema=out_schema,
+                preserve_index=False)
+
+        return ex.map_parts(stage, num_parts, part_argmax,
+                            out_schema).materialize()
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)

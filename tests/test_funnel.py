@@ -85,3 +85,24 @@ def test_funnel_combine_gate_equivalence(ray_session, monkeypatch):
     exch = _canon(steps.events_funnel(SF, num_parts=5).to_pandas())
     pd.testing.assert_frame_equal(drv, exch)
     assert drv["n_users"].sum() > 0
+
+
+def test_user_top_type_matches_sql_and_gates(ray_session, monkeypatch):
+    """Grouped mode (events_user_top_type): both argmax paths equal the
+    SQL row_number oracle, incl. the count-tie type-asc tie-break."""
+    import duckdb as _duckdb
+
+    import __ray_entry__ as e
+    from neurostore_text_extraction_ray.pipelines import steps
+
+    con = _duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM read_parquet("
+                f"'{SF}/events.parquet')")
+    gold = _canon(con.execute(e.oracle_sql()["events_user_top_type"])
+                  .fetchdf())
+    drv = _canon(steps.events_user_top_type(SF).to_pandas())
+    pd.testing.assert_frame_equal(drv, gold)
+    assert len(drv) > 0
+    monkeypatch.setattr(steps, "AGG_PARTIALS_DRIVER_LIMIT", 0)
+    exch = _canon(steps.events_user_top_type(SF, num_parts=5).to_pandas())
+    pd.testing.assert_frame_equal(exch, gold)

@@ -105,7 +105,7 @@ def _pairs():
     "events_range_join", "events_user_running_total",
     "part_name_fuzzy_pairs", "events_funnel", "docs_pmi_bigrams",
     "lineitem_cube", "docs_nchars_quantiles_cont", "docs_lang_corr",
-    "events_global_rolling_sum",
+    "events_global_rolling_sum", "events_user_top_type",
 ])
 def test_query_matches_oracle(name, ray_session):
     import __ray_entry__ as e
