@@ -311,6 +311,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_lang_corr": steps.docs_lang_corr,
         "events_global_rolling_sum": steps.events_global_rolling_sum,
         "events_user_top_type": steps.events_user_top_type,
+        "docs_lang_bucket_pivot": steps.docs_lang_bucket_pivot,
         # --- last driver-verified in r3 ---
         "ngram_jaccard_dups": _ngram_jaccard_dups,
         "embedding_cosine_dups": _embedding_cosine_dups,
@@ -874,6 +875,23 @@ def oracle_sql() -> dict[str, str]:
             "FROM u1 UNION ALL "
             "SELECT 'click', CAST(count(*) AS BIGINT) FROM u2 UNION ALL "
             "SELECT 'purchase', CAST(count(*) AS BIGINT) FROM u3"
+        ),
+        # PIVOT / crosstab via conditional aggregation; the CASE ladder
+        # replays the quality-buckets thresholds exactly
+        "docs_lang_bucket_pivot": (
+            "WITH t AS (SELECT quantile_disc(n_chars, 0.25) AS t25, "
+            "  quantile_disc(n_chars, 0.5) AS t50, "
+            "  quantile_disc(n_chars, 0.75) AS t75 FROM documents), "
+            "b AS (SELECT lang, CASE WHEN n_chars <= t25 THEN 0 "
+            "  WHEN n_chars <= t50 THEN 1 WHEN n_chars <= t75 THEN 2 "
+            "  ELSE 3 END AS bucket FROM documents, t) "
+            "SELECT lang, "
+            "CAST(count(*) FILTER (bucket = 0) AS BIGINT) AS n_b0, "
+            "CAST(count(*) FILTER (bucket = 1) AS BIGINT) AS n_b1, "
+            "CAST(count(*) FILTER (bucket = 2) AS BIGINT) AS n_b2, "
+            "CAST(count(*) FILTER (bucket = 3) AS BIGINT) AS n_b3, "
+            "CAST(count(*) AS BIGINT) AS n_total "
+            "FROM b GROUP BY lang"
         ),
         # grouped mode with the (count desc, type asc) total order
         "events_user_top_type": (

@@ -5899,3 +5899,48 @@ def events_user_top_type(sf_dir: str, num_parts: int = 32):
                             out_schema).materialize()
     finally:
         shutil.rmtree(stage, ignore_errors=True)
+
+
+# -- Pivot / crosstab: lang x length-quartile counts, wide --------------------
+
+
+def docs_lang_bucket_pivot(sf_dir: str, num_parts: int = 32):
+    """PIVOT / crosstab: one row per language with a column per corpus
+    length quartile (the conditional-aggregation surface —
+    ``count(*) FILTER (bucket = k)`` — that mix reports render wide).
+    Phase 1 reuses the distributed value-histogram quantiles for the
+    three thresholds; phase 2 pivots INSIDE the per-batch partial (one
+    ``np.bincount`` over ``lang_code * 4 + bucket`` — no row
+    explosion, one partial row per language per batch) and the shared
+    gated ``grouped_sum_by_key`` combine sums the wide counts. Output
+    (lang, n_b0..n_b3, n_total)."""
+    import ray
+    import ray.data as rd
+
+    cols = ["n_b0", "n_b1", "n_b2", "n_b3", "n_total"]
+    qdf = docs_nchars_quantiles(sf_dir, qs=(0.25, 0.5, 0.75)).to_pandas()
+    if qdf.empty:
+        return rd.from_arrow(pa.schema(
+            [("lang", pa.string())] + [(c, pa.int64()) for c in cols]
+        ).empty_table())
+    ref = ray.put(np.sort(qdf["value"].to_numpy(np.int64)))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        from ..stages.broadcast import get_broadcast
+
+        thr = get_broadcast(ref)
+        b = np.searchsorted(thr, df["n_chars"].to_numpy(), side="left")
+        codes, uniq = pd.factorize(df["lang"], sort=False)
+        cnt = np.bincount(codes * 4 + b, minlength=len(uniq) * 4
+                          ).reshape(-1, 4).astype(np.int64)
+        out = pd.DataFrame({"lang": uniq})
+        for k in range(4):
+            out[f"n_b{k}"] = cnt[:, k]
+        out["n_total"] = cnt.sum(axis=1)
+        out["b0"] = np.int64(df["doc_id"].min()) if len(df) else np.int64(0)
+        return out
+
+    return grouped_sum_by_key(
+        _docs(sf_dir, ["doc_id", "lang", "n_chars"])
+        .map_batches(partial, batch_format="pandas").materialize(),
+        "lang", cols, AGG_PARTIALS_DRIVER_LIMIT, num_parts=num_parts)

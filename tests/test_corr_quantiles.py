@@ -85,3 +85,26 @@ def test_quantiles_cont_interpolates(ray_session, tmp_path):
             f"SELECT round(quantile_cont(n_chars, {q}), 4) FROM "
             f"read_parquet('{d}/documents.parquet')").fetchone()[0]
         assert out.loc[q, "value"] == gold
+
+
+def test_lang_bucket_pivot_matches_sql_and_gate(ray_session, monkeypatch):
+    """Pivot/crosstab: wide conditional counts equal the SQL FILTER
+    aggregation on both combine paths; row sums equal n_total."""
+    import __ray_entry__ as e
+    from neurostore_text_extraction_ray.pipelines import steps
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet("
+                f"'{SF}/documents.parquet')")
+    gold = con.execute(e.oracle_sql()["docs_lang_bucket_pivot"]).fetchdf()
+
+    def canon(df):
+        return df.sort_values("lang").reset_index(drop=True)
+
+    drv = canon(steps.docs_lang_bucket_pivot(SF).to_pandas())
+    pd.testing.assert_frame_equal(drv, canon(gold))
+    assert (drv[["n_b0", "n_b1", "n_b2", "n_b3"]].sum(axis=1)
+            == drv["n_total"]).all()
+    monkeypatch.setattr(steps, "AGG_PARTIALS_DRIVER_LIMIT", 0)
+    exch = canon(steps.docs_lang_bucket_pivot(SF, num_parts=5).to_pandas())
+    pd.testing.assert_frame_equal(exch, canon(gold))

@@ -106,6 +106,7 @@ def _pairs():
     "part_name_fuzzy_pairs", "events_funnel", "docs_pmi_bigrams",
     "lineitem_cube", "docs_nchars_quantiles_cont", "docs_lang_corr",
     "events_global_rolling_sum", "events_user_top_type",
+    "docs_lang_bucket_pivot",
 ])
 def test_query_matches_oracle(name, ray_session):
     import __ray_entry__ as e
